@@ -1,0 +1,42 @@
+"""Testdata table access.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet per table under an
+sf dir. Reads go through spark.read.parquet so Catalyst gets column
+pruning + predicate pushdown for free (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # parquet TIMESTAMP(NANOS) read as long via nanosAsLong (session.py);
+        # truncate ns → µs exactly as DuckDB/pyarrow do on their ns→µs path
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

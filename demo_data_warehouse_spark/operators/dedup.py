@@ -1,0 +1,206 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate generation is bucket-based (LSH banding / block bucketing)
+so the pair space is never O(n²) — the only joins are equi-joins on
+bucket keys, which shuffle-partition cleanly at 100 TB. Everything is
+JVM-native higher-order functions (transform/aggregate/zip_with) — no
+Python UDFs on the hot path.
+
+  exact_dedup      hash-groupBy on the dedup key
+  minhash_lsh      word-shingle → minhash signature → banded LSH buckets
+                   → candidate pairs → signature-estimated Jaccard
+  ngram_jaccard    exact n-gram Jaccard verification for candidate pairs
+  simhash          64-bit simhash + 16-bit block buckets → hamming pairs
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: permutations stay in 31-bit space so
+# a*h + b < 2^62 never overflows int64 under ANSI mode
+_MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups: one keeper (min id) + copy count per key."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _with_shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    tokens = F.split(F.col(text_col), " ")
+    return df.withColumn("__tokens", tokens).withColumn(
+        "__shingles",
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(__tokens) - {k - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(__tokens, i, {k}))))"
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — minhash over word shingles.
+
+    Permutations h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle
+    hashes; deterministic via seeded coefficient generation.
+    """
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+    sh = _with_shingles(df, text_col, k_shingle).withColumn(
+        "__sh_hashes", F.expr(f"transform(__shingles, s -> pmod(xxhash64(s), {_MERSENNE_P}L))")
+    )
+    mins = [
+        F.expr(f"array_min(transform(__sh_hashes, h -> pmod({a}L * h + {b}L, {_MERSENNE_P}L)))")
+        for (a, b) in coeffs
+    ]
+    return sh.select(F.col(id_col).alias("id"), F.array(*mins).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded minhash LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard >= threshold (estimated as matching-signature fraction).
+    Shuffle profile: one groupless equi-join on (band_id, band_hash)
+    buckets + one join back to signatures — no cross product.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(F.expr(f"slice(sig, {j * rows + 1}, {rows})")).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = sigs.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    x, y = exploded.alias("x"), exploded.alias("y")
+    cand = (
+        x.join(y, on=["band_id", "band_hash"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (u, v) -> u = v), x -> x)) / {num_hashes}"
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) candidate pairs."""
+    sh = _with_shingles(df, text_col, k_shingle).select(
+        F.col(id_col).alias("id"), F.col("__shingles").alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit simhash over whitespace tokens."""
+    out = (
+        df.withColumn("__th", F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))"))
+        .withColumn(
+            "__bitsum",
+            F.expr(
+                "aggregate(__th, transform(sequence(0, 63), i -> 0),"
+                " (acc, h) -> zip_with(acc,"
+                "   transform(sequence(0, 63), i -> if(((h >> i) & 1) = 1, 1, -1)),"
+                "   (a, b) -> a + b))"
+            ),
+        )
+        .withColumn(
+            "simhash",
+            F.expr(
+                "aggregate(sequence(0, 63), cast(0 as bigint),"
+                " (acc, i) -> acc | if(element_at(__bitsum, i + 1) > 0,"
+                "   shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+            ),
+        )
+    )
+    return out.select(F.col(id_col).alias("id"), "simhash")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into 4×16-bit blocks and
+    bucket-join on any equal block (pigeonhole: hamming ≤ 3 ⇒ at least
+    one of 4 blocks identical) — never a cross product.
+    """
+    sigs = simhash_signatures(df, id_col, text_col).cache()
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("block_id"),
+                        F.expr(f"(simhash >> {16 * j}) & 65535").alias("block_val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.block_id").alias("block_id"), F.col("b.block_val").alias("block_val"))
+    x, y = blocks.alias("x"), blocks.alias("y")
+    return (
+        x.join(y, on=["block_id", "block_val"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

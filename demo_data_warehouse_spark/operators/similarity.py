@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+  cosine_topk       brute-force cosine top-k — the correctness baseline;
+                    JVM-native zip_with/aggregate dot products, TakeOrdered
+                    top-k (no full sort, no collect of the table)
+  lsh_signatures /  random-hyperplane (sign) LSH — the scale path: bucket
+  cosine_topk_lsh   by signature, search only matching buckets
+
+At 100 TB the brute-force path is a single scan + top-k per query (fine
+for few queries); the LSH path turns it into an equi-join on bucket keys
+for large query batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):  # sequential fold in doubles — deterministic
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_sim_col(vec_col, query_col):
+    a = _as_double(vec_col)
+    q = _as_double(query_col)
+    return _dot(a, q) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(q, q)))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_sim_col(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_signatures(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """(id, bucket: bigint) — sign-of-projection random hyperplane LSH."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bits = [
+        F.when(_dot(_as_double(F.col(vec_col)), F.array(*[F.lit(float(v)) for v in p])) > 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        for p in planes
+    ]
+    bucket = bits[0]
+    for i, b in enumerate(bits[1:], start=1):
+        bucket = bucket + (b * (1 << i))
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket, then rank.
+
+    With few planes the bucket is coarse (high recall, ~n/2^planes
+    candidates); callers trade n_planes for recall. Returns the same
+    schema as cosine_topk.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(p, qv)) > 0:
+            qbucket |= 1 << i
+    sigs = lsh_signatures(df, id_col, vec_col, dim, n_planes, seed)
+    cands = df.join(
+        sigs.where(F.col("bucket") == qbucket).select(F.col("id").alias(id_col)),
+        on=id_col,
+    )
+    return cosine_topk(cands, id_col, vec_col, query_vec, k)

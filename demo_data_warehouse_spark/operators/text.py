@@ -1,0 +1,87 @@
+"""Text analysis operators for training-data pipelines.
+
+All JVM-native column expressions (no Python UDFs): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, " ")).cast("bigint")
+
+
+def re_token_count(text: Column, pattern: str = "[a-z0-9]+") -> Column:
+    """BPE-ish regex token count (word pieces)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("bigint")
+
+
+def stopword_hits(text: Column, word: str) -> Column:
+    """Occurrences of ' word ' via length arithmetic (portable to any SQL)."""
+    pat = f" {word} "
+    return ((F.length(text) - F.length(F.replace(text, F.lit(pat), F.lit("")))) / len(pat)).cast(
+        "bigint"
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    n = F.size(F.split(text, " "))
+    return ((F.length(text) - (n - 1)).cast("double") / n).alias("mean_token_len")
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / token / punctuation quality features + a simple score."""
+    t = F.col(text_col)
+    n_tokens = F.size(F.split(t, " ")).cast("bigint")
+    punct = (F.length(t) - F.length(F.regexp_replace(t, "[.,!?;:]", ""))).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("text_len"),
+        n_tokens.alias("n_tokens"),
+        mean_token_len(t).alias("mean_token_len"),
+        punct.alias("n_punct"),
+        (punct.cast("double") / F.length(t)).alias("punct_ratio"),
+        F.when((n_tokens >= 5) & (n_tokens <= 1000), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "quality_score"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: count English stopword hits."""
+    t = F.col(text_col)
+    hits = None
+    for w in EN_STOPWORDS:
+        h = stopword_hits(t, w)
+        hits = h if hits is None else hits + h
+    return df.select(
+        F.col(id_col),
+        hits.alias("en_hits"),
+        F.when(hits >= 1, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: full-text polynomial rolling hash (base 31,
+    64-bit wrapping) + min 3-token-shingle xxhash (winnowing-style)."""
+    # modular rolling hash: acc stays < 2^31 so acc*31 + ascii never
+    # overflows int64 under ANSI mode
+    rolling = F.expr(
+        f"aggregate(split({text_col}, ''), cast(0 as bigint),"
+        " (acc, c) -> pmod(acc * 31 + ascii(c), 2147483647))"
+    )
+    min_shingle = F.expr(
+        f"array_min(transform(sequence(1, greatest(size(split({text_col}, ' ')) - 2, 1)),"
+        f" i -> xxhash64(concat_ws(' ', slice(split({text_col}, ' '), i, 3)))))"
+    )
+    return df.select(
+        F.col(id_col),
+        rolling.alias("rolling_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )

@@ -1,0 +1,691 @@
+"""Core relational operator queries (SURVEY §2.1-§2.8).
+
+Each query cites the reference operator row it generalizes. Oracle SQL
+is DuckDB dialect but kept as close to ANSI as possible.
+
+Scale notes (100 TB posture):
+  - only the *fixed-size* dims (nation, region) are explicitly
+    broadcast; scaling tables (customer/orders/lineitem) are left to
+    AQE so the plan survives a 1000× scale-up;
+  - every filter/projection is expressed declaratively so Catalyst
+    pushes it into the parquet scan (verified via .explain in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+# ---------------------------------------------------------------------------
+# helpers: exact decimal arithmetic → one final DOUBLE cast. All money/qty
+# columns in the testdata are exactly 2-decimal, so casting the *inputs* to
+# DECIMAL(x,2) is lossless and every product/sum is exact in both engines —
+# Spark's partial-aggregation order and DuckDB's serial order cannot differ.
+
+
+def dsum(col, alias=None):
+    return F.sum(F.col(col).cast("decimal(14,2)")).cast("double").alias(alias or f"sum_{col}")
+
+
+def dsum_expr(expr_col, alias):
+    return F.sum(expr_col).cast("double").alias(alias)
+
+
+def _sql_dsum(expr, alias, scale="DECIMAL(14,2)"):
+    return f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / §2.2 filters
+
+
+@query(
+    "scan_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def scan_filter(spark, sf_dir):
+    """S2: warehouse read with predicate (reference dags/utils/etl.py:535-536).
+
+    Filter + projection reach the parquet scan via Catalyst pushdown.
+    """
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@query(
+    "project_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenumber_long,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           l_returnflag
+    FROM lineitem
+    """,
+)
+def project_cast(spark, sf_dir):
+    """P1/P2/P4: schema-conforming projection + cast
+    (reference dags/utils/common/schema_helper.py:18-49).
+
+    FLOOR before the int cast: Spark truncates double→int, DuckDB
+    rounds, so the cast itself is not portable — floor first is.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("linenumber_long"),
+        F.floor("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        "l_returnflag",
+    )
+
+
+@query(
+    "filter_notnull",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey IS NOT NULL
+    """,
+)
+def filter_notnull(spark, sf_dir):
+    """P5: not-null key filter (reference dags/utils/etl.py:154)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .na.drop(subset=["l_orderkey"])
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "filter_tscompare",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def filter_tscompare(spark, sf_dir):
+    """P7: timestamp-compare predicate (reference dags/utils/etl.py:322-324)."""
+    o = table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "filter_watermark",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def filter_watermark(spark, sf_dir):
+    """P8/ST2: high-watermark incremental predicate
+    (reference dags/ingestion/lark_to_gcs.py:62)."""
+    return (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    """J1/J2/J4: fact ⟕ dim left equi-join (reference dags/utils/etl.py:437-438).
+
+    customer scales with SF → no manual broadcast; AQE picks
+    broadcast-hash at small SF and sort-merge at 100 TB.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multihop",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           o.o_orderdate, c.c_custkey, c.c_nationkey, n.n_name
+    FROM lineitem l
+    LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey  = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def join_multihop(spark, sf_dir):
+    """J3: multi-hop chained left joins (reference dags/utils/etl.py:511-514).
+
+    nation is fixed-size (25 rows at any SF) → explicit broadcast;
+    the scaling joins shuffle on their keys and AQE re-plans at runtime.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(c, o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "o_orderdate",
+            "c_custkey",
+            "c_nationkey",
+            "n_name",
+        )
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """J5: left-anti join — SCD2 net-new key detection
+    (reference dags/utils/etl.py:310-314)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_inner_filtered",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, o.o_totalprice, c.c_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal < o.o_totalprice
+    """,
+)
+def join_inner_filtered(spark, sf_dir):
+    """J6: inner join + cross-side comparison predicate — SCD2
+    changed-row detection (reference dags/utils/etl.py:320-325)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .where(F.col("c_acctbal") < F.col("o_totalprice"))
+        .select("o_orderkey", "c_custkey", "o_totalprice", "c_acctbal")
+    )
+
+
+@query(
+    "join_selflookup",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           COALESCE(m.n_name, r.r_name) AS parent_name
+    FROM nation n
+    LEFT JOIN nation m ON n.n_regionkey = m.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_selflookup(spark, sf_dir):
+    """J8: broadcast-map lookup with first-match precedence — the
+    leader_sur_id resolution (reference dags/utils/etl.py:302-305):
+    probe two lookup maps, prefer the first, COALESCE the results."""
+    n = table(spark, sf_dir, "nation")
+    m = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("m_key"), F.col("n_name").alias("m_name")
+    )
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(m), n.n_regionkey == m.m_key, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("m_name", "r_name").alias("parent_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'open' AS slice FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'done' AS slice FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def union_all(spark, sf_dir):
+    """U1: unionByName assembling slices (reference dags/utils/etl.py:342-344)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where("o_orderstatus = 'O'").select("o_orderkey", "o_totalprice", F.lit("open").alias("slice"))
+    b = o.where("o_orderstatus = 'F'").select("o_orderkey", "o_totalprice", F.lit("done").alias("slice"))
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+
+
+@query(
+    "agg_max",
+    oracle="""
+    SELECT MAX(o_orderdate) AS max_orderdate, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    """,
+)
+def agg_max(spark, sf_dir):
+    """A1: column max → watermark calc (reference dags/ingestion/lark_to_gcs.py:65)."""
+    return table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark, sf_dir):
+    """A3 generalization: grouped sum/avg/count — TPC-H Q1 shape.
+
+    Map-side partial aggregation + exact decimal arithmetic (2-decimal
+    inputs are lossless in DECIMAL) keeps the shuffle small and the
+    result bit-identical regardless of accumulation order.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = price * (one - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc * (one + F.col("l_tax").cast("decimal(4,2)"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Distinct aggregation (declared generalization of A3, SURVEY §2.4)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY CUBE (month, event_type)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """A3: the 'cube' reading of cube_attendance_report
+    (reference dags/utils/dwh/gold/cube_attendance_report.py:1-14)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    return ev.cube("month", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def agg_tumbling(spark, sf_dir):
+    """ST extension: tumbling event-time window aggregation (batch form;
+    the streaming form with watermark lives in streaming/pipeline.py)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "sum_value", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+
+
+@query(
+    "window_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def window_latest(spark, sf_dir):
+    """W1/A2: latest-per-key — the SCD2 'is_current' semantic recomputed
+    as a window (reference dags/utils/etl.py:298-301)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+    FROM events
+    """,
+)
+def window_running(spark, sf_dir):
+    """W2: running total per key (SURVEY §2.5 generalization)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(14,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit
+
+
+@query(
+    "orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def orderby_limit(spark, sf_dir):
+    """Top-k: Spark plans TakeOrderedAndProject — no full sort at scale."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+
+
+@query(
+    "fn_md5",
+    oracle="""
+    SELECT c_custkey,
+           md5(concat(c_name, CAST(c_custkey AS VARCHAR))) AS sur_id
+    FROM customer
+    """,
+)
+def fn_md5(spark, sf_dir):
+    """F1: md5 surrogate key (reference dags/utils/etl.py:282-284) —
+    JVM-native F.md5, no Python UDF."""
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5(F.concat(F.col("c_name"), F.col("c_custkey").cast("string"))).alias("sur_id"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def fn_json_extract(spark, sf_dir):
+    """F2/F3: nested-cell field extraction — JSON path, JVM-native
+    (reference dags/utils/etl.py:285-296)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@query(
+    "fn_element_at",
+    oracle="SELECT vec_id, embedding[1] AS first_dim FROM embeddings",
+)
+def fn_element_at(spark, sf_dir):
+    """F5: list-head coercion (reference dags/utils/etl.py:496-499)."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.element_at("embedding", 1).alias("first_dim")
+    )
+
+
+@query(
+    "fn_ts_millis",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS ts_ms, epoch_ms(epoch_ms(ts)) AS ts_roundtrip
+    FROM events
+    """,
+)
+def fn_ts_millis(spark, sf_dir):
+    """F6: epoch-millis ↔ timestamp (reference dags/utils/common/data_helper.py:132-137)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_roundtrip"),
+    )
+
+
+@query(
+    "fn_datefmt",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts_str
+    FROM orders
+    """,
+)
+def fn_datefmt(spark, sf_dir):
+    """F9/F10: month bucket + formatted timestamp string
+    (reference dags/utils/etl.py:632-633)."""
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts_str"),
+    )
+
+
+@query(
+    "fn_tz_shift",
+    oracle="SELECT event_id, ts + INTERVAL 7 HOUR AS ts_ict FROM events",
+)
+def fn_tz_shift(spark, sf_dir):
+    """F12: explicit +7h UTC→Asia/Ho_Chi_Minh shift
+    (reference dags/utils/etl.py:631,640-647)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id", (F.col("ts") + F.expr("INTERVAL 7 HOURS")).alias("ts_ict")
+    )
+
+
+@query(
+    "fn_try_ts",
+    oracle="""
+    SELECT event_id,
+           try_strptime(
+               CASE WHEN event_id % 10 = 0 THEN 'not-a-date'
+                    ELSE strftime(ts, '%d/%m/%Y %H:%M') END,
+               '%d/%m/%Y %H:%M') AS parsed_ts
+    FROM events
+    """,
+)
+def fn_try_ts(spark, sf_dir):
+    """F11: lenient datetime parse, errors→null
+    (reference dags/utils/etl.py:637-639). Spark 4 to_timestamp throws;
+    try_to_timestamp is the pandas errors='coerce' analog."""
+    ev = table(spark, sf_dir, "events")
+    s = F.when(F.col("event_id") % 10 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("ts", "dd/MM/yyyy HH:mm")
+    )
+    return ev.select(
+        "event_id",
+        F.try_to_timestamp(s, F.lit("dd/MM/yyyy HH:mm")).alias("parsed_ts"),
+    )
+
+
+@query(
+    "fn_clip_metric",
+    oracle="""
+    SELECT event_id,
+           abs(least((value - 50.0) / 60.0, 0.0)) AS late_minute,
+           (value - 50.0) / 3600.0 AS duration_hour
+    FROM events
+    """,
+)
+def fn_clip_metric(spark, sf_dir):
+    """F13-F15: the clip(upper=0).abs() late/early metric quirk and the
+    /3600 duration (reference dags/utils/etl.py:640-653), on events.value."""
+    ev = table(spark, sf_dir, "events")
+    diff = (F.col("value") - F.lit(50.0)) / F.lit(60.0)
+    return ev.select(
+        "event_id",
+        F.abs(F.least(diff, F.lit(0.0))).alias("late_minute"),
+        ((F.col("value") - F.lit(50.0)) / F.lit(3600.0)).alias("duration_hour"),
+    )
+
+
+@query(
+    "fn_fillna",
+    oracle="""
+    SELECT event_id,
+           COALESCE(CASE WHEN event_type = 'click' THEN value END, 0.0) AS value_filled,
+           COALESCE(CASE WHEN event_type = 'click' THEN TRUE END, FALSE) AS is_click
+    FROM events
+    """,
+)
+def fn_fillna(spark, sf_dir):
+    """F8: null defaults — bool→False, numeric→0
+    (reference dags/utils/common/data_helper.py:139-145)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    b = F.when(F.col("event_type") == "click", F.lit(True))
+    return ev.select(
+        "event_id",
+        F.coalesce(v, F.lit(0.0)).alias("value_filled"),
+        F.coalesce(b, F.lit(False)).alias("is_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: the gold attendance-report shape on TPC-H data
+# (J1 join → F9 month bucket → A3 monthly group agg with derived metrics)
+
+
+@query(
+    "flagship_report",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           c.c_mktsegment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_totalprice,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY strftime(o.o_orderdate, '%Y-%m'), c.c_mktsegment
+    """,
+)
+def flagship_report(spark, sf_dir):
+    """Flagship (SURVEY §7.1 step 3): gold cube_attendance_report shape —
+    fact ⟕ dim (J4), month bucket (F9), grouped report (A3) —
+    on orders ⟕ customer (reference dags/utils/etl.py:616-677)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    sum_dec = F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("order_month", "c_mktsegment")
+        .agg(
+            sum_dec.alias("sum_totalprice"),
+            (sum_dec / F.count("*")).alias("avg_totalprice"),
+            F.count("*").alias("n_orders"),
+        )
+    )

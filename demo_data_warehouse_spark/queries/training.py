@@ -1,0 +1,190 @@
+"""Training-data pipeline driver queries: dedup, similarity search,
+text analysis, multimodal plumbing — over documents/embeddings.
+
+SQL-expressible ones carry a DuckDB oracle; the LSH/signature ones are
+rows-only here and verified against exact oracles in tests/unit/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import dedup, multimodal, similarity, text
+from . import query
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (map-side partial agg)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select("keeper_id", "n_copies")
+
+
+@query("dedup_minhash")  # rows-only: signature algebra isn't portable SQL
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (banded, no cross product).
+    Exact-Jaccard agreement is asserted in tests/unit/test_dedup.py."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+
+
+@query("dedup_ngram_jaccard")  # rows-only: verified vs brute force in tests
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH candidate pairs."""
+    docs = table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    return dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text")
+
+
+@query("dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs via 16-bit block buckets."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+        SELECT vec_id,
+               list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS sim_raw
+        FROM embeddings, q WHERE vec_id <> 0
+    )
+    SELECT vec_id, ROUND(sim_raw, 4) AS cos_sim FROM sims
+    ORDER BY sim_raw DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (baseline ANN).
+    Similarity rounded to 4dp so engine-side float fold order can't
+    flip the hash."""
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where("vec_id = 0").select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    top = similarity.cosine_topk(emb.where("vec_id <> 0"), "vec_id", "embedding", qv, k=10)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query("ann_cosine_lsh")  # rows-only: recall asserted vs brute force in tests
+def ann_cosine_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (scale path): search only the query's bucket."""
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where("vec_id = 0").select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    top = similarity.cosine_topk_lsh(
+        emb.where("vec_id <> 0"), "vec_id", "embedding", qv, dim=len(qv), k=10, n_planes=4
+    )
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pieces."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.ws_token_count(t).alias("ws_tokens"),
+        text.re_token_count(t).alias("re_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+                THEN 1.0 ELSE 0.0 END AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length/token/punctuation features."""
+    docs = table(spark, sf_dir, "documents")
+    return text.quality_features(docs, "doc_id", "text")
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' to ', ''))) / 4 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' in ', ''))) / 4 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' is ', ''))) / 4 AS BIGINT)
+               AS en_hits
+        FROM documents
+    )
+    SELECT doc_id, en_hits,
+           CASE WHEN en_hits >= 1 THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM h
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic: English stopword hit count."""
+    docs = table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text")
+
+
+@query("doc_fingerprint")  # rows-only: char-fold hash isn't portable SQL
+def doc_fingerprint(spark, sf_dir):
+    """Rolling-hash + min-shingle document fingerprints."""
+    docs = table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+@query("multimodal_features")  # rows-only: mapInPandas plumbing
+def multimodal_features(spark, sf_dir):
+    """Binary-column media table + Arrow-batched fake feature extraction."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    return multimodal.extract_features(media, fake=True)

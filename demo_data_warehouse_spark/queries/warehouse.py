@@ -1,0 +1,122 @@
+"""Warehouse-semantics driver queries: SCD2 delta + MERGE upsert
+(SURVEY §2.1 S4, §2.3 J5-J7) exercised on the events table.
+
+dim  = latest event per user with ts <= cutoff (the current snapshot)
+batch = latest event per user with ts > cutoff (the incoming batch)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.merge import merge_upsert
+from ..operators.scd2 import SENTINEL_TS, scd2_delta, surrogate_id
+from . import query
+
+CUTOFF = "2024-01-15 00:00:00"
+
+
+def _latest_per_user(ev, predicate):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.where(predicate)
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select("user_id", "ts", "value", "event_type")
+    )
+
+
+@query(
+    "scd2_delta",
+    oracle=f"""
+    WITH dim_src AS (
+        SELECT user_id, ts, value, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{CUTOFF}'
+    ), dim AS (
+        SELECT user_id,
+               md5(concat(CAST(user_id AS VARCHAR), strftime(ts, '%Y-%m-%d %H:%M:%S'))) AS sur_id,
+               value, event_type, ts, ts AS valid_from,
+               TIMESTAMP '{SENTINEL_TS}' AS valid_to, TRUE AS is_current
+        FROM dim_src WHERE rn = 1
+    ), batch_src AS (
+        SELECT user_id, ts, value, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts > TIMESTAMP '{CUTOFF}'
+    ), batch AS (
+        SELECT user_id, ts, value, event_type FROM batch_src WHERE rn = 1
+    ), net_new AS (
+        SELECT b.user_id,
+               md5(concat(CAST(b.user_id AS VARCHAR), strftime(b.ts, '%Y-%m-%d %H:%M:%S'))) AS sur_id,
+               b.value, b.event_type, b.ts, b.ts AS valid_from,
+               TIMESTAMP '{SENTINEL_TS}' AS valid_to, TRUE AS is_current
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.user_id = b.user_id)
+    ), changed AS (
+        SELECT b.user_id, b.ts, b.value, b.event_type,
+               d.sur_id AS dim_sur, d.valid_from AS dim_valid_from,
+               d.value AS dim_value, d.event_type AS dim_event_type
+        FROM batch b JOIN dim d ON b.user_id = d.user_id
+        WHERE d.ts < b.ts
+    ), new_ver AS (
+        SELECT user_id,
+               md5(concat(CAST(user_id AS VARCHAR), strftime(ts, '%Y-%m-%d %H:%M:%S'))) AS sur_id,
+               value, event_type, ts, ts AS valid_from,
+               TIMESTAMP '{SENTINEL_TS}' AS valid_to, TRUE AS is_current
+        FROM changed
+    ), closed AS (
+        SELECT user_id, dim_sur AS sur_id, dim_value AS value,
+               dim_event_type AS event_type, ts, dim_valid_from AS valid_from,
+               ts AS valid_to, FALSE AS is_current
+        FROM changed
+    )
+    SELECT user_id, sur_id, value, event_type, ts, valid_from, valid_to, is_current FROM net_new
+    UNION ALL
+    SELECT user_id, sur_id, value, event_type, ts, valid_from, valid_to, is_current FROM new_ver
+    UNION ALL
+    SELECT user_id, sur_id, value, event_type, ts, valid_from, valid_to, is_current FROM closed
+    """,
+)
+def scd2_delta_query(spark, sf_dir):
+    """SCD2 composite (J5+J6+J7+U1+F1+F16+F19; reference dags/utils/etl.py:274-354)."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    batch = _latest_per_user(ev, F.col("ts") > cutoff)
+    dim = _latest_per_user(ev, F.col("ts") <= cutoff).select(
+        "user_id",
+        surrogate_id("user_id", "ts").alias("sur_id"),
+        "value",
+        "event_type",
+        "ts",
+        F.col("ts").alias("valid_from"),
+        F.lit(SENTINEL_TS).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return scd2_delta(dim, batch, key="user_id", ts_col="ts", attr_cols=["value", "event_type"])
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8
+    ), src AS (
+        SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 6
+    )
+    SELECT t.event_id, t.user_id, t.value FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+    UNION ALL
+    SELECT event_id, user_id, value FROM src
+    """,
+)
+def merge_upsert_query(spark, sf_dir):
+    """S4: emulated MERGE — updated rows win, survivors kept, new inserted
+    (reference dags/utils/common/data_helper.py:76-106)."""
+    ev = table(spark, sf_dir, "events")
+    target = ev.where(F.col("event_id") % 10 < 8).select("event_id", "user_id", "value")
+    src = ev.where(F.col("event_id") % 10 >= 6).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value")
+    )
+    return merge_upsert(target, src, keys=["event_id"])

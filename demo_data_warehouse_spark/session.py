@@ -1,0 +1,60 @@
+"""SparkSession factory and runtime tuning.
+
+The reference pins everything to UTC and makes the +7h Asia/Ho_Chi_Minh
+shift explicit (reference dags/utils/common/data_helper.py:137,
+dags/utils/etl.py:631). We mirror that: session timezone UTC, explicit
+INTERVAL arithmetic for local-time derivations.
+
+Scale posture (100 TB north star, SURVEY §7.3 item 7):
+  - AQE on (runtime coalesce, skew-join splitting, dynamic join strategy)
+  - dynamic partition overwrite (idempotent per-partition re-publish, ST4)
+  - Arrow for any pandas interchange (extension operators)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to set at runtime on an existing session (the
+# driver owns session creation; every query entry point calls tune()).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: keep row-group pruning + pushdown on (defaults, pinned)
+    "spark.sql.parquet.filterPushdown": "true",
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark rejects
+    # by default; read as long ns and convert in catalog.table
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not create (driver-owned)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable on this build — best effort
+    return spark
+
+
+def get_spark(app_name: str = "ddw-spark", master: str | None = None) -> SparkSession:
+    """Create (or get) a tuned local session. Tests and bench use this."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    master = master or (f"local[{cpus}]" if cpus else "local[*]")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", os.environ.get("DDW_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.driver.memory", os.environ.get("DDW_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return tune(b.getOrCreate())

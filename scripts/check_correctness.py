@@ -1,0 +1,128 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every queries()[name] on Spark and, where an oracle exists, the
+oracle SQL on DuckDB over the same parquet tables; compares row count,
+column names, and order-insensitive values. Rows-only queries are
+checked for successful execution and row count >= 0.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from demo_data_warehouse_spark.catalog import TABLES  # noqa: E402
+from demo_data_warehouse_spark.session import get_spark  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            import datetime as _dt
+
+            first = next((v for v in s if v is not None and not (isinstance(v, float) and math.isnan(v))), None)
+            if isinstance(first, _dt.date) and not isinstance(first, _dt.datetime):
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if pd.isna(a) and pd.isna(b):
+        return True
+    try:
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    a, b = canon(sdf), canon(odf)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"col {c!r}: {len(bad)}/{len(av)} mismatches; first @{i}: spark={x!r} oracle={y!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("ddw-check")
+    con = duck_con(sf_dir)
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only, {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            print(f"ok    {name}: {len(sdf)} rows match  ({time.time()-t0:.1f}s)")
+    print(f"\n{'FAILURES: ' + str(failures) if failures else 'ALL GREEN'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
