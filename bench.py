@@ -1,0 +1,73 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds across the headline queries (each executed
+to completion via a count/collect action, results not retained).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from demo_data_warehouse_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — scan-heavy agg, shuffle join,
+# window, SCD2 composite, merge, dedup LSH, ANN, text sweep.
+HEADLINE = [
+    "agg_group",
+    "join_multihop",
+    "window_latest",
+    "scd2_delta",
+    "merge_upsert",
+    "agg_cube",
+    "dedup_minhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "flagship_report",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    spark = get_spark("ddw-bench")
+    # warm the JVM/session so per-query numbers measure the queries
+    qs["scan_filter"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

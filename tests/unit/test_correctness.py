@@ -1,0 +1,44 @@
+"""Every oracle-backed driver query must match DuckDB at sf0.001.
+
+Mirrors the driver's t2 gate (row-count + columns + order-insensitive
+values); the full-size run happens in scripts/check_correctness.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from demo_data_warehouse_spark.catalog import TABLES
+from scripts.check_correctness import compare
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, sf_dir, duck, name):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(ORACLES[name]).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

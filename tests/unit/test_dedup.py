@@ -1,0 +1,94 @@
+"""Dedup operator semantics on synthetic corpora with known duplicates."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_data_warehouse_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the tall green trees"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    words = BASE.split()
+    docs = [(0, BASE)]
+    # near-dup of 0: one word changed
+    w = words.copy()
+    w[5] = "under"
+    docs.append((1, " ".join(w)))
+    # exact dup of 0
+    docs.append((2, BASE))
+    # unrelated docs
+    docs.append((3, "completely different content about spark query engines and shuffles"))
+    docs.append((4, "parquet files columnar storage predicate pushdown row groups statistics"))
+    # near-dup of 3
+    docs.append((5, "completely different content about spark query engines and planners"))
+    return spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, corpus):
+    out = dedup.exact_dedup(corpus, ["text"], "doc_id").toPandas()
+    assert len(out) == 5  # 6 docs, one exact dup collapses
+    grp = out[out.n_copies == 2]
+    assert len(grp) == 1 and grp.iloc[0].keeper_id == 0
+
+
+def test_minhash_finds_near_dups(spark, corpus):
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.3, num_hashes=64, bands=16
+    ).toPandas()
+    found = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
+    assert (0, 2) in found  # exact dup: jaccard 1.0
+    assert (0, 1) in found or (1, 2) in found  # near dup
+    assert (3, 5) in found
+    # unrelated docs must not pair with the fox corpus
+    assert not any({a, b} & {3, 4, 5} and {a, b} & {0, 1, 2} for a, b in found)
+
+
+def test_minhash_estimates_jaccard(spark, corpus):
+    rows = corpus.collect()
+    texts = {r.doc_id: r.text for r in rows}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(sorted(texts), 2)], ["id_a", "id_b"]
+    )
+    sigs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.0, num_hashes=128, bands=128
+    ).toPandas()
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in sigs.itertuples()}
+    for (a, b), e in est.items():
+        true = exact_jaccard(texts[a], texts[b])
+        assert abs(e - true) < 0.2, (a, b, e, true)
+
+
+def test_ngram_jaccard_exact(spark, corpus):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["id_a", "id_b"])
+    out = dedup.ngram_jaccard_pairs(corpus, pairs, "doc_id", "text").toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    for (a, b), j in got.items():
+        assert j == pytest.approx(exact_jaccard(texts[a], texts[b]))
+    assert got[(0, 2)] == 1.0
+
+
+def test_simhash_pairs(spark, corpus):
+    out = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=16).toPandas()
+    found = {tuple(sorted((r.id_a, r.id_b))) for r in out.itertuples()}
+    assert (0, 2) in found
+    ham = {tuple(sorted((r.id_a, r.id_b))): r.hamming for r in out.itertuples()}
+    assert ham[(0, 2)] == 0  # identical text → identical simhash

@@ -1,0 +1,61 @@
+"""Similarity search: brute-force top-k vs numpy; LSH bucket recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from demo_data_warehouse_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(7)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in m[i]]) for i in range(len(m))]
+    return m, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def numpy_topk(m, q, k):
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(m)), -sims))
+    return [int(i) for i in order[:k]], sims
+
+
+def test_cosine_topk_matches_numpy(spark, vecs):
+    m, df = vecs
+    q = [float(x) for x in m[0]]
+    got = similarity.cosine_topk(df.where("vec_id <> 0"), "vec_id", "embedding", q, k=10).toPandas()
+    m2 = np.vstack([m[1:]])
+    ids = np.arange(1, len(m))
+    sims = (m2.astype(np.float64) @ np.asarray(q)) / (
+        np.linalg.norm(m2.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    order = np.lexsort((ids, -sims))
+    expect = [int(ids[i]) for i in order[:10]]
+    assert list(got.vec_id) == expect
+    np.testing.assert_allclose(
+        got.cos_sim.to_numpy(), sims[order[:10]], rtol=1e-9
+    )
+
+
+def test_lsh_recall(spark, vecs):
+    m, df = vecs
+    q = [float(x) for x in m[0]]
+    brute = set(
+        similarity.cosine_topk(df.where("vec_id <> 0"), "vec_id", "embedding", q, k=5)
+        .toPandas()
+        .vec_id
+    )
+    got = similarity.cosine_topk_lsh(
+        df.where("vec_id <> 0"), "vec_id", "embedding", q, dim=16, k=5, n_planes=2
+    ).toPandas()
+    # coarse buckets (2 planes → 4 buckets) must recover most of top-5
+    assert len(set(got.vec_id) & brute) >= 3
+
+
+def test_lsh_bucket_determinism(spark, vecs):
+    _, df = vecs
+    a = similarity.lsh_signatures(df, "vec_id", "embedding", dim=16, n_planes=8).toPandas()
+    b = similarity.lsh_signatures(df, "vec_id", "embedding", dim=16, n_planes=8).toPandas()
+    assert a.sort_values("id").bucket.tolist() == b.sort_values("id").bucket.tolist()
