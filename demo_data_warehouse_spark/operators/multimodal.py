@@ -53,19 +53,20 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes):
-    raise NotImplementedError(
-        "real image/audio decode requires codec libraries not present in this "
-        "environment; use fake=True for the deterministic stub"
-    )
-
-
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas.
 
     fake=True computes deterministic pseudo-features (sizes + checksum)
-    so the distributed plumbing is fully exercised and testable.
+    so the distributed plumbing is fully exercised and testable. The
+    closure is self-contained so workers don't need this package on
+    their PYTHONPATH.
     """
+
+    def _decode_real(payload):
+        raise NotImplementedError(
+            "real image/audio decode requires codec libraries not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
