@@ -92,7 +92,8 @@ class Warehouse:
         if delta is None:
             return
         delta = self._stamp(delta, partition)
-        target = self.read(db, table, schema=schema)
+        # missing target bootstraps from the delta's shape (MERGE auto-create)
+        target = self.read(db, table, schema=schema or delta.schema)
         merged = merge_upsert(
             target.select(*delta.columns), delta.select(*delta.columns), keys
         )

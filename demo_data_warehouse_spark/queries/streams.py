@@ -1,0 +1,145 @@
+"""Streaming driver queries (SURVEY §2.9 ST1-ST5 + event-time extensions).
+
+These run real Structured Streaming plans drained with
+trigger(availableNow=True), so the driver's batch-oriented correctness
+gate can hash-compare their (finite, deterministic) results against
+DuckDB oracles — the strongest check available for streaming operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..io import Warehouse
+from ..streaming.pipeline import (
+    fresh_name,
+    merge_batch_sink,
+    read_landing_stream,
+    run_available_now,
+    scratch_dir,
+    tumbling_agg,
+)
+from . import query
+
+
+def _events_stream(spark, sf_dir):
+    """readStream over events.parquet, normalizing the TIMESTAMP(NANOS)
+    ts column exactly like catalog.table does for batch reads."""
+    # file-stream sources require a directory basePath: stream the sf
+    # dir with a glob pinning the one table file
+    stream = read_landing_stream(
+        spark, sf_dir, fmt="parquet", pathGlobFilter="events.parquet"
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """ST1 + watermarked tumbling window, executed as a real stream
+    (readStream → withWatermark → window agg → availableNow drain).
+
+    Complete output mode so the finite run emits every window (append
+    mode holds windows the watermark has not passed; production sinks
+    use update/append + foreachBatch)."""
+    agg = tumbling_agg(_events_stream(spark, sf_dir))
+    sink = fresh_name("stream_tumbling")
+    run_available_now(agg, memory_table=sink, output_mode="complete")
+    return spark.table(sink).select("win_start", "event_type", "sum_value", "n")
+
+
+@query(
+    "stream_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8
+    ), src AS (
+        SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 6
+    )
+    SELECT t.event_id, t.user_id, t.value FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+    UNION ALL
+    SELECT event_id, user_id, value FROM src
+    """,
+)
+def stream_merge_upsert(spark, sf_dir):
+    """ST5: streaming MERGE — micro-batches foreachBatch-merged into a
+    warehouse table (reference dags/utils/common/data_helper.py:76-106
+    as a streaming sink). Target pre-seeded batch-side; the source
+    stream upserts over it; result read back from the warehouse."""
+    ev = table(spark, sf_dir, "events")
+    wh = Warehouse(spark, scratch_dir("stream_merge"))
+    target = ev.where("event_id % 10 < 8").select("event_id", "user_id", "value")
+    wh.merge_write(
+        target, "silver", "events_upsert", ["event_id"], "2024-01-01",
+        schema=target.schema,
+    )
+
+    src = (
+        _events_stream(spark, sf_dir)
+        .where("event_id % 10 >= 6")
+        .select("event_id", "user_id", (F.col("value") * 2).alias("value"))
+    )
+    run_available_now(
+        src,
+        batch_fn=merge_batch_sink(wh, "silver", "events_upsert", ["event_id"], "2024-01-01"),
+        output_mode="append",
+    )
+    return wh.read("silver", "events_upsert").select("event_id", "user_id", "value")
+
+
+@query(
+    "agg_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def agg_session(spark, sf_dir):
+    """Event-time sessionization with a 30-minute inactivity gap —
+    native session_window (JVM-side state merge, no UDF), the batch
+    form of the streaming session operator. A new session starts when
+    an event arrives >= gap after the previous one (Spark merges
+    sessions whose [ts, ts+gap) intervals overlap)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "sum_value",
+            "n",
+        )
+    )

@@ -1,0 +1,157 @@
+"""Structured Streaming re-expression of the reference's micro-batch
+pipeline (SURVEY §2.9 ST1-ST5).
+
+The reference is a 5-minute cron loop (reference
+dags/ingestion/lark_to_gcs.py:98-104, dags/etl/run_etl.py:24-31) with
+hand-rolled watermark state and idempotent sinks. The idiomatic Spark
+translation:
+
+  ST1 micro-batch trigger   readStream over the landing dir +
+                            trigger(availableNow=True) — drains all
+                            pending files as micro-batches, then stops;
+                            re-running = the next cron tick.
+  ST2 high-watermark state  the stream checkpoint (file-source offsets)
+                            replaces the Airflow-Variable watermark; the
+                            batch-side StateDoc (lark/source.py) remains
+                            for the driver-side REST fetch which Spark
+                            cannot checkpoint.
+  ST3 late-data replay      withWatermark(ts, delay) bounds state for
+                            event-time aggs; the same-day re-read is
+                            subsumed by exactly-once file-source offsets
+                            + idempotent sinks.
+  ST4 idempotent partition  foreachBatch → Warehouse.write_partition_replace
+      re-publish            (dynamic partition overwrite per batch).
+  ST5 stateful merge        foreachBatch → Warehouse.merge_write — the
+                            Delta-style streaming MERGE upsert.
+
+Scale: file-source streams list the landing dir incrementally (no full
+re-scan per trigger); windowed-agg state is partitioned by group key so
+a 1000-executor cluster shards it; watermarks bound state size so a
+100 TB backlog drains in bounded memory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import Warehouse
+
+
+def read_landing_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """ST1: stream over a landing directory (the GCS bucket analog,
+    reference dags/ingestion/lark_to_gcs.py:85).
+
+    File streams require an explicit schema; when not given, infer it
+    from a one-off batch read of the same path (driver-side, metadata
+    only — no data scan for parquet).
+    """
+    if schema is None:
+        schema = spark.read.format(fmt).options(**options).load(path).schema
+    reader = spark.readStream.format(fmt).schema(schema).options(**options)
+    return reader.load(path)
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling event-time aggregation — the streaming form
+    of queries/core.py::agg_tumbling. State per (window, keys) group is
+    dropped once the watermark passes the window end."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("win_start"), *keys, "sum_value", "n")
+    )
+
+
+def run_available_now(
+    stream: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None] | None = None,
+    checkpoint: str | None = None,
+    output_mode: str = "update",
+    memory_table: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Drain all available input as micro-batches, then stop (ST1).
+
+    Either foreachBatch into `batch_fn`, or — for finite verification
+    runs — a named in-memory sink (`memory_table`, complete/append per
+    `output_mode`).
+    """
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ddw-ckpt-")
+    writer = stream.writeStream.trigger(availableNow=True).option(
+        "checkpointLocation", checkpoint
+    )
+    if memory_table is not None:
+        writer = writer.format("memory").queryName(memory_table).outputMode(output_mode)
+    else:
+        writer = writer.foreachBatch(batch_fn).outputMode(output_mode)
+    q = writer.start()
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in time")
+
+
+def merge_batch_sink(
+    warehouse: Warehouse,
+    db: str,
+    table: str,
+    keys: Sequence[str],
+    partition: str,
+) -> Callable[[DataFrame, int], None]:
+    """ST5: a foreachBatch function MERGE-upserting each micro-batch
+    into a warehouse table (BigQuery MERGE / Delta streaming-merge
+    analog, reference dags/utils/common/data_helper.py:76-106).
+
+    Idempotent per batch: replaying a micro-batch after a checkpoint
+    rollback merges the same rows to the same table state (ST3/ST4).
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        warehouse.merge_write(batch, db, table, list(keys), partition)
+
+    return sink
+
+
+def partition_replace_sink(
+    warehouse: Warehouse, db: str, table: str, partition: str
+) -> Callable[[DataFrame, int], None]:
+    """ST4: foreachBatch dynamic-partition-overwrite publisher."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        warehouse.write_partition_replace(batch, db, table, partition)
+
+    return sink
+
+
+def fresh_name(prefix: str) -> str:
+    """Unique memory-sink / scratch-dir name for verification runs."""
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+def scratch_dir(prefix: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), fresh_name(prefix))
+    os.makedirs(d, exist_ok=True)
+    return d

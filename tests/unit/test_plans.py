@@ -1,0 +1,99 @@
+"""Physical-plan regression tests — the 100 TB scale contract.
+
+Each test pins a plan property that is invisible to result-correctness
+checks but decides whether the query survives a 1000-executor, 100 TB
+run: filters reaching the parquet scan, dims broadcasting instead of
+shuffling the fact side, hot paths staying in whole-stage codegen, and
+projections pruning the scan schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from demo_data_warehouse_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_rowwise_python,
+    assert_pushed_filters,
+    assert_wholestage_codegen,
+    scan_read_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_scan_filter_pushdown(spark, sf_dir, qs):
+    df = qs["scan_filter"](spark, sf_dir)
+    assert_pushed_filters(df, "o_orderstatus")
+
+
+def test_watermark_filter_pushdown(spark, sf_dir, qs):
+    # P8: the incremental watermark predicate must prune parquet
+    # row-groups, or every cron tick rescans the full history.
+    df = qs["filter_watermark"](spark, sf_dir)
+    assert_no_rowwise_python(df)
+
+
+def test_join_multihop_broadcasts_dims(spark, sf_dir, qs):
+    # J3: lineitem ⟕ orders ⟕ customer — the dim sides must broadcast;
+    # a sort-merge join here shuffles the fact table twice.
+    df = qs["join_multihop"](spark, sf_dir)
+    assert_broadcast_join(df, count=1)
+    assert_no_rowwise_python(df)
+
+
+def test_flagship_stays_jvm_side(spark, sf_dir, qs):
+    df = qs["flagship_report"](spark, sf_dir)
+    assert_no_rowwise_python(df)
+    assert_wholestage_codegen(df)
+
+
+def test_agg_group_partial_aggregation(spark, sf_dir, qs):
+    # A3: map-side partial agg before the shuffle — two HashAggregate
+    # nodes (partial + final). Without it the full fact table shuffles.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["agg_group"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert_no_rowwise_python(df)
+
+
+def test_project_cast_prunes_columns(spark, sf_dir, qs):
+    # P1: a narrow projection must reach the scan as a narrow ReadSchema,
+    # not read all 16 lineitem columns.
+    df = qs["project_cast"](spark, sf_dir)
+    schemas = scan_read_schema(df)
+    assert schemas, "no file scan in plan"
+    assert all(ln.count(",") < 8 for ln in schemas), schemas
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir, qs):
+    for name in ("text_tokens", "text_quality", "text_langid", "dedup_exact"):
+        assert_no_rowwise_python(qs[name](spark, sf_dir))
+
+
+def test_nested_parse_fallback_is_arrow_not_rowwise(spark):
+    # F2: the literal_eval fallback must be an Arrow-batched pandas UDF
+    # (ArrowEvalPython), never pickled row loops (BatchEvalPython).
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.functions.nested import parse_pyrepr
+
+    df = spark.createDataFrame([("[{'id': 'a', 'name': 'b'}]",)], "cell string")
+    out = df.select(parse_pyrepr(F.col("cell"), "array<struct<id:string,name:string>>"))
+    assert_no_rowwise_python(out)
+
+
+def test_ann_topk_avoids_global_sort(spark, sf_dir, qs):
+    # top-k must be TakeOrderedAndProject (per-partition heap + merge),
+    # not a full Sort of every cosine score.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["ann_cosine_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1,0 +1,122 @@
+"""Structured Streaming layer tests (SURVEY §2.9 ST1-ST5).
+
+Prove the semantics the reference's cron loop provides — incremental
+file pickup with durable offsets (the Airflow-Variable watermark
+analog), micro-batch merge upsert, and watermarked window aggs — on a
+real multi-batch stream, not just the availableNow single drain.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from demo_data_warehouse_spark.io import Warehouse
+from demo_data_warehouse_spark.streaming.pipeline import (
+    merge_batch_sink,
+    read_landing_stream,
+    run_available_now,
+    tumbling_agg,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        [Row(**r) for r in rows],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(*specs):
+    return [
+        dict(event_id=e, user_id=u, ts=__import__("datetime").datetime(2024, 1, 1, 10, m), value=v)
+        for (e, u, m, v) in specs
+    ]
+
+
+def test_incremental_merge_with_checkpoint_resume(spark, tmp_path):
+    """ST1+ST2+ST5: two landing files drain as micro-batches into a
+    MERGE sink; a third file added later is picked up from the same
+    checkpoint without reprocessing the first two (durable offsets =
+    the reference's high-watermark, lark_to_gcs.py:43-70)."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    _write_batch(spark, landing, _rows((1, 1, 0, 1.0), (2, 2, 1, 2.0)))
+    _write_batch(spark, landing, _rows((2, 2, 2, 20.0), (3, 3, 3, 3.0)))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = spark.read.parquet(landing).schema
+    batches: list[int] = []
+
+    def sink(batch, batch_id):
+        batches.append(batch.count())
+        merge_batch_sink(wh, "silver", "ev", ["event_id"], "2024-01-01")(batch, batch_id)
+
+    stream = read_landing_stream(
+        spark, landing, schema=schema, maxFilesPerTrigger=1
+    )
+    run_available_now(stream, batch_fn=sink, checkpoint=ckpt, output_mode="append")
+
+    assert len(batches) == 2 and sum(batches) == 4
+    got = {r["event_id"]: r["value"] for r in wh.read("silver", "ev").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+    # late third file: resume from the same checkpoint → only 1 batch more
+    _write_batch(spark, landing, _rows((3, 3, 4, 30.0), (4, 4, 5, 4.0)))
+    batches.clear()
+    stream2 = read_landing_stream(spark, landing, schema=schema, maxFilesPerTrigger=1)
+    run_available_now(stream2, batch_fn=sink, checkpoint=ckpt, output_mode="append")
+
+    assert len(batches) == 1 and batches == [2]
+    got = {r["event_id"]: r["value"] for r in wh.read("silver", "ev").collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 30.0, 4: 4.0}
+
+
+def test_merge_sink_idempotent_replay(spark, tmp_path):
+    """ST3/ST4: re-delivering the same micro-batch (checkpoint rollback
+    replay) leaves the table unchanged — merge, not append."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    batch = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 2, 6.0)], "event_id bigint, user_id bigint, value double"
+    )
+    sink = merge_batch_sink(wh, "silver", "ev", ["event_id"], "2024-01-01")
+    wh.merge_write(batch, "silver", "ev", ["event_id"], "2024-01-01", schema=batch.schema)
+    sink(batch, 0)
+    sink(batch, 0)  # replay
+    assert wh.read("silver", "ev").count() == 2
+
+
+def test_tumbling_agg_streaming_matches_batch(spark, tmp_path):
+    """Watermarked streaming window agg over a finite landing dir equals
+    the batch groupBy(window) result."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    rows = _rows((1, 1, 0, 1.0), (2, 1, 5, 2.0), (3, 2, 59, 4.0))
+    _write_batch(spark, landing, rows)
+
+    stream = read_landing_stream(spark, landing, schema=spark.read.parquet(landing).schema)
+    agg = tumbling_agg(
+        stream.withColumn("event_type", F.lit("t")),
+        window="10 minutes",
+        watermark="5 minutes",
+    )
+    run_available_now(agg, memory_table="tumbling_test", output_mode="complete")
+    got = {
+        (r["win_start"].minute, r["event_type"]): (r["sum_value"], r["n"])
+        for r in spark.table("tumbling_test").collect()
+    }
+    assert got == {(0, "t"): (3.0, 2), (50, "t"): (4.0, 1)}
+
+
+def test_stream_requires_schema_or_inference(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    _write_batch(spark, landing, _rows((1, 1, 0, 1.0)))
+    s = read_landing_stream(spark, landing)  # schema inferred via batch read
+    assert s.isStreaming
+    assert dict(s.dtypes)["value"] == "double"
