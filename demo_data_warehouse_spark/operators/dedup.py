@@ -204,3 +204,99 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def embed_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, round_dp: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs baseline.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b and
+    round(cos_sim, round_dp) > threshold (rounded before comparison so
+    float fold order can never flip a boundary pair).
+
+    This is the CORRECTNESS baseline: O(n²) pairs — fine for a corpus
+    that fits one shuffle, wrong at 100 TB. The scale path is
+    embed_cosine_pairs_lsh (banded sign-LSH buckets → exact verify).
+    """
+    from .similarity import cosine_sim_col
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), round_dp)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") > threshold)
+    )
+
+
+def embed_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded random-hyperplane LSH.
+
+    Each band is rows_per_band sign bits; ids sharing any band bucket
+    become candidates (equi-join on (band, bucket) — never a cross
+    product), then exact cosine verifies > threshold. Recall for a pair
+    at angle θ is 1-(1-(1-θ/π)^r)^b — with r=4, b=8 a true near-dup
+    (cos ≥ 0.9) is caught with p ≈ 0.998, while ~orthogonal pairs are
+    almost never candidates, keeping the verify join linear-ish.
+    """
+    import numpy as np
+
+    from .similarity import cosine_sim_col
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bands * rows_per_band, dim))
+
+    def _dot_lit(vec, p):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        return F.aggregate(
+            F.zip_with(F.transform(vec, lambda x: x.cast("double")), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    band_structs = []
+    for j in range(bands):
+        bucket = F.lit(0).cast("bigint")
+        for i in range(rows_per_band):
+            bit = (
+                F.when(_dot_lit(F.col("v"), planes[j * rows_per_band + i]) > 0, 1)
+                .otherwise(0)
+                .cast("bigint")
+            )
+            bucket = bucket + (bit * (1 << i))
+        band_structs.append(
+            F.struct(F.lit(j).alias("band_id"), bucket.alias("bucket"))
+        )
+    exploded = e.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
+    )
+    x, y = exploded.alias("x"), exploded.alias("y")
+    cand = (
+        x.join(y, on=["band_id", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), round_dp)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") > threshold)
+    )

@@ -56,6 +56,37 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
 
 
+@query(
+    "dedup_embed_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim > 0.35
+    """,
+)
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline
+    (similarity rounded to 4dp before thresholding so fold order can't
+    flip boundary pairs). Scale path: dedup_embed_lsh."""
+    emb = table(spark, sf_dir, "embeddings")
+    return dedup.embed_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+@query("dedup_embed_lsh")  # rows-only: LSH recall is probabilistic; precision
+def dedup_embed_lsh(spark, sf_dir):  # + recall asserted in tests/unit/test_dedup.py
+    """Embedding near-dup at scale: banded sign-LSH candidates (equi-join
+    on (band, bucket), no cross product) + exact cosine verify."""
+    emb = table(spark, sf_dir, "embeddings")
+    return dedup.embed_cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.35, dim=64, bands=8, rows_per_band=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 

@@ -92,3 +92,56 @@ def test_simhash_pairs(spark, corpus):
     assert (0, 2) in found
     ham = {tuple(sorted((r.id_a, r.id_b))): r.hamming for r in out.itertuples()}
     assert ham[(0, 2)] == 0  # identical text → identical simhash
+
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((8, DIM))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        # near-dup: tiny perturbation → cosine ≈ 1
+        rows.append((2 * i + 1, [float(x) for x in v + rng.standard_normal(DIM) * 0.01]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _np_cosine_pairs(rows, threshold):
+    import numpy as np
+
+    ids = [r.vec_id for r in rows]
+    vs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(ids), 2):
+        va, vb = vs[a], vs[b]
+        sim = float(va @ vb) / (float(np.linalg.norm(va)) * float(np.linalg.norm(vb)))
+        if round(sim, 4) > threshold:
+            out.add((a, b))
+    return out
+
+
+def test_embed_cosine_pairs_matches_numpy(spark, vectors):
+    expected = _np_cosine_pairs(vectors.collect(), threshold=0.9)
+    out = dedup.embed_cosine_pairs(vectors, "vec_id", "embedding", threshold=0.9).toPandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert got == expected
+    assert all(r.cos_sim > 0.9 for r in out.itertuples())
+    # every planted perturbation pair must be found
+    assert all((2 * i, 2 * i + 1) in got for i in range(8))
+
+
+def test_embed_lsh_recall_and_precision(spark, vectors):
+    exact = _np_cosine_pairs(vectors.collect(), threshold=0.9)
+    out = dedup.embed_cosine_pairs_lsh(
+        vectors, "vec_id", "embedding", threshold=0.9, dim=DIM, bands=8, rows_per_band=4
+    ).toPandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    # precision is exact by construction: every candidate is cosine-verified
+    assert got <= exact
+    # recall: near-identical pairs collide in some band with p≈0.998
+    assert len(got & exact) >= len(exact) - 1
