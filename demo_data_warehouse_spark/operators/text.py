@@ -53,6 +53,18 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def stopword_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-token stopword count + ratio (array filter, JVM-native)."""
+    tokens = F.split(F.col(text_col), " ")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t))).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(tokens)).alias("stopword_ratio"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic: count English stopword hits."""
     t = F.col(text_col)

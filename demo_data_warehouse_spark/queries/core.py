@@ -284,6 +284,40 @@ def union_all(spark, sf_dir):
     return a.unionByName(b)
 
 
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """§2.7 generalization: INTERSECT (distinct) — customers active in
+    both years. Plans as a distinct-aggregated hash semi-join."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def set_except(spark, sf_dir):
+    """§2.7 generalization: EXCEPT (distinct) — churned customers; the
+    set-algebra reading of the reference's left-anti (J5)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 
@@ -387,6 +421,61 @@ def agg_cube(spark, sf_dir):
     return ev.cube("month", "event_type").agg(
         F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY ROLLUP (month, event_type)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """A3 generalization: hierarchical rollup (month → month+type → total)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    return ev.rollup("month", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY GROUPING SETS ((month), (event_type))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """A3 generalization: explicit grouping sets — per-month and per-type
+    marginals in one pass (Expand + single shuffle, no self-union)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    return ev.groupingSets([["month"], ["event_type"]], "month", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate isn't portable SQL;
+def agg_approx_distinct(spark, sf_dir):  # ±5% vs exact asserted in tests
+    """Approx distinct (HyperLogLog++) — the 100 TB path for cardinality:
+    one pass, fixed memory, no distinct shuffle (SURVEY §2.4/§4)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"),
+            F.count("*").alias("n_orders"),
+        )
     )
 
 

@@ -130,6 +130,19 @@ def ann_cosine_lsh(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query("ann_cosine_ivf")  # rows-only: recall asserted vs brute force in tests
+def ann_cosine_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (scale path): k-means coarse quantizer from a
+    bounded sample, distributed cell assignment, probe nearest cells."""
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where("vec_id = 0").select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    corpus = emb.where("vec_id <> 0")
+    cents = similarity.ivf_train_centroids(corpus, "embedding", n_cells=8)
+    top = similarity.cosine_topk_ivf(corpus, "vec_id", "embedding", qv, cents, k=10, n_probe=3)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -200,6 +213,25 @@ def text_langid(spark, sf_dir):
     """Language-ID heuristic: English stopword hit count."""
     docs = table(spark, sf_dir, "documents")
     return text.lang_id(docs, "doc_id", "text")
+
+
+@query(
+    "text_stopwords",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','and','of','to','in','is'], t)))
+             AS BIGINT) AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','and','of','to','in','is'], t)))
+             AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stopwords(spark, sf_dir):
+    """Exact-token stopword count/ratio (quality-scoring feature)."""
+    docs = table(spark, sf_dir, "documents")
+    return text.stopword_stats(docs, "doc_id", "text")
 
 
 @query("doc_fingerprint")  # rows-only: char-fold hash isn't portable SQL

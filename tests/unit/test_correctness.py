@@ -42,3 +42,23 @@ def test_rows_only_runs(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir, duck):
+    got = (
+        QUERIES["agg_approx_distinct"](spark, sf_dir)
+        .toPandas()
+        .set_index("o_orderstatus")
+        .n_cust_approx
+    )
+    exact = (
+        duck.execute(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n FROM orders"
+            " GROUP BY o_orderstatus"
+        )
+        .fetchdf()
+        .set_index("o_orderstatus")
+        .n
+    )
+    for status, n in exact.items():
+        assert abs(got[status] - n) <= max(0.05 * n, 2), (status, got[status], n)

@@ -59,3 +59,34 @@ def test_lsh_bucket_determinism(spark, vecs):
     a = similarity.lsh_signatures(df, "vec_id", "embedding", dim=16, n_planes=8).toPandas()
     b = similarity.lsh_signatures(df, "vec_id", "embedding", dim=16, n_planes=8).toPandas()
     assert a.sort_values("id").bucket.tolist() == b.sort_values("id").bucket.tolist()
+
+
+def test_ivf_assign_partitions_corpus(spark, vecs):
+    _, df = vecs
+    cents = similarity.ivf_train_centroids(df, "embedding", n_cells=4, sample_rows=100)
+    assign = similarity.ivf_assign(df, "vec_id", "embedding", cents).toPandas()
+    assert len(assign) == 200  # every vector lands in exactly one cell
+    assert set(assign.cell) <= set(range(4))
+    assert assign.cell.nunique() >= 2  # quantizer actually splits the space
+
+
+def test_ivf_recall(spark, vecs):
+    m, df = vecs
+    q = [float(x) for x in m[0]]
+    corpus = df.where("vec_id <> 0")
+    brute = set(
+        similarity.cosine_topk(corpus, "vec_id", "embedding", q, k=5).toPandas().vec_id
+    )
+    cents = similarity.ivf_train_centroids(corpus, "embedding", n_cells=4, sample_rows=100)
+    got = similarity.cosine_topk_ivf(
+        corpus, "vec_id", "embedding", q, cents, k=5, n_probe=2
+    ).toPandas()
+    # probing half the cells must recover most of the true top-5
+    assert len(set(got.vec_id) & brute) >= 3
+
+
+def test_ivf_centroids_deterministic(spark, vecs):
+    _, df = vecs
+    a = similarity.ivf_train_centroids(df, "embedding", n_cells=4, sample_rows=100)
+    b = similarity.ivf_train_centroids(df, "embedding", n_cells=4, sample_rows=100)
+    assert a == b
