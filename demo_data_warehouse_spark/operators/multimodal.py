@@ -88,3 +88,100 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", LongType(), False),
+        StructField("out_height", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def resize(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize images to width×height via Arrow-batched mapInPandas.
+
+    fake=True produces a deterministic payload: the input bytes cycled
+    to exactly width*height bytes (a stand-in for a w×h grayscale
+    buffer) — size contracts and batch plumbing are real. Real decode+
+    resample needs codec libs absent here → NotImplementedError.
+    """
+
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires codec libraries not present in "
+                    "this environment; use fake=True for the deterministic stub"
+                )
+
+            def _cycle(b):
+                if b is None or len(b) == 0:
+                    return bytes(target)
+                reps = -(-target // len(b))  # ceil
+                return (bytes(b) * reps)[:target]
+
+            out = pdf["content"].map(_cycle)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "out_width": width,
+                    "out_height": height,
+                    "content": out,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int, fake: bool = True) -> DataFrame:
+    """Sample n_frames evenly from each video payload (1→N fan-out).
+
+    mapInPandas is the right shape for row-multiplying decode: one Arrow
+    batch in, a frames batch out, no driver involvement, and the fan-out
+    never materializes a whole partition of decoded frames at once.
+    fake=True slices the raw payload into n_frames even chunks.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "real video frame extraction requires codec libraries not "
+                    "present in this environment; use fake=True for the stub"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                b = b if b is not None else b""
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = bytes(b[i * step : (i + 1) * step])
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "n_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -18,6 +18,7 @@ from ..streaming.pipeline import (
     read_landing_stream,
     run_available_now,
     scratch_dir,
+    stateful_user_progress,
     tumbling_agg,
 )
 from . import query
@@ -96,6 +97,31 @@ def stream_merge_upsert(spark, sf_dir):
         output_mode="append",
     )
     return wh.read("silver", "events_upsert").select("event_id", "user_id", "value")
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count + latest event time across micro-batches.
+    After a finite availableNow drain the newest emission per key equals
+    the batch aggregate — counts/timestamps are exact under any batch
+    split, so this streams yet still hash-matches a SQL oracle."""
+    out = stateful_user_progress(_events_stream(spark, sf_dir))
+    sink = fresh_name("stream_stateful")
+    run_available_now(out, memory_table=sink, output_mode="update")
+    # update mode appends one row per key per batch; the final state per
+    # key is the row with the highest running count
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("last_ts").alias("last_ts"))
+    )
 
 
 @query(

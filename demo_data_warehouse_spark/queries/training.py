@@ -251,3 +251,19 @@ def multimodal_features(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     media = multimodal.to_media_table(docs, "doc_id", "text")
     return multimodal.extract_features(media, fake=True)
+
+
+@query("multimodal_resize")  # rows-only: mapInPandas plumbing
+def multimodal_resize(spark, sf_dir):
+    """Fake-decode resize to a fixed 32×16 buffer (size contract real)."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    return multimodal.resize(media, 32, 16, fake=True).drop("content")
+
+
+@query("multimodal_frames")  # rows-only: mapInPandas 1→N fan-out
+def multimodal_frames(spark, sf_dir):
+    """Even frame sampling: 4 frames per payload, Arrow-batched."""
+    docs = table(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    return multimodal.frame_sample(media, 4, fake=True).drop("frame")

@@ -146,6 +146,55 @@ def partition_replace_sink(
     return sink
 
 
+def stateful_user_progress(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    event count + latest event time, maintained across micro-batches in
+    the checkpointed state store.
+
+    This is the reference's "state lives in the table" SCD2 pattern
+    (SURVEY ST5) re-expressed as first-class streaming state: no
+    read-back round trip, state sharded by key across executors, exactly
+    one emitted row per key per micro-batch (update mode). Counts and
+    timestamps only — exact under any batch split, so a finite drain is
+    hash-comparable against a batch oracle.
+    """
+    import pandas as pd  # noqa: F401 — self-contained closure for workers
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, last_ts timestamp"
+    # state rides Arrow: keep it primitive (micros as bigint, not Timestamp)
+    state_schema = "n bigint, last_us bigint"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, last_us = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            m = int(pdf[ts_col].astype("int64").max()) // 1000  # ns → µs
+            last_us = m if last_us is None else max(last_us, m)
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.to_datetime(last_us, unit="us")],
+            }
+        )
+
+    return (
+        stream.select(F.col(key_col).alias("user_id"), F.col(ts_col).alias(ts_col))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def fresh_name(prefix: str) -> str:
     """Unique memory-sink / scratch-dir name for verification runs."""
     return f"{prefix}_{uuid.uuid4().hex[:8]}"

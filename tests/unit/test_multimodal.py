@@ -38,3 +38,32 @@ def test_real_decode_is_stubbed(spark, media):
     with pytest.raises(Exception) as ei:
         multimodal.extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "real image/audio decode" in str(ei.value)
+
+
+def test_resize_size_contract(media):
+    out = multimodal.resize(media, 8, 4, fake=True).toPandas().sort_values("media_id")
+    assert list(out.columns) == ["media_id", "out_width", "out_height", "content", "n_bytes"]
+    assert (out.n_bytes == 32).all()  # every payload resized to exactly w*h
+    assert (out.out_width == 8).all() and (out.out_height == 4).all()
+    # deterministic: content is the input bytes cycled
+    row = out[out.media_id == 1].iloc[0]
+    assert bytes(row.content) == (b"hello world" * 3)[:32]
+
+
+def test_frame_sample_fanout(media):
+    out = multimodal.frame_sample(media, 4, fake=True).toPandas()
+    assert len(out) == 3 * 4  # every media row fans out to exactly n_frames
+    g = out.groupby("media_id").frame_idx.apply(list).to_dict()
+    assert all(v == [0, 1, 2, 3] for v in g.values())
+    # frames of media 2 ("x"*1000): even 250-byte chunks
+    f2 = out[out.media_id == 2]
+    assert (f2.n_bytes == 250).all()
+    # null payload → empty frames, not a crash
+    f3 = out[out.media_id == 3]
+    assert (f3.n_bytes == 0).all()
+
+
+def test_resize_real_is_stubbed(spark, media):
+    with pytest.raises(Exception) as ei:
+        multimodal.resize(media, 8, 4, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real image resize" in str(ei.value)

@@ -113,6 +113,38 @@ def test_tumbling_agg_streaming_matches_batch(spark, tmp_path):
     assert got == {(0, "t"): (3.0, 2), (50, "t"): (4.0, 1)}
 
 
+def test_stateful_operator_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-key running counts accumulate across
+    micro-batches AND across a checkpoint stop/resume — the state store
+    is the durable analog of the reference's warehouse-resident SCD2
+    state (SURVEY ST5), with no read-back round trip."""
+    from demo_data_warehouse_spark.streaming.pipeline import stateful_user_progress
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    _write_batch(spark, landing, _rows((1, 1, 0, 1.0), (2, 1, 1, 2.0), (3, 2, 2, 3.0)))
+
+    schema = spark.read.parquet(landing).schema
+    emitted: list = []
+
+    def sink(batch, _bid):
+        emitted.extend(batch.collect())
+
+    out = stateful_user_progress(read_landing_stream(spark, landing, schema=schema))
+    run_available_now(out, batch_fn=sink, checkpoint=ckpt, output_mode="update")
+    got = {r.user_id: r.n_events for r in emitted}
+    assert got == {1: 2, 2: 1}
+
+    # one more file, same checkpoint: user 1 continues from n=2, not 0
+    _write_batch(spark, landing, _rows((4, 1, 3, 4.0)))
+    emitted.clear()
+    out2 = stateful_user_progress(read_landing_stream(spark, landing, schema=schema))
+    run_available_now(out2, batch_fn=sink, checkpoint=ckpt, output_mode="update")
+    got2 = {r.user_id: (r.n_events, r.last_ts.minute) for r in emitted}
+    assert got2 == {1: (3, 3)}  # only the updated key re-emits; count resumed
+
+
 def test_stream_requires_schema_or_inference(spark, tmp_path):
     landing = str(tmp_path / "landing")
     os.makedirs(landing)
