@@ -90,6 +90,54 @@ def test_nested_parse_fallback_is_arrow_not_rowwise(spark):
     assert_no_rowwise_python(out)
 
 
+def test_lsh_candidate_joins_are_equi_not_cartesian(spark, sf_dir, qs):
+    # The scale contract of every LSH dedup: candidates come from an
+    # equi-join on bucket keys. A CartesianProduct here is O(n²) and
+    # means the banding is broken.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in ("dedup_minhash", "dedup_embed_lsh", "dedup_simhash"):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_rollup_grouping_sets_single_pass(spark, sf_dir, qs):
+    # ROLLUP/GROUPING SETS must plan as one Expand + one shuffle, not a
+    # self-union of separate aggregations (k scans of the fact table).
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in ("agg_rollup", "agg_grouping_sets", "agg_cube"):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        assert "Expand" in plan, (name, plan)
+        # formatted explain lists each node in the tree AND the details
+        # section — count numbered detail nodes only
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (name, plan)
+        assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, (name, plan)
+
+
+def test_set_ops_stay_jvm_side(spark, sf_dir, qs):
+    for name in ("set_intersect", "set_except"):
+        assert_no_rowwise_python(qs[name](spark, sf_dir))
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir, qs):
+    # IVF cell assignment must broadcast the (tiny) centroid table —
+    # shuffling the corpus against 8 centroid rows would be absurd at
+    # 100 TB. BroadcastNestedLoopJoin over 8 rows is the intended shape.
+    from demo_data_warehouse_spark.operators import similarity
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(similarity.ivf_assign(df, "vec_id", "embedding", cents))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ann_topk_avoids_global_sort(spark, sf_dir, qs):
     # top-k must be TakeOrderedAndProject (per-partition heap + merge),
     # not a full Sort of every cosine score.
