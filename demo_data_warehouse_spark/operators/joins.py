@@ -1,0 +1,106 @@
+"""Join operators beyond Spark's built-in set: as-of join and
+skew-salted equi-join.
+
+The reference has only equi-joins (SURVEY §2.3); these are the two
+join shapes a large-scale pipeline hits next:
+
+  asof_join     for each left row, the newest right row with
+                right_ts <= left_ts per key — the point-in-time lookup
+                (SCD2 "which dim version was current at event time" is
+                exactly this). Implemented as union + window, NOT a
+                range join: one shuffle on the key, sort within
+                partition, last_value carry-forward — O(n log n) per
+                key vs O(n·m) for the naive range join, and no skew
+                amplification.
+  salted_join   equi-join with a hot probe-side key: salt the big side
+                into `salt_n` shards and replicate the build side per
+                shard, turning one monster partition into salt_n even
+                ones. This is what AQE skew-join does adaptively; the
+                explicit form covers static planning and pre-AQE
+                engines, and composes with bucketed storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: left rows + the columns of the newest right row
+    with right_ts <= left_ts for the same key (nulls when none).
+
+    Union both sides tagged with a side marker, sort (ts, side) within
+    each key partition, and carry the right side's values forward with
+    last(ignorenulls) — right rows at the exact same timestamp win
+    (side=0 sorts first), matching ASOF JOIN ... ON l.ts >= r.ts.
+    """
+    lcols = [c for c in left.columns if c != key]
+    ltypes = dict(left.dtypes)
+    rstruct = "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols) + ">"
+    # the whole right row rides as ONE nullable struct, so the newest
+    # right row wins atomically — per-column carry would stitch together
+    # fields from different versions when the newest has nulls
+    tagged_r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rv"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rstruct).alias("__rv"),
+        *[F.col(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_r.unionByName(tagged_l).select(
+        F.col(key),
+        "__side",
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
+        *[F.col(c) for c in lcols],
+    )
+    return carried.where(F.col("__side") == 1).select(
+        F.col(key),
+        *[F.col(c) for c in lcols],
+        *[F.col("__rv").getField(c).alias(c) for c in right_cols],
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: shard the big side's hot keys across
+    salt_n partitions and replicate the small side once per shard.
+
+    big gets salt = pmod(hash(row-unique cols), salt_n); small is
+    exploded salt_n× (acceptable when small is dim-sized). The join key
+    becomes (key, salt), so one pathological key spreads over salt_n
+    reducers instead of melting one. Result set is identical to the
+    unsalted join.
+    """
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    out = salted_big.join(salted_small, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

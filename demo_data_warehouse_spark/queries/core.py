@@ -215,6 +215,61 @@ def join_anti(spark, sf_dir):
 
 
 @query(
+    "join_asof",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS last_price
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderdate AS last_order_ts,
+           CAST(r.last_price AS DOUBLE) AS last_price
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (point-in-time lookup): for each event, the newest
+    order at or before it per user — the SCD2 "which version was
+    current at event time" semantic as a first-class operator
+    (operators/joins.py::asof_join: union + window carry-forward, one
+    shuffle on the key, no range-join blowup)."""
+    from ..operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    r = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("last_order_ts"))
+        .agg(F.max(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("last_price"))
+    )
+    return asof_join(
+        ev, r, key="user_id", left_ts="ts", right_ts="last_order_ts",
+        right_cols=["last_order_ts", "last_price"],
+    )
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Skew-salted equi-join — result identical to the plain join, but
+    hot keys shard across 8 reducers (operators/joins.py::salted_join);
+    the static-planning form of AQE's skew-join split."""
+    from ..operators.joins import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return salted_join(li, s, key="l_suppkey", salt_n=8)
+
+
+@query(
     "join_inner_filtered",
     oracle="""
     SELECT o.o_orderkey, c.c_custkey, o.o_totalprice, c.c_acctbal

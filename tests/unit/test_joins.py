@@ -1,0 +1,72 @@
+"""As-of join and skew-salted join semantics on hand-computed fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from demo_data_warehouse_spark.operators.joins import asof_join, salted_join
+
+
+def _ts(m):
+    return datetime(2024, 1, 1, 10, m)
+
+
+def test_asof_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "e1"), (1, _ts(20), "e2"), (2, _ts(5), "e3"), (3, _ts(5), "e4")],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(10), 20.0), (2, _ts(6), 30.0)],
+        "k bigint, rts timestamp, price double",
+    )
+    out = asof_join(left, right, "k", "ts", "rts", ["rts", "price"]).toPandas()
+    got = {r.tag: (None if r.price != r.price else r.price) for r in out.itertuples()}
+    # e1: newest right at/before 10:05 is 10:00 → 10.0
+    # e2: 10:10 → 20.0;  e3: right is AFTER the event → null;  e4: no key
+    assert got == {"e1": 10.0, "e2": 20.0, "e3": None, "e4": None}
+    assert len(out) == 4  # left-join semantics: every left row survives
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, _ts(10), "e")], "k bigint, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(10), 5.0)], "k bigint, rts timestamp, price double")
+    out = asof_join(left, right, "k", "ts", "rts", ["price"]).collect()
+    assert out[0].price == 5.0  # ts >= rts is inclusive
+
+
+def test_asof_null_field_does_not_mix_versions(spark):
+    # newest right row has price=NULL: the match must report NULL, not
+    # resurrect the older row's price
+    left = spark.createDataFrame([(1, _ts(20), "e")], "k bigint, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0, "old"), (1, _ts(10), None, "new")],
+        "k bigint, rts timestamp, price double, ver string",
+    )
+    row = asof_join(left, right, "k", "ts", "rts", ["price", "ver"]).collect()[0]
+    assert row.ver == "new" and row.price is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of big rows share one hot key — the salted result must still
+    # be row-identical to the plain join
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2) for i in range(1000)], "row_id bigint, k bigint"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "miss")], "k bigint, name string")
+    plain = big.join(small, "k").select("row_id", "k", "name").toPandas()
+    salted = salted_join(big, small, "k", salt_n=8).select("row_id", "k", "name").toPandas()
+    key = lambda d: sorted(map(tuple, d.itertuples(index=False)))  # noqa: E731
+    assert key(salted) == key(plain)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.createDataFrame([(i, 1) for i in range(100)], "row_id bigint, k bigint")
+    small = spark.createDataFrame([(1, "hot")], "k bigint, name string")
+    salted = salted_join(big, small, "k", salt_n=8)
+    # the physical join key must include the salt → one hot key spreads
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert salted.count() == 100
