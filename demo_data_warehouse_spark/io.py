@@ -78,6 +78,40 @@ class Warehouse:
             "partition_value"
         ).parquet(self.path(db, table))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        db: str,
+        table: str,
+        keys: list[str],
+        buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed (hash-clustered) table — the co-located-join path.
+
+        Two tables bucketed on the same key with the same bucket count
+        join WITHOUT an Exchange on either side: the scan itself reports
+        hashpartitioning(key, buckets). At 100 TB this is the difference
+        between re-shuffling the fact table on every join and shuffling
+        it once at write time. Bucket metadata lives in the session
+        catalog (saveAsTable); data files land under the warehouse root.
+        """
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self.path(db, table))
+            .bucketBy(buckets, *keys)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(f"{db}.{table}")
+
+    def read_catalog_table(self, db: str, table: str) -> DataFrame:
+        """Catalog read — required for bucketed tables (a raw parquet
+        path read loses the bucket-spec and re-introduces the shuffle)."""
+        return self.spark.table(f"{db}.{table}")
+
     def merge_write(
         self,
         delta: DataFrame,

@@ -138,6 +138,45 @@ def test_ivf_assignment_broadcasts_centroids(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # Co-located join: both sides bucketed on the join key → the
+    # SortMergeJoin consumes the scans' hashpartitioning directly;
+    # any Exchange in the plan means the write-time shuffle was wasted.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.catalog import table as t
+    from demo_data_warehouse_spark.io import Warehouse
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    wh.write_bucketed(orders, "silver", "orders_b", ["o_custkey"], buckets=8)
+    wh.write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "silver", "cust_b",
+        ["o_custkey"], buckets=8,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = wh.read_catalog_table("silver", "orders_b").join(
+            wh.read_catalog_table("silver", "cust_b"), "o_custkey"
+        ).agg(F.count("*").alias("n"))
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        # no Exchange below the join (the agg above it may still have one)
+        join_details = re.findall(r"\(\d+\) Exchange\n.*?Arguments: (.*)", plan)
+        assert all("hashpartitioning(o_custkey" not in a for a in join_details), plan
+        assert j.collect()[0].n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS silver.orders_b")
+        spark.sql("DROP TABLE IF EXISTS silver.cust_b")
+
+
 def test_ann_topk_avoids_global_sort(spark, sf_dir, qs):
     # top-k must be TakeOrderedAndProject (per-partition heap + merge),
     # not a full Sort of every cosine score.
