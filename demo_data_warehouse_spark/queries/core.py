@@ -535,6 +535,78 @@ def agg_approx_distinct(spark, sf_dir):  # ±5% vs exact asserted in tests
 
 
 @query(
+    "agg_sliding",
+    oracle="""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+    )
+    SELECT win_start,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expanded GROUP BY win_start
+    """,
+)
+def agg_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h window, 30m slide): every event
+    lands in exactly two overlapping windows. Spark expands this
+    natively (window() with slideDuration); the oracle enumerates the
+    two containing windows per event explicitly."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("win_start"), "sum_value", "n")
+    )
+
+
+@query(
+    "fn_numeric_coerce",
+    oracle="""
+    SELECT event_id,
+           COALESCE(
+               TRY_CAST(
+                   CASE WHEN event_id % 3 = 0 THEN CAST(value AS VARCHAR)
+                        WHEN event_id % 3 = 1 THEN '[' || CAST(event_id AS VARCHAR) || ']'
+                        ELSE 'n/a' END
+                   AS DOUBLE),
+               TRY_CAST(json_extract_string(
+                   CASE WHEN event_id % 3 = 1
+                        THEN '[' || CAST(event_id AS VARCHAR) || ']' END, '$[0]')
+                   AS DOUBLE),
+               0.0) AS coerced
+    FROM events
+    """,
+)
+def fn_numeric_coerce(spark, sf_dir):
+    """F7: defensive numeric coercion — plain number || list-repr head
+    || 0 (reference dags/utils/common/data_helper.py:109-122), as a
+    JVM-native try_cast/coalesce chain instead of a row-wise literal_eval."""
+    ev = table(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.col("value").cast("string"))
+        .when(F.col("event_id") % 3 == 1, F.concat(F.lit("["), F.col("event_id").cast("string"), F.lit("]")))
+        .otherwise(F.lit("n/a"))
+    )
+    listy = F.when(
+        F.col("event_id") % 3 == 1,
+        F.concat(F.lit("["), F.col("event_id").cast("string"), F.lit("]")),
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            raw.try_cast("double"),
+            F.get_json_object(listy, "$[0]").try_cast("double"),
+            F.lit(0.0),
+        ).alias("coerced"),
+    )
+
+
+@query(
     "agg_tumbling",
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
