@@ -1,0 +1,57 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling is useless in a reproducible pipeline (and unverifiable
+against an oracle): both operators key every decision off a content
+hash, so any engine — and any re-run, at any parallelism — produces the
+same sample.
+
+  stratified_sample   first n rows per stratum in md5(id) order — a
+                      window top-n per key: one shuffle on the stratum,
+                      per-partition heap, no global sort
+  hash_split          train/test assignment by hash prefix — a pure
+                      projection (no shuffle, no state, stable under
+                      re-partitioning), the standard way to split a
+                      100 TB corpus without a coordinated RNG
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly n rows per stratum (fewer when the stratum is smaller),
+    chosen deterministically: the n smallest md5(id) per stratum.
+
+    md5 of the id string is engine-portable (same bytes in Spark and
+    any SQL oracle) and uniform, so this is an unbiased fixed-size
+    sample that never changes across runs or engines.
+    """
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str, test_hex_prefixes: int = 1
+) -> DataFrame:
+    """Deterministic train/test split: rows whose md5(id) starts with
+    one of the first `test_hex_prefixes` hex digits go to 'test'
+    (fraction ≈ test_hex_prefixes/16), the rest to 'train'.
+
+    A pure narrow projection — the split survives repartitioning,
+    incremental appends, and engine changes, unlike randomSplit.
+    """
+    first = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    hexdigits = "0123456789abcdef"[:test_hex_prefixes]
+    return df.withColumn(
+        "split",
+        F.when(first.isin(*list(hexdigits)), F.lit("test")).otherwise(F.lit("train")),
+    )

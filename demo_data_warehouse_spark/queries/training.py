@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from . import query
 
 # ---------------------------------------------------------------------------
@@ -239,6 +239,52 @@ def doc_fingerprint(spark, sf_dir):
     """Rolling-hash + min-shingle document fingerprints."""
     docs = table(spark, sf_dir, "documents")
     return text.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events
+    ) WHERE rn <= 100
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: 100 events per event_type,
+    chosen by smallest md5(id) — engine-portable, reproducible, one
+    shuffle on the stratum key."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return sampling.stratified_sample(ev, "event_type", "event_id", 100)
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ) GROUP BY split
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/test split by md5 prefix (≈1/16 test) — a
+    pure projection: stable under repartitioning and appends, unlike
+    randomSplit. Compared as per-split counts."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(docs, "doc_id", test_hex_prefixes=1)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 # ---------------------------------------------------------------------------
