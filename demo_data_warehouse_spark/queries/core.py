@@ -685,6 +685,80 @@ def window_running(spark, sf_dir):
     )
 
 
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           epoch_us(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS gap_us
+    FROM events
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """W generalization: lag/lead neighbors per key — the inter-event
+    gap that feeds sessionization (agg_session) and SCD2 valid_from/
+    valid_to chaining."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        # exact integer microseconds — a float division here drifts in
+        # the last ulp vs any other engine's interval arithmetic
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS purchase
+    FROM events GROUP BY strftime(ts, '%Y-%m')
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (wide report): per-month columns per event type. Explicit
+    pivot values keep it a single-pass agg — without them Spark needs an
+    extra distinct scan to discover the columns."""
+    ev = table(spark, sf_dir, "events").withColumn("month", F.date_format("ts", "yyyy-MM"))
+    return (
+        ev.groupBy("month")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).cast("double"))
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
+           ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_median(spark, sf_dir):
+    """Exact percentiles (continuous interpolation) per group; rounded
+    to 4dp so the two engines' interpolation arithmetic can't drift.
+    The 100 TB path is approx_percentile (one pass, fixed memory) —
+    exact percentile is the verification baseline."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sort / limit
 
