@@ -759,6 +759,43 @@ def agg_median(spark, sf_dir):
     )
 
 
+@query(
+    "agg_conditional_ratio",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           * 100.0 AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def agg_conditional_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
+    share) over lineitem ⋈ part — LIKE predicate + CASE inside an exact
+    decimal sum, ratio taken once at double precision."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(disc).cast("double") * 100.0).alias(
+                "promo_pct"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sort / limit
 
