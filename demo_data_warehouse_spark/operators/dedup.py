@@ -25,12 +25,36 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 31) - 1
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Exact duplicate groups: one keeper (min id) + copy count per key."""
-    return df.groupBy(*key_cols).agg(
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str, hash_key: bool = True
+) -> DataFrame:
+    """Exact duplicate groups: one keeper (min id) + copy count per key.
+
+    hash_key=True groups by a SHA-256 digest of the key columns instead
+    of the raw values: the shuffle then moves 32 bytes per row, not the
+    whole document — at 100 TB grouping by raw text would shuffle the
+    entire corpus. SHA-256 collisions are cryptographically negligible,
+    so the groups are identical; the output (keeper_id, n_copies) never
+    needed the raw key anyway.
+    """
+    if hash_key:
+        # per-column framing: v<value>\x1f for values, n\x1f for NULL —
+        # NULL, '' and cross-column splits all stay distinct groups
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("n\x1f")).otherwise(
+                F.concat(F.lit("v"), F.col(c).cast("string"), F.lit("\x1f"))
+            )
+            for c in key_cols
+        ]
+        digest = F.sha2(F.concat(*parts), 256)
+        grouped = df.groupBy(digest.alias("__key"))
+    else:
+        grouped = df.groupBy(*key_cols)
+    out = grouped.agg(
         F.min(id_col).alias("keeper_id"),
         F.count("*").alias("n_copies"),
     )
+    return out.drop("__key") if hash_key else out
 
 
 def _with_shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:

@@ -100,6 +100,56 @@ def stream_merge_upsert(spark, sf_dir):
 
 
 @query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Streaming session windows: session_window + watermark executed as
+    a real stream (state merges sessions across micro-batches, closed
+    sessions emitted once the watermark passes). Finite drain in
+    complete mode → deterministic, hash-matched against the same batch
+    oracle as agg_session."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "sum_value",
+            "n",
+        )
+    )
+    sink = fresh_name("stream_session")
+    run_available_now(agg, memory_table=sink, output_mode="complete")
+    return spark.table(sink)
+
+
+@query(
     "stream_stateful",
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(ts) AS last_ts
