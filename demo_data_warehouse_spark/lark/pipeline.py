@@ -31,10 +31,19 @@ from .schemas import BRONZE_SPECS, DIM_EMPLOYEE, DIM_VENDOR, GOLD_SCHEMAS, SILVE
 
 
 class LarkPipeline:
-    def __init__(self, spark: SparkSession, warehouse: Warehouse, landing_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        landing_dir: str,
+        notifier=None,
+    ):
+        from .notify import LogNotifier
+
         self.spark = spark
         self.wh = warehouse
         self.landing = landing_dir
+        self.notifier = notifier or LogNotifier()
 
     # -- bronze ------------------------------------------------------------
 
@@ -71,6 +80,17 @@ class LarkPipeline:
     # -- orchestration -----------------------------------------------------
 
     def run(self, partition: str) -> None:
+        """Full medallion pass; notifies the outcome either way
+        (S11, reference dags/etl/run_etl.py:29-30)."""
+        ctx = {"pipeline": "lark_etl", "partition": partition}
+        try:
+            self._run(partition)
+        except Exception as e:
+            self.notifier.on_failure({**ctx, "error": repr(e)})
+            raise
+        self.notifier.on_success(ctx)
+
+    def _run(self, partition: str) -> None:
         bronze = self.build_bronze(partition)
 
         # publish bronze (S3 partition replace, reference etl.py:109)

@@ -174,8 +174,10 @@ def pipeline_run(spark, tmp_path_factory):
     u3["Last Modified Date"] = [T2]
     write_landing(landing, "employee", P2, pd.concat([emp_p2, u3], ignore_index=True))
 
+    from demo_data_warehouse_spark.lark.notify import CollectingNotifier
+
     wh = Warehouse(spark, str(root))
-    pipe = LarkPipeline(spark, wh, str(landing))
+    pipe = LarkPipeline(spark, wh, str(landing), notifier=CollectingNotifier())
     pipe.run(P1)
     pipe.run(P2)
     return wh, pipe
@@ -292,3 +294,30 @@ def test_replay_idempotent(pipeline_run, spark):
     after = snap()
     for k in before:
         pd.testing.assert_frame_equal(before[k], after[k]), k
+
+
+def test_notifier_success_and_failure(pipeline_run, spark, tmp_path):
+    """S11: the run outcome reaches the notifier hook — success per
+    completed run, failure (then re-raise) when a stage blows up
+    (reference dags/etl/run_etl.py:29-30)."""
+    import pytest
+
+    from demo_data_warehouse_spark.io import Warehouse
+    from demo_data_warehouse_spark.lark.notify import CollectingNotifier
+    from demo_data_warehouse_spark.lark.pipeline import LarkPipeline
+
+    _, pipe = pipeline_run
+    # ≥2 runs from the fixture (replay tests may add more) — all succeed
+    assert len(pipe.notifier.events) >= 2
+    assert all(kind == "success" for kind, _ in pipe.notifier.events)
+    assert pipe.notifier.events[0][1]["partition"] == "2024-01-01"
+
+    n = CollectingNotifier()
+    broken = LarkPipeline(
+        spark, Warehouse(spark, str(tmp_path / "wh")), str(tmp_path / "nolanding"), notifier=n
+    )
+    broken.build_bronze = lambda p: (_ for _ in ()).throw(RuntimeError("boom"))
+    with pytest.raises(RuntimeError):
+        broken.run("2024-01-01")
+    assert [e[0] for e in n.events] == ["failure"]
+    assert "boom" in n.events[0][1]["error"]
