@@ -34,27 +34,27 @@ def exact_dedup(
     of the raw values: the shuffle then moves 32 bytes per row, not the
     whole document — at 100 TB grouping by raw text would shuffle the
     entire corpus. SHA-256 collisions are cryptographically negligible,
-    so the groups are identical; the output (keeper_id, n_copies) never
-    needed the raw key anyway.
+    so the groups are identical. Both modes return the same schema
+    (keeper_id, n_copies) — the raw key is never in the output.
     """
     if hash_key:
-        # per-column framing: v<value>\x1f for values, n\x1f for NULL —
-        # NULL, '' and cross-column splits all stay distinct groups
+        # injective framing: hash each column separately (fixed 64-hex
+        # digests), NULL → 'n' ('n' is outside the hex alphabet, so no
+        # concatenation of parts is ambiguous — no separator byte a
+        # value could contain can cause cross-column collisions)
         parts = [
-            F.when(F.col(c).isNull(), F.lit("n\x1f")).otherwise(
-                F.concat(F.lit("v"), F.col(c).cast("string"), F.lit("\x1f"))
+            F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                F.sha2(F.col(c).cast("string"), 256)
             )
             for c in key_cols
         ]
-        digest = F.sha2(F.concat(*parts), 256)
-        grouped = df.groupBy(digest.alias("__key"))
+        grouped = df.groupBy(F.sha2(F.concat(*parts), 256).alias("__key"))
     else:
         grouped = df.groupBy(*key_cols)
-    out = grouped.agg(
+    return grouped.agg(
         F.min(id_col).alias("keeper_id"),
         F.count("*").alias("n_copies"),
-    )
-    return out.drop("__key") if hash_key else out
+    ).select("keeper_id", "n_copies")
 
 
 def _with_shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:
@@ -278,18 +278,17 @@ def embed_cosine_pairs_lsh(
     """
     import numpy as np
 
-    from .similarity import cosine_sim_col
+    from .similarity import _as_double, _dot, cosine_sim_col
 
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((bands * rows_per_band, dim))
 
-    def _dot_lit(vec, p):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        return F.aggregate(
-            F.zip_with(F.transform(vec, lambda x: x.cast("double")), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    def _plane_dot(vec, p):
+        # plane as a literal array: zero-shuffle projection (the planes
+        # are index metadata, constant-folded into codegen). A broadcast
+        # plane table (ivf_assign's strategy) pays a bands×rows row
+        # fan-out per vector — wrong side of the tradeoff for sign bits.
+        return _dot(_as_double(vec), F.array(*[F.lit(float(x)) for x in p]))
 
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     band_structs = []
@@ -297,7 +296,7 @@ def embed_cosine_pairs_lsh(
         bucket = F.lit(0).cast("bigint")
         for i in range(rows_per_band):
             bit = (
-                F.when(_dot_lit(F.col("v"), planes[j * rows_per_band + i]) > 0, 1)
+                F.when(_plane_dot(F.col("v"), planes[j * rows_per_band + i]) > 0, 1)
                 .otherwise(0)
                 .cast("bigint")
             )

@@ -48,7 +48,10 @@ def asof_join(
     # the whole right row rides as ONE nullable struct, so the newest
     # right row wins atomically — per-column carry would stitch together
     # fields from different versions when the newest has nulls
-    tagged_r = right.select(
+    # NULL right_ts never matches (ts >= NULL is no match in ASOF
+    # semantics) — without this filter a NULL sorts first and its row
+    # would be carried forward to every left row
+    tagged_r = right.where(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -64,7 +67,10 @@ def asof_join(
     )
     w = (
         Window.partitionBy(key)
-        .orderBy("__ts", "__side")
+        # xxhash64(__rv) as the final key: right rows tied on (ts) carry
+        # a deterministic (if arbitrary) winner instead of a
+        # shuffle-order-dependent one
+        .orderBy("__ts", "__side", F.xxhash64("__rv"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_r.unionByName(tagged_l).select(
@@ -90,14 +96,25 @@ def salted_join(
     """Skew-resistant equi-join: shard the big side's hot keys across
     salt_n partitions and replicate the small side once per shard.
 
-    big gets salt = pmod(hash(row-unique cols), salt_n); small is
-    exploded salt_n× (acceptable when small is dim-sized). The join key
-    becomes (key, salt), so one pathological key spreads over salt_n
-    reducers instead of melting one. Result set is identical to the
-    unsalted join.
+    big rows are salted round-robin (monotonically_increasing_id mod
+    salt_n — spreads even fully-duplicate rows, which a row-content
+    hash would pile into one shard); small is exploded salt_n×
+    (acceptable when small is dim-sized). The join key becomes
+    (key, salt), so one pathological key spreads over salt_n reducers
+    instead of melting one. Result set is identical to the unsalted
+    join for inner/left/semi/anti — every big row matches exactly one
+    replica of its small-side row regardless of its salt value, so the
+    (nondeterministic-under-retry) salt never changes the output.
+    right/full are rejected: unmatched small rows would surface once
+    per replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: "
+            "unmatched small-side rows would be emitted once per salt replica"
+        )
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n)).cast("int")
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_n)).cast("int")
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))

@@ -178,6 +178,10 @@ def cosine_topk_ivf(
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     cent = np.asarray(centroids, dtype=np.float64)
+    # rank probes by COSINE, the same metric ivf_assign uses — raw dot
+    # ranking disagrees with the assignment for non-unit-norm centroids
+    # (ivf_train_centroids emits unit vectors, but callers may not)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     probe = [int(i) for i in np.argsort(-(cent @ q))[:n_probe]]
     cells = ivf_assign(df, id_col, vec_col, centroids)
     cands = df.join(

@@ -47,6 +47,20 @@ def test_exact_dedup(spark, corpus):
     assert len(out) == 5  # 6 docs, one exact dup collapses
     grp = out[out.n_copies == 2]
     assert len(grp) == 1 and grp.iloc[0].keeper_id == 0
+    # both modes return the same schema and groups
+    raw = dedup.exact_dedup(corpus, ["text"], "doc_id", hash_key=False).toPandas()
+    assert list(raw.columns) == list(out.columns) == ["keeper_id", "n_copies"]
+    assert sorted(map(tuple, raw.values.tolist())) == sorted(map(tuple, out.values.tolist()))
+
+
+def test_exact_dedup_multicol_separator_injective(spark):
+    # values containing the old separator byte must NOT merge distinct
+    # key tuples: ('x\x1fvy','z') vs ('x','y\x1fvz') are different keys
+    rows = [(1, "x\x1fvy", "z"), (2, "x", "y\x1fvz"), (3, None, ""), (4, "", None)]
+    df = spark.createDataFrame(rows, "id bigint, a string, b string")
+    out = dedup.exact_dedup(df, ["a", "b"], "id").toPandas()
+    assert len(out) == 4  # four distinct keys, no collisions
+    assert (out.n_copies == 1).all()
 
 
 def test_minhash_finds_near_dups(spark, corpus):

@@ -62,6 +62,49 @@ def test_salted_join_equals_plain_join(spark):
     assert key(salted) == key(plain)
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    # ts >= NULL is no match in ASOF semantics — a NULL-ts right row
+    # must not be carried forward to any left row
+    left = spark.createDataFrame([(1, _ts(10), "e")], "k bigint, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k bigint, rts timestamp, price double"
+    )
+    row = asof_join(left, right, "k", "ts", "rts", ["price"]).collect()[0]
+    assert row.price is None
+
+
+def test_asof_tied_right_ts_deterministic(spark):
+    # two right versions at the same (key, ts): the carried one must be
+    # the same on every run (deterministic hash tiebreak)
+    left = spark.createDataFrame([(1, _ts(20), "e")], "k bigint, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(10), 2.0)], "k bigint, rts timestamp, price double"
+    )
+    got = {
+        asof_join(left, right.repartition(p), "k", "ts", "rts", ["price"]).collect()[0].price
+        for p in (1, 2, 7)
+    }
+    assert len(got) == 1  # same winner regardless of physical layout
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    big = spark.createDataFrame([(1, 1)], "row_id bigint, k bigint")
+    small = spark.createDataFrame([(1, "a")], "k bigint, name string")
+    import pytest
+
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", salt_n=4, how=how)
+
+
+def test_salted_join_left_keeps_unmatched_big_once(spark):
+    big = spark.createDataFrame([(1, 1), (2, 99)], "row_id bigint, k bigint")
+    small = spark.createDataFrame([(1, "a")], "k bigint, name string")
+    out = salted_join(big, small, "k", salt_n=4, how="left").toPandas()
+    assert len(out) == 2
+    assert out[out.k == 99].name.isna().all()
+
+
 def test_salted_join_spreads_hot_key(spark):
     big = spark.createDataFrame([(i, 1) for i in range(100)], "row_id bigint, k bigint")
     small = spark.createDataFrame([(1, "hot")], "k bigint, name string")
