@@ -270,6 +270,65 @@ def join_salted(spark, sf_dir):
 
 
 @query(
+    "join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join — EXISTS, the complement of J5's anti-join: probe
+    side never duplicates, build side never projects."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_agg_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10
+    """,
+)
+def join_agg_topk(spark, sf_dir):
+    """TPC-H Q3 shape: selective filters on both fact sides pushed to the
+    scans, 3-way join, grouped revenue, top-10 — the full pipeline
+    Catalyst should run as filter-pushdown → shuffled joins → partial
+    agg → TakeOrdered."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
     "join_inner_filtered",
     oracle="""
     SELECT o.o_orderkey, c.c_custkey, o.o_totalprice, c.c_acctbal

@@ -100,6 +100,32 @@ def stream_merge_upsert(spark, sf_dir):
 
 
 @query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: dropDuplicates over an unbounded
+    key set, state in the checkpoint store — the streaming form of the
+    training pipeline's exact dedup (first-seen wins across
+    micro-batches). Distinct (user_id, event_type) pairs counted after
+    a finite drain; every n must be 1 by construction."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    sink = fresh_name("stream_dedup")
+    run_available_now(deduped, memory_table=sink, output_mode="append")
+    return (
+        spark.table(sink)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "stream_session",
     oracle="""
     WITH flagged AS (
