@@ -1,0 +1,372 @@
+"""Extended relational surface (SURVEY §2 declared generalizations, part 2).
+
+The reference's join/set/function surface is narrow (equi-joins, concat,
+strftime — SURVEY §2.3/§2.7/§2.8); these queries widen the engine to the
+full relational toolkit a warehouse user expects: full-outer joins, range
+(non-equi) joins, ranking windows, HAVING, array aggregation, lateral
+explode, array/string/case scalar functions, and an n-gram text sweep.
+Every query here is oracle-backed (DuckDB) — no rows-only checks.
+
+Scale notes (100 TB posture):
+  - the range join broadcasts the band dimension (a handful of rows) so
+    the non-equi condition never becomes a shuffled nested loop over
+    big×big inputs;
+  - explode/posexplode is a per-row generator (no shuffle); bigram
+    mining shuffles only (bigram, partial-count) pairs after map-side
+    combine — the classic word-count shape that scales linearly;
+  - collect_list runs per group after hash partitioning; groups here are
+    low-cardinality keys with bounded member counts (order priorities),
+    the only regime where array aggregation is safe at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+# ---------------------------------------------------------------------------
+# §2.3 joins — beyond the reference's equi-left/anti/inner surface
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """§2.3 generalization: FULL OUTER join — per-nation customer vs
+    supplier presence, keeping nations that appear on only one side.
+    The reference only ever left-joins (dags/utils/etl.py:437-438);
+    full-outer completes the join-type surface."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    joined = c.alias("c").join(s.alias("s"), "nationkey", "full_outer")
+    return joined.select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# Price-band dimension for the range join: tiny, static, broadcast.
+_BANDS = [
+    ("tier_0", 0.0, 50.0),
+    ("tier_1", 50.0, 200.0),
+    ("tier_2", 200.0, 1000.0),
+    ("tier_3", 1000.0, 1e18),
+]
+
+
+@query(
+    "join_range",
+    oracle="""
+    WITH bands(tier, lo, hi) AS (
+      VALUES ('tier_0', 0.0, 50.0), ('tier_1', 50.0, 200.0),
+             ('tier_2', 200.0, 1000.0), ('tier_3', 1000.0, 1e18)
+    )
+    SELECT b.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.tier
+    """,
+)
+def join_range(spark, sf_dir):
+    """§2.3 generalization: range (non-equi) join — events bucketed into
+    value bands. 100 TB shape: the band dim is broadcast, so the
+    inequality condition runs as a BroadcastNestedLoopJoin against a
+    handful of rows per event — never a shuffled big×big theta join."""
+    ev = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "tier string, lo double, hi double")
+    cond = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    return (
+        ev.join(F.broadcast(bands), cond)
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows — ranking family
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    """§2.5 generalization: ranking windows (row_number/rank/dense_rank)
+    per customer by spend. Ties broken by o_orderkey so both engines
+    produce identical numbering. Single window spec → one shuffle, all
+    three functions evaluated in the same Window physical operator."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — HAVING and array aggregation
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    """,
+)
+def agg_having(spark, sf_dir):
+    """§2.4 generalization: HAVING — post-aggregation predicate (repeat
+    buyers). Catalyst keeps the filter above the final HashAggregate;
+    partial aggregation still runs map-side."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("sum_price"),
+        )
+        .where(F.col("n_orders") >= 8)
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """§2.4 generalization: array aggregation — distinct statuses per
+    priority, sorted for determinism (collect_set order is not defined)
+    and joined to a string so the driver's value hash sees a scalar.
+    Safe-at-scale regime only: low-cardinality group keys with bounded
+    member sets; unbounded collect_list is an OOM, not an operator."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops — distinct union (completes UNION ALL / INTERSECT / EXCEPT)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    UNION
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    """§2.7 generalization: UNION (distinct) — customers active in either
+    year, deduplicated. Plans as union + hash-distinct (one shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    b = o.where(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions — arrays, lateral explode, strings, CASE
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(8)) AS BIGINT) AS pos,
+           unnest(embedding[1:8]) AS val
+    FROM embeddings
+    """,
+)
+def fn_explode(spark, sf_dir):
+    """§2.8 generalization: lateral explode with position (posexplode ≈
+    UNNEST WITH ORDINALITY) over the first 8 embedding components.
+    A per-row generator — no shuffle, stays in whole-stage codegen."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), "val")
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS emb_len,
+           list_max(embedding) AS emb_max,
+           list_min(embedding) AS emb_min,
+           embedding[1] AS emb_first,
+           list_reverse(embedding)[1] AS emb_last,
+           list_contains(embedding, list_max(embedding)) AS has_max
+    FROM embeddings
+    """,
+)
+def fn_array_ops(spark, sf_dir):
+    """§2.8 generalization: native array functions (size/max/min/element_at/
+    reverse/contains) on the embedding column — the ARRAY<STRING>
+    carry-through of dim_employee.department_ids (SURVEY §2.8 note),
+    exercised on array<float>. All JVM-side, no UDFs; scalar outputs so
+    the driver's value hash never sees an array cell."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("emb_len"),
+        F.array_max("embedding").alias("emb_max"),
+        F.array_min("embedding").alias("emb_min"),
+        F.element_at("embedding", 1).alias("emb_first"),
+        F.element_at(F.reverse("embedding"), 1).alias("emb_last"),
+        F.array_contains("embedding", F.array_max("embedding")).alias("has_max"),
+    )
+
+
+@query(
+    "fn_string_ops",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substring(c_name, 1, 8) AS name_head,
+           concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS name_digits
+    FROM customer
+    """,
+)
+def fn_string_ops(spark, sf_dir):
+    """§2.8 generalization: string function suite (upper/length/substr/
+    concat_ws/regexp_extract). The reference's string surface is only
+    strftime+concat inside the md5 key (F1); this completes it."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_digits"),
+    )
+
+
+@query(
+    "fn_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'large' END AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+                ELSE 'other' END AS status_word
+    FROM orders
+    """,
+)
+def fn_case_when(spark, sf_dir):
+    """§2.8 generalization: CASE WHEN bucketing — searched and simple
+    forms. Pure projection; folds into the scan's codegen stage."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("large")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "done")
+        .otherwise("other")
+        .alias("status_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data text sweep: n-gram mining with a full SQL oracle
+
+
+@query(
+    "text_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')
+             AS tokens
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(tokens)),
+                                   i -> tokens[i] || ' ' || tokens[i+1])) AS bigram
+      FROM toks WHERE len(tokens) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 100
+    """,
+)
+def text_bigrams(spark, sf_dir):
+    """Training-data op: corpus bigram frequency top-k — the word-count
+    shape. Map side: tokenize + zip adjacent tokens + partial count;
+    one shuffle of (bigram, count) pairs; TakeOrderedAndProject for the
+    deterministic top-k (cnt desc, bigram asc). No Python UDFs."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    d = docs.select(tokens.alias("tokens")).where(F.size("tokens") >= 2)
+    bigrams = F.zip_with(
+        F.slice("tokens", 1, F.size("tokens") - 1),
+        F.slice("tokens", 2, F.size("tokens") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(100)
+    )

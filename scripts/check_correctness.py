@@ -47,7 +47,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if isinstance(first, _dt.date) and not isinstance(first, _dt.datetime):
                 df[c] = pd.to_datetime(s).astype("datetime64[us]")
             else:
-                df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+                import numpy as _np
+
+                df[c] = s.map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple, _np.ndarray)) else v
+                )
     return df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
 
 
