@@ -80,8 +80,11 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Document fingerprints: full-text polynomial rolling hash (base 31,
-    64-bit wrapping) + min 3-token-shingle xxhash (winnowing-style)."""
+    """Document fingerprints: full-text polynomial rolling hash (base 31
+    mod 2^31-1) + min 3-token-shingle md5 (winnowing-style minimum).
+
+    Both hashes are engine-portable (ascii fold / md5 exist everywhere),
+    so the whole operator is SQL-oracle-checkable — no xxhash seeds."""
     # modular rolling hash: acc stays < 2^31 so acc*31 + ascii never
     # overflows int64 under ANSI mode
     rolling = F.expr(
@@ -90,10 +93,10 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     min_shingle = F.expr(
         f"array_min(transform(sequence(1, greatest(size(split({text_col}, ' ')) - 2, 1)),"
-        f" i -> xxhash64(concat_ws(' ', slice(split({text_col}, ' '), i, 3)))))"
+        f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, 3)))))"
     )
     return df.select(
         F.col(id_col),
         rolling.alias("rolling_hash"),
-        min_shingle.alias("min_shingle_hash"),
+        min_shingle.alias("min_shingle_md5"),
     )

@@ -234,9 +234,27 @@ def text_stopwords(spark, sf_dir):
     return text.stopword_stats(docs, "doc_id", "text")
 
 
-@query("doc_fingerprint")  # rows-only: char-fold hash isn't portable SQL
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS codes,
+             string_split(text, ' ') AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                       (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash,
+           list_min(list_transform(range(1, greatest(len(tokens) - 2, 1) + 1),
+                    i -> md5(array_to_string(tokens[i:i+2], ' ')))) AS min_shingle_md5
+    FROM t
+    """,
+)
 def doc_fingerprint(spark, sf_dir):
-    """Rolling-hash + min-shingle document fingerprints."""
+    """Rolling-hash + min-shingle document fingerprints. Fully
+    oracle-backed: base-31 char fold mod 2^31-1 and md5 shingles are
+    bit-identical across engines (no xxhash seed dependence)."""
     docs = table(spark, sf_dir, "documents")
     return text.fingerprint(docs, "doc_id", "text")
 
