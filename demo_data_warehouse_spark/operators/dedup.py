@@ -25,6 +25,28 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 31) - 1
 
 
+def minhash_coeffs(num_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) permutation coefficients — shared with SQL oracles."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+
+
+def hash60_sql(x: str) -> str:
+    """Portable 60-bit non-negative hash: first 15 hex chars of md5 as
+    int. Identical in Spark (conv) and DuckDB ('0x' cast) — lets every
+    hash-driven operator be checked against a SQL oracle bit-for-bit."""
+    return f"cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _hash_expr(x: str, hash_mode: str) -> str:
+    """fast → xxhash64 (JVM-native, ~3× md5 throughput; production
+    default). portable → hash60 (engine-portable; used by the driver
+    queries so the DuckDB oracle can replay the exact same buckets)."""
+    if hash_mode == "portable":
+        return hash60_sql(x)
+    return f"xxhash64({x})"
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str, hash_key: bool = True
 ) -> DataFrame:
@@ -75,16 +97,18 @@ def minhash_signatures(
     k_shingle: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — minhash over word shingles.
 
-    Permutations h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle
-    hashes; deterministic via seeded coefficient generation.
+    Permutations h_i(x) = (a_i*x + b_i) mod p over shingle hashes
+    (_hash_expr: xxhash64 or portable md5-60); deterministic via seeded
+    coefficient generation.
     """
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+    coeffs = minhash_coeffs(num_hashes, seed)
     sh = _with_shingles(df, text_col, k_shingle).withColumn(
-        "__sh_hashes", F.expr(f"transform(__shingles, s -> pmod(xxhash64(s), {_MERSENNE_P}L))")
+        "__sh_hashes",
+        F.expr(f"transform(__shingles, s -> pmod({_hash_expr('s', hash_mode)}, {_MERSENNE_P}L))"),
     )
     mins = [
         F.expr(f"array_min(transform(__sh_hashes, h -> pmod({a}L * h + {b}L, {_MERSENNE_P}L)))")
@@ -102,6 +126,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded minhash LSH.
 
@@ -112,13 +137,20 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed).cache()
+    sigs = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed, hash_mode).cache()
+
+    def band_hash(j: int):
+        if hash_mode == "portable":
+            sl = (
+                f"concat_ws(',', transform(slice(sig, {j * rows + 1}, {rows}),"
+                " v -> cast(v as string)))"
+            )
+            return F.expr(hash60_sql(sl))
+        return F.xxhash64(F.expr(f"slice(sig, {j * rows + 1}, {rows})"))
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.xxhash64(F.expr(f"slice(sig, {j * rows + 1}, {rows})")).alias("band_hash"),
-            )
+            F.struct(F.lit(j).alias("band_id"), band_hash(j).alias("band_hash"))
             for j in range(bands)
         ]
     )
@@ -166,23 +198,34 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash: bigint) — 64-bit simhash over whitespace tokens."""
+def simhash_bits(hash_mode: str) -> int:
+    """64 bits with xxhash64; 60 with the portable md5-60 hash."""
+    return 60 if hash_mode == "portable" else 64
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "fast"
+) -> DataFrame:
+    """(id, simhash: bigint) — 64/60-bit simhash over whitespace tokens."""
+    n = simhash_bits(hash_mode)
     out = (
-        df.withColumn("__th", F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))"))
+        df.withColumn(
+            "__th",
+            F.expr(f"transform(split({text_col}, ' '), t -> {_hash_expr('t', hash_mode)})"),
+        )
         .withColumn(
             "__bitsum",
             F.expr(
-                "aggregate(__th, transform(sequence(0, 63), i -> 0),"
+                f"aggregate(__th, transform(sequence(0, {n - 1}), i -> 0),"
                 " (acc, h) -> zip_with(acc,"
-                "   transform(sequence(0, 63), i -> if(((h >> i) & 1) = 1, 1, -1)),"
+                f"   transform(sequence(0, {n - 1}), i -> if(((h >> i) & 1) = 1, 1, -1)),"
                 "   (a, b) -> a + b))"
             ),
         )
         .withColumn(
             "simhash",
             F.expr(
-                "aggregate(sequence(0, 63), cast(0 as bigint),"
+                f"aggregate(sequence(0, {n - 1}), cast(0 as bigint),"
                 " (acc, i) -> acc | if(element_at(__bitsum, i + 1) > 0,"
                 "   shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
             ),
@@ -192,15 +235,17 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, hash_mode: str = "fast"
 ) -> DataFrame:
     """Near-duplicate pairs by simhash hamming distance ≤ max_hamming.
 
-    Candidate generation: split the 64-bit hash into 4×16-bit blocks and
-    bucket-join on any equal block (pigeonhole: hamming ≤ 3 ⇒ at least
-    one of 4 blocks identical) — never a cross product.
+    Candidate generation: split the hash into 4 equal blocks (16 or 15
+    bits) and bucket-join on any equal block (pigeonhole: hamming ≤ 3 ⇒
+    at least one of 4 blocks identical) — never a cross product.
     """
-    sigs = simhash_signatures(df, id_col, text_col).cache()
+    bb = simhash_bits(hash_mode) // 4
+    mask = (1 << bb) - 1
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode).cache()
     blocks = sigs.select(
         "id",
         "simhash",
@@ -209,7 +254,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("block_id"),
-                        F.expr(f"(simhash >> {16 * j}) & 65535").alias("block_val"),
+                        F.expr(f"(simhash >> {bb * j}) & {mask}").alias("block_val"),
                     )
                     for j in range(4)
                 ]

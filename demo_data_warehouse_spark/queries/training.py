@@ -1,8 +1,13 @@
 """Training-data pipeline driver queries: dedup, similarity search,
 text analysis, multimodal plumbing — over documents/embeddings.
 
-SQL-expressible ones carry a DuckDB oracle; the LSH/signature ones are
-rows-only here and verified against exact oracles in tests/unit/.
+Hash-driven dedup (minhash LSH / simhash / ngram-jaccard) runs in
+hash_mode='portable' (md5-60, dedup.hash60_sql) so a DuckDB oracle can
+replay the exact same signatures, buckets, and pairs bit-for-bit; the
+xxhash64 'fast' mode is the production default and is verified against
+brute force in tests/unit/test_dedup.py. The probabilistic ops
+(embedding sign-LSH, IVF, HLL) stay rows-only with recall/tolerance
+tests.
 """
 
 from __future__ import annotations
@@ -11,7 +16,49 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators import dedup, multimodal, sampling, similarity, text
+from ..operators.dedup import _MERSENNE_P, minhash_coeffs
 from . import query
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors of the portable-hash dedup pipeline (shared CTE text)
+
+_DUCK_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _duck_minhash_ctes(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    """CTEs sh→hashes→sigs→bandsx→cand mirroring minhash_lsh_pairs
+    (portable mode) exactly: same shingles, same seeded permutations,
+    same band hashing, same candidate generation."""
+    rows = num_hashes // bands
+    p = _MERSENNE_P
+    sig_items = ",\n             ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {p}))"
+        for a, b in minhash_coeffs(num_hashes, seed)
+    )
+    h60_s = _DUCK_H60.format(x="s")
+    band_str = _DUCK_H60.format(
+        x=f"array_to_string(sig[j * {rows} + 1 : j * {rows} + {rows}], ',')"
+    )
+    return f"""
+    sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingles
+      FROM documents
+    ), hashes AS (
+      SELECT id, list_transform(shingles, s -> {h60_s} % {p}) AS sh FROM sh
+    ), sigs AS (
+      SELECT id, [{sig_items}] AS sig
+      FROM hashes
+    ), bandsx AS (
+      SELECT id, j AS band_id, {band_str} AS band_hash
+      FROM sigs, (SELECT unnest(range({bands})) AS j)
+    ), cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM bandsx x JOIN bandsx y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.id < y.id
+    )"""
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -31,29 +78,84 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs, ["text"], "doc_id").select("keeper_id", "n_copies")
 
 
-@query("dedup_minhash")  # rows-only: signature algebra isn't portable SQL
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_duck_minhash_ctes()}
+    SELECT c.id_a, c.id_b,
+           len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32 AS est_jaccard
+    FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+    WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32 >= 0.3
+    """,
+)
 def dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (banded, no cross product).
-    Exact-Jaccard agreement is asserted in tests/unit/test_dedup.py."""
+    Portable hash mode → the DuckDB oracle replays the identical
+    signatures/bands; fast-mode Jaccard agreement is asserted in
+    tests/unit/test_dedup.py."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3, hash_mode="portable")
 
 
-@query("dedup_ngram_jaccard")  # rows-only: verified vs brute force in tests
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard over LSH candidate pairs."""
-    docs = table(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2).select(
-        "id_a", "id_b"
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_duck_minhash_ctes()},
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+      WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32 >= 0.2
     )
+    SELECT e.id_a, e.id_b,
+           CAST(len(list_intersect(ga.shingles, gb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga.shingles, gb.shingles))) AS jaccard
+    FROM est e JOIN sh ga ON ga.id = e.id_a JOIN sh gb ON gb.id = e.id_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH candidate pairs (portable hash —
+    candidates and exact verify both oracle-replayed)."""
+    docs = table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, hash_mode="portable"
+    ).select("id_a", "id_b")
     return dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text")
 
 
-@query("dedup_simhash")  # rows-only
+_DUCK_SIMHASH = f"""
+    th AS (
+      SELECT doc_id AS id,
+             list_transform(string_split(text, ' '), t -> {_DUCK_H60.format(x='t')}) AS th
+      FROM documents
+    ), sh AS (
+      SELECT id,
+             CAST(list_sum(list_transform(range(0, 60),
+               i -> CASE WHEN 2 * len(list_filter(th, h -> ((h >> i) & 1) = 1)) > len(th)
+                         THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS BIGINT) AS simhash
+      FROM th
+    )"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH}
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE (((a.simhash >> 0)  & 32767) = ((b.simhash >> 0)  & 32767)
+        OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+        OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+        OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
+      AND bit_count(xor(a.simhash, b.simhash)) <= 10
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs via 16-bit block buckets."""
+    """SimHash near-dup pairs via 15-bit block buckets (portable 60-bit
+    hash; oracle enumerates the same block-collision pairs all-pairs —
+    fine at oracle scale, the Spark side stays bucket-joined)."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10, hash_mode="portable")
 
 
 @query(
