@@ -113,6 +113,85 @@ def join_range(spark, sf_dir):
     )
 
 
+@query(
+    "join_star_agg",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                   AND l.l_suppkey % 25 = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_star_agg(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way star join (region→nation→customer→orders→
+    lineitem) with a local-supplier-style predicate and per-nation
+    revenue. 100 TB shape: region/nation broadcast (fixed 5/25 rows),
+    customer/orders/lineitem shuffle on their keys with AQE; selective
+    region + date filters are pushed to the scans before any join.
+    (No partsupp table in the testdata, so the supplier-nation match is
+    emulated as l_suppkey % 25 = c_nationkey — same join topology.)"""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, (li.l_orderkey == o.o_orderkey) & (li.l_suppkey % 25 == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev).cast("double") / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) * (SELECT COUNT(*) FROM orders)
+          > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders)
+    """,
+)
+def subquery_scalar(spark, sf_dir):
+    """§2.4/§2.3 generalization: uncorrelated scalar subquery — orders
+    above the global average price. Expressed via spark.sql so Catalyst
+    plans the subqueries as one-row broadcasts, not driver-side
+    collects. 'price > avg' is cross-multiplied to integer cents
+    (price_cents * n > sum_cents) so the boundary comparison is exact —
+    a double AVG could flip rows that sit within one ulp of the mean."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * (SELECT COUNT(*) FROM orders_v)
+              > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders_v)
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows — ranking family
 
@@ -140,6 +219,29 @@ def window_rank(spark, sf_dir):
         F.row_number().over(w).cast("bigint").alias("rn"),
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS balance_quartile,
+           CAST(percent_rank() OVER (ORDER BY c_acctbal DESC, c_custkey) AS DOUBLE) AS pct_rank
+    FROM customer
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """§2.5 generalization: distribution windows (ntile quartiles +
+    percent_rank) over a global ordering. A single global-order window
+    is a deliberate single-partition sort — fine for dim-sized inputs,
+    and the plan to avoid on a 100 TB fact (partition it or bucket by
+    range first)."""
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
     )
 
 

@@ -184,3 +184,73 @@ def test_ann_topk_avoids_global_sort(spark, sf_dir, qs):
 
     plan = physical_plan(qs["ann_cosine_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_range_join_broadcasts_band_dim(spark, sf_dir, qs):
+    # join_range: the non-equi condition must run as a broadcast nested
+    # loop against the tiny band dim — a shuffled big x big theta join
+    # would be quadratic at 100 TB.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["join_range"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigrams_single_shuffle_topk(spark, sf_dir, qs):
+    # text_bigrams: word-count shape — generator + partial count map-side,
+    # one shuffle, TakeOrdered for the top-k (never a global sort).
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["text_bigrams"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange (") <= 1, plan  # the partial->final agg shuffle
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_explode_is_shuffle_free(spark, sf_dir, qs):
+    # fn_explode: a per-row generator must not introduce any exchange.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["fn_explode"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Generate" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_window_rank_single_window_operator(spark, sf_dir, qs):
+    # window_rank: all three ranking functions share one window spec ->
+    # exactly one Window node, one shuffle.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["window_rank"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Window (") == 1, plan
+    # exactly one partitionBy shuffle feeds all three ranking functions
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_star_agg_broadcasts_fixed_dims(spark, sf_dir, qs):
+    # join_star_agg: region/nation (fixed 5/25 rows) must broadcast;
+    # selective filters must reach the scans.
+    df = qs["join_star_agg"](spark, sf_dir)
+    assert_broadcast_join(df, count=1)
+    assert_pushed_filters(df, "r_name")
+
+
+def test_subquery_scalar_no_rowwise(spark, sf_dir, qs):
+    df = qs["subquery_scalar"](spark, sf_dir)
+    assert_no_rowwise_python(df)
+
+
+def test_portable_dedup_joins_are_equi_not_cartesian(spark, sf_dir, qs):
+    # portable-hash minhash/simhash candidate generation must stay
+    # bucket-equi-joined (no cross product) exactly like fast mode.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in ("dedup_minhash", "dedup_simhash"):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
