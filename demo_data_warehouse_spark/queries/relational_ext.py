@@ -300,6 +300,89 @@ def agg_collect(spark, sf_dir):
     )
 
 
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(stddev_samp(value) AS DOUBLE), 4) AS sd_value,
+           ROUND(CAST(var_samp(value) AS DOUBLE), 4) AS var_value,
+           ROUND(CAST(corr(value, CAST(user_id AS DOUBLE)) AS DOUBLE), 6) AS corr_vu,
+           ROUND(CAST(covar_samp(value, CAST(user_id AS DOUBLE)) AS DOUBLE), 4) AS covar_vu
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """§2.4 generalization: statistical aggregates (stddev/variance/
+    correlation/covariance) — single-pass streaming moments, map-side
+    partial merge. Rounded (4-6 dp) so the two engines' merge-order
+    float drift cannot flip the hash; exactness to the last ulp is not
+    meaningful for second moments."""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
+    )
+
+
+@query(
+    "agg_arg_max",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+             AS top_orderkey,
+           arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+             AS bottom_orderkey,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_arg_max(spark, sf_dir):
+    """§2.4 generalization: argmax/argmin aggregation (max_by/min_by) —
+    which order carries the extreme price per status. The ordering key
+    is a composite bigint (price_cents * 10^7 + orderkey) so price ties
+    break identically in both engines; max_by without a tiebreak is
+    nondeterministic. (Headroom: cents ≤ 10^7, orderkey < 10^7 here —
+    the composite stays far under int64.)"""
+    o = table(spark, sf_dir, "orders")
+    key = F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@query(
+    "fn_null_funcs",
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'view') AS type_or_null,
+           COALESCE(nullif(event_type, 'view'), 'hidden') AS type_defaulted,
+           greatest(value, 50.0) AS val_floor50,
+           least(value, 100.0) AS val_cap100,
+           CASE WHEN value IS NULL THEN 1 ELSE 0 END AS was_null
+    FROM events
+    """,
+)
+def fn_null_funcs(spark, sf_dir):
+    """§2.8 generalization: null-handling scalar suite (nullif/coalesce/
+    greatest/least/null-probe) — the idiomatic form of the reference's
+    defensive fills (F8, dags/utils/common/data_helper.py:139-145)."""
+    ev = table(spark, sf_dir, "events")
+    tn = F.nullif(F.col("event_type"), F.lit("view"))
+    return ev.select(
+        "event_id",
+        tn.alias("type_or_null"),
+        F.coalesce(tn, F.lit("hidden")).alias("type_defaulted"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("val_floor50"),
+        F.least(F.col("value"), F.lit(100.0)).alias("val_cap100"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).alias("was_null"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 set ops — distinct union (completes UNION ALL / INTERSECT / EXCEPT)
 
