@@ -45,18 +45,22 @@ def main() -> None:
 
     qs = entry_mod.queries()
     spark = get_spark("ddw-bench")
-    # Warm-up pass: run every headline query once so the measured pass
-    # reports engine steady state (plan compile, JIT, and OS page cache
+    # Warm-up pass: run every headline query once so the measured passes
+    # report engine steady state (plan compile, JIT, and OS page cache
     # are one-time costs, not per-query costs on a long-lived cluster).
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # min of 3 timed passes: wall-clock on a shared box is noisy; the
+    # minimum is the reproducible steady-state engine time.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
