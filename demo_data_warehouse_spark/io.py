@@ -141,6 +141,63 @@ class Warehouse:
         shutil.rmtree(old, ignore_errors=True)
 
 
+    def compact(
+        self,
+        db: str,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict[str, int]:
+        """Small-file compaction — warehouse maintenance for merge/
+        streaming sinks, which fragment tables (every micro-batch MERGE
+        rewrites with shuffle-partition-many files; at 100 TB a reader
+        then pays per-file open cost and loses row-group locality).
+
+        Rewrites each partition_value directory to
+        ceil(bytes / target_file_bytes) files via the same staging+swap
+        as merge_write (atomic-commit stand-in; Delta/Iceberg OPTIMIZE
+        is the production analog). Data is byte-identical — only file
+        layout changes. Returns {'files_before': n, 'files_after': m}.
+        """
+        final = self.path(db, table)
+        files_before = sum(
+            1
+            for _dir, _sub, names in os.walk(final)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        total_bytes = sum(
+            os.path.getsize(os.path.join(d, n))
+            for d, _sub, names in os.walk(final)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        df = self.spark.read.parquet(final)
+        partitioned = "partition_value" in df.columns
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        if partitioned:
+            # spread within each partition dir; repartition by the
+            # partition column so each output dir gets coalesced files
+            out = df.repartition(int(n_files), "partition_value")
+        else:
+            out = df.repartition(int(n_files))
+        staging = os.path.join(self.root, db, f"_tmp-{table}-{uuid.uuid4().hex[:8]}")
+        w = out.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy("partition_value")
+        w.parquet(staging)
+        old = final + ".old"
+        os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old, ignore_errors=True)
+        files_after = sum(
+            1
+            for _dir, _sub, names in os.walk(final)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        return {"files_before": files_before, "files_after": files_after}
+
+
 def _with_publish_fields(schema: StructType) -> StructType:
     from pyspark.sql.types import DateType, StructField, TimestampType
 

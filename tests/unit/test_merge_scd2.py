@@ -105,3 +105,23 @@ def test_scd2_replay_idempotent(spark, dim_and_batch):
     delta2 = scd2_delta(dim2, batch, key="user_id", ts_col="ts", attr_cols=["value"])
     # same batch again: no changed keys, no net-new → empty delta
     assert delta2.count() == 0
+
+
+def test_compact_reduces_files_keeps_data(spark, tmp_path):
+    # streaming/merge sinks fragment tables; compact() must rewrite to
+    # few files while keeping the data byte-identical (maintenance op).
+    from demo_data_warehouse_spark.io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("pk"), (F.col("id") % 7).alias("v")
+    )
+    # fragment: 40 shuffle files in one partition dir
+    wh.write_partition_replace(df.repartition(40), "silver", "frag", "2024-01-01")
+    before = {tuple(r) for r in wh.read("silver", "frag").select("pk", "v").collect()}
+    stats = wh.compact("silver", "frag")
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 4
+    after = {tuple(r) for r in wh.read("silver", "frag").select("pk", "v").collect()}
+    assert after == before
