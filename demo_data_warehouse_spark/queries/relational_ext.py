@@ -514,8 +514,63 @@ def fn_case_when(spark, sf_dir):
     )
 
 
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch96,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow
+    FROM orders
+    """,
+)
+def fn_date_arith(spark, sf_dir):
+    """§2.8 generalization: date arithmetic suite (datediff/date_add/
+    last_day/trunc/dayofweek) — the idiomatic forms of the reference's
+    strftime bucketing and +7h interval math (F9-F12). DuckDB's
+    dayofweek is 0-based Sunday; Spark's is 1-based — the oracle adds 1."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1996-01-01").cast("date")).alias("days_since_epoch96"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data text sweep: n-gram mining with a full SQL oracle
+
+
+@query(
+    "text_pattern_extract",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\b[a-z]*ar[a-z]*\\b')) AS n_matches,
+           COALESCE(regexp_extract(text, '\\b[a-z]*ar[a-z]*\\b'), '') AS first_match,
+           regexp_replace(text, '\\b[a-z]*ar[a-z]*\\b', '<TOKEN>', 'g') LIKE '%<TOKEN>%'
+             AS was_redacted
+    FROM documents
+    """,
+)
+def text_pattern_extract(spark, sf_dir):
+    """Training-data op: regex extract-count-redact per document — the
+    PII-scrub shape (emails/URLs/ids in production; a token pattern
+    here so the synthetic corpus actually matches). All three forms stay
+    JVM-side: regexp_extract_all, regexp_extract, regexp_replace."""
+    docs = table(spark, sf_dir, "documents")
+    pat = r"\b[a-z]*ar[a-z]*\b"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("bigint").alias("n_matches"),
+        F.regexp_extract("text", pat, 0).alias("first_match"),
+        F.regexp_replace("text", pat, "<TOKEN>").contains("<TOKEN>").alias("was_redacted"),
+    )
 
 
 @query(
