@@ -223,6 +223,75 @@ def window_rank(spark, sf_dir):
 
 
 @query(
+    "join_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 15000
+    )
+    """,
+)
+def join_in_subquery(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery over an aggregate (large-quantity
+    orders) — planned as partial/final agg on lineitem, then a left-semi
+    join probing orders. The quantity threshold compares exact integer
+    cents, so the boundary can't drift between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_c"))
+        .where(F.col("qty_c") > 15000)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """§2.1/§2.3 generalization: co-located join over bucketed tables —
+    both sides hash-clustered on the join key at write time, so the
+    join AND the following same-key aggregation run without any
+    Exchange (plan-asserted in tests/unit/test_plans.py). At 100 TB
+    this converts a per-query fact shuffle into a one-time write cost.
+    The result is identical to the plain join (the oracle)."""
+    from ..io import Warehouse
+    from ..streaming.pipeline import scratch_dir
+
+    wh = Warehouse(spark, scratch_dir("bucketed"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    wh.write_bucketed(o, "silver", "orders_bq", ["o_custkey"], buckets=8)
+    wh.write_bucketed(c, "silver", "cust_bq", ["o_custkey"], buckets=8)
+    joined = wh.read_catalog_table("silver", "cust_bq").join(
+        wh.read_catalog_table("silver", "orders_bq"), "o_custkey"
+    )
+    return (
+        joined.groupBy(F.col("o_custkey").alias("c_custkey"), "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+@query(
     "window_ntile",
     oracle="""
     SELECT c_custkey,

@@ -254,3 +254,16 @@ def test_portable_dedup_joins_are_equi_not_cartesian(spark, sf_dir, qs):
         plan = physical_plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_join_bucketed_query_no_join_exchange(spark, sf_dir, qs):
+    # join_bucketed: the bucketed scans must feed the join (and the
+    # same-key agg above it) without any hashpartitioning exchange on
+    # the bucket key.
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["join_bucketed"](spark, sf_dir))
+    details = re.findall(r"\(\d+\) Exchange\n.*?Arguments: (.*)", plan)
+    assert all("hashpartitioning(o_custkey" not in a for a in details), plan
