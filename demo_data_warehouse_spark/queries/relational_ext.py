@@ -314,6 +314,95 @@ def window_ntile(spark, sf_dir):
     )
 
 
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+             AS trail_1h_value
+    FROM events
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """§2.5 generalization: RANGE (value-based) window frame — trailing
+    1-hour sum per user, ordered by epoch microseconds. Unlike a ROWS
+    frame this is peer-inclusive and time-based: the frame holds
+    whatever events fall in the last hour, however many rows that is.
+    Fixed-point bigint accumulation (csum note in core.py)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).cast("double") / 100.0).alias(
+            "trail_1h_value"
+        ),
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'purchase')
+                AS DOUBLE) / 100.0 AS purchase_value,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_filtered(spark, sf_dir):
+    """§2.4 generalization: filtered aggregation (SQL FILTER clause ≈
+    conditional CASE aggregates) — several differently-filtered
+    aggregates in ONE pass over the fact table, instead of k filtered
+    scans self-joined back together."""
+    ev = table(spark, sf_dir, "events")
+    click = F.col("event_type") == "click"
+    buy = F.col("event_type") == "purchase"
+    cents_v = F.round(F.col("value") * 100).cast("bigint")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(click, 1)).alias("n_clicks"),
+        F.count(F.when(buy, 1)).alias("n_purchases"),
+        (F.sum(F.when(buy, cents_v)).cast("double") / 100.0).alias("purchase_value"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, n FROM wide UNPIVOT (n FOR kind IN (click, view))
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """§2.4 generalization: unpivot/melt — wide per-type counts back to
+    long form (the inverse of agg_pivot). A per-row generator after the
+    aggregation; no extra shuffle. DuckDB UNPIVOT drops NULL cells;
+    counts here are never NULL (SUM of CASE 0/1)."""
+    ev = table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view"),
+    )
+    return wide.unpivot("user_id", ["click", "view"], "kind", "n")
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations — HAVING and array aggregation
 
