@@ -55,3 +55,23 @@ def hash_split(
         "split",
         F.when(first.isin(*list(hexdigits)), F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col, *, max_weight: float = 1.0
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row iff
+    u01(id) < weight, where u01 is a uniform [0,1) value derived from
+    the row's content hash (first 15 md5 hex chars / 2^60) — the
+    quality-weighted corpus downsampling step of a training pipeline.
+
+    Same guarantees as the other samplers: engine-portable (md5),
+    reproducible at any parallelism, stable under appends — each row's
+    fate depends only on its own id and weight. Expected kept fraction
+    = E[min(weight, max_weight)]."""
+    u01 = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) as bigint)"
+        " / 1152921504606846976.0"  # 2^60
+    )
+    w = F.least(weight_col, F.lit(max_weight))
+    return df.where(u01 < w)

@@ -100,3 +100,19 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         rolling.alias("rolling_hash"),
         min_shingle.alias("min_shingle_md5"),
     )
+
+
+def char_entropy(text: Column, round_dp: int = 6) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — a
+    classic low-quality-text detector (repetitive spam scores low,
+    natural text ~4 bits). Folds over the SORTED distinct character
+    set so the float summation order is engine-identical; rounded as a
+    second guard."""
+    chars = F.split(text, "")
+    p = lambda ch: F.size(F.filter(chars, lambda x: x == ch)) / F.size(chars)  # noqa: E731
+    ent = -F.aggregate(
+        F.array_sort(F.array_distinct(chars)),
+        F.lit(0.0),
+        lambda acc, ch: acc + p(ch) * F.log2(p(ch)),
+    )
+    return F.round(ent, round_dp)

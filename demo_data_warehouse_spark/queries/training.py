@@ -407,6 +407,45 @@ def sample_hash_split(spark, sf_dir):
     )
 
 
+@query(
+    "sample_weighted",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 < least(value / 100.0, 1.0)
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted Bernoulli sample — keep probability
+    proportional to a quality weight (value/100 here), decided by the
+    row's own content hash. The quality-weighted downsampling step of a
+    training pipeline: no RNG coordination, stable under appends and
+    repartitioning, engine-portable (md5-60 u01)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return sampling.weighted_sample(ev, "event_id", F.col("value") / 100.0)
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH c AS (SELECT doc_id, n_chars, string_split(text, '') AS chars FROM documents)
+    SELECT doc_id, n_chars,
+           round(-list_sum(list_transform(list_sort(list_distinct(chars)),
+             ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+                   * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 6)
+             AS char_entropy
+    FROM c
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document — the
+    classic repetitive-spam detector in corpus quality scoring. Folds
+    over the sorted distinct character set so the float sum order is
+    engine-identical (plus 6dp rounding as a second guard)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars", text.char_entropy(F.col("text")).alias("char_entropy"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 
