@@ -152,3 +152,58 @@ def test_stream_requires_schema_or_inference(spark, tmp_path):
     s = read_landing_stream(spark, landing)  # schema inferred via batch read
     assert s.isStreaming
     assert dict(s.dtypes)["value"] == "double"
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """ST3's limit, made explicit: once the watermark passes a window,
+    a late row for that window is DROPPED (not merged) — the streaming
+    trade-off vs the reference's same-day replay re-read. Two files →
+    two micro-batches (maxFilesPerTrigger=1); batch 1 closes the 10:00
+    window by advancing the watermark 2h; batch 2's late 10:10 row must
+    not reopen it."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def rows_at(*specs):
+        return [
+            dict(event_id=e, user_id=1, ts=dt.datetime(2024, 1, 1, h, m), value=v)
+            for (e, h, m, v) in specs
+        ]
+
+    # run 1: one row in the 10:00 window + one at 13:00 pushing the
+    # 1h watermark to 12:00 (past the 10:00-11:00 window end); the
+    # watermark is persisted in the checkpoint
+    _write_batch(spark, landing, rows_at((1, 10, 5, 1.0), (2, 13, 0, 8.0)))
+
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple] = []
+
+    def collect(batch, _bid):
+        emitted.extend(
+            (r["win_start"].hour, r["n"], r["sum_value"]) for r in batch.collect()
+        )
+
+    schema = spark.read.parquet(landing).schema
+
+    def drain():
+        stream = read_landing_stream(spark, landing, schema=schema)
+        agg = tumbling_agg(
+            stream.withColumn("event_type", F.lit("t")),
+            window="1 hour",
+            watermark="1 hour",
+        )
+        run_available_now(agg, batch_fn=collect, checkpoint=ckpt, output_mode="append")
+
+    drain()
+    # run 2 (same checkpoint → watermark restored at 12:00): a LATE row
+    # for the already-closed 10:00 window
+    _write_batch(spark, landing, rows_at((3, 10, 10, 99.0)))
+    drain()
+
+    got = set(emitted)
+    # the 10:00 window was emitted with ONLY the on-time row; the late
+    # 99.0 never appears anywhere
+    assert (10, 1, 1.0) in got, got
+    assert not any(abs(s - 99.0) < 1e-9 or n == 2 for (_h, n, s) in got), got
