@@ -223,6 +223,63 @@ def window_rank(spark, sf_dir):
 
 
 @query(
+    "join_bilateral_volume",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           year(o.o_orderdate) AS order_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(o.o_orderdate)
+    """,
+)
+def join_bilateral_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, by year — customer-side and supplier-side nation dims
+    joined independently (nation broadcast twice under different
+    aliases), cross-pair predicate, grouped exact revenue."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (F.sum(rev).cast("double") / 10000.0).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "join_in_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -249,6 +306,34 @@ def join_in_subquery(spark, sf_dir):
     return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """S1/S7: the CSV landing path — write a typed frame to header CSV
+    (the reference's /tmp staging, dags/ingestion/lark_to_gcs.py:73-75),
+    read it back with an explicit schema (no inference scan), and match
+    the original rows. Money travels as integer cents: CSV is textual,
+    and integers round-trip exactly where double formatting might not."""
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    path = scratch_dir("csv_landing")
+    ev.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema("event_id bigint, event_type string, value_cents bigint").option(
+        "header", True
+    ).csv(path)
 
 
 @query(
