@@ -1,0 +1,85 @@
+"""Property-based tests: MERGE and SCD2 invariants over arbitrary
+key/value batches (SURVEY §5 leg B, hardened).
+
+Each hypothesis example is cheap: the expected result is computed in
+plain Python and compared against one Spark job per example, with
+max_examples kept small (Spark job latency dominates)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from demo_data_warehouse_spark.operators.merge import merge_upsert
+
+kv_st = st.dictionaries(
+    st.integers(min_value=0, max_value=20),  # keys collide on purpose
+    st.integers(min_value=-5, max_value=5),
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(kv_st, kv_st)
+def test_merge_upsert_matches_dict_semantics(spark, target, source):
+    # MERGE == dict.update: survivors kept, matches updated, new inserted
+    t = spark.createDataFrame(list(target.items()) or [(None, None)], "pk int, v int").where(
+        "pk is not null"
+    )
+    s = spark.createDataFrame(list(source.items()) or [(None, None)], "pk int, v int").where(
+        "pk is not null"
+    )
+    got = {(r.pk, r.v) for r in merge_upsert(t, s, ["pk"]).collect()}
+    expected = dict(target)
+    expected.update(source)
+    assert got == set(expected.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 10), st.integers(0, 100), min_size=1, max_size=6),
+    st.dictionaries(st.integers(0, 10), st.integers(101, 200), min_size=1, max_size=6),
+)
+def test_scd2_delta_invariants(spark, dim_vals, batch_vals):
+    """For any current dim snapshot and incoming batch (batch ts strictly
+    newer): the delta has exactly one is_current row per touched key,
+    closed rows keep the dim's sur_id with valid_to = batch ts, and
+    net-new keys appear only as current rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.operators.scd2 import SENTINEL_TS, scd2_delta, surrogate_id
+
+    t_dim = dt.datetime(2024, 1, 1)
+    t_new = dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [(k, t_dim, v) for k, v in dim_vals.items()], "user_id int, ts timestamp, value int"
+    ).select(
+        "user_id",
+        surrogate_id("user_id", "ts").alias("sur_id"),
+        "value",
+        "ts",
+        F.col("ts").alias("valid_from"),
+        F.lit(SENTINEL_TS).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = spark.createDataFrame(
+        [(k, t_new, v) for k, v in batch_vals.items()], "user_id int, ts timestamp, value int"
+    )
+    delta = scd2_delta(dim, batch, key="user_id", ts_col="ts", attr_cols=["value"]).collect()
+
+    current = [r for r in delta if r.is_current]
+    closed = [r for r in delta if not r.is_current]
+    # exactly one current row per touched key
+    touched = set(batch_vals)
+    assert sorted(r.user_id for r in current) == sorted(touched)
+    # every changed key (already in dim) contributes exactly one closed row
+    changed = touched & set(dim_vals)
+    assert sorted(r.user_id for r in closed) == sorted(changed)
+    dim_rows = {r.user_id: r for r in dim.collect()}
+    for r in closed:
+        assert r.sur_id == dim_rows[r.user_id].sur_id  # closes in place (J7)
+        assert r.valid_to == t_new and r.value == dim_vals[r.user_id]
+    for r in current:
+        assert r.valid_from == t_new and r.value == batch_vals[r.user_id]
