@@ -626,6 +626,21 @@ def agg_approx_distinct(spark, sf_dir):  # ±5% vs exact asserted in tests
     )
 
 
+@query("agg_approx_median")  # rows-only: sketch estimate isn't portable SQL;
+def agg_approx_median(spark, sf_dir):  # ±2% vs exact asserted in tests
+    """Approx percentiles (KLL-style sketch) — the 100 TB path for
+    quantiles: one pass, fixed memory, mergeable partial sketches.
+    agg_median is the exact verification baseline (SURVEY §2.5 note)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("median_approx"),
+            F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
+        )
+    )
+
+
 @query(
     "agg_sliding",
     oracle="""

@@ -647,6 +647,82 @@ def set_union_distinct(spark, sf_dir):
     return a.union(b).distinct()
 
 
+@query(
+    "agg_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+    ), m AS (
+      SELECT date_trunc('hour', ts) AS hour_start,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.hour_start, COALESCE(m.sum_value, 0.0) AS sum_value, COALESCE(m.n, 0) AS n
+    FROM spine s LEFT JOIN m ON s.hour_start = m.hour_start
+    """,
+)
+def agg_gap_fill(spark, sf_dir):
+    """Warehouse pattern: time-series gap fill — generate a dense hourly
+    calendar spine (sequence over the observed bounds, a one-row
+    broadcast + per-row generator) and left-join the sparse hourly
+    purchase totals onto it, zero-filling empty hours. Reports over a
+    spine never silently drop quiet periods."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    m = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+    return spine.join(m, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_val,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+    FROM events
+    """,
+)
+def window_first_last(spark, sf_dir):
+    """§2.5 generalization: first_value/last_value — each event tagged
+    with its user's first and latest value. last_value needs the full
+    partition frame (the default frame ends at CURRENT ROW — the
+    classic silent-wrong-answer); both engines get the explicit frame."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.8 scalar functions — arrays, lateral explode, strings, CASE
 

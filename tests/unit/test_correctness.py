@@ -62,3 +62,23 @@ def test_approx_distinct_within_tolerance(spark, sf_dir, duck):
     )
     for status, n in exact.items():
         assert abs(got[status] - n) <= max(0.05 * n, 2), (status, got[status], n)
+
+
+def test_approx_median_within_tolerance(spark, sf_dir, duck):
+    got = (
+        QUERIES["agg_approx_median"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    exact = (
+        duck.execute(
+            "SELECT event_type, quantile_cont(value, 0.5) AS p50,"
+            " quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type"
+        )
+        .fetchdf()
+        .set_index("event_type")
+    )
+    for et in exact.index:
+        for approx_col, exact_col in (("median_approx", "p50"), ("p90_approx", "p90")):
+            a, e = got.loc[et, approx_col], exact.loc[et, exact_col]
+            assert abs(a - e) <= max(0.02 * abs(e), 0.5), (et, approx_col, a, e)
