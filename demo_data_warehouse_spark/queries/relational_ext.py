@@ -337,6 +337,32 @@ def scan_csv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "scan_partition_prune",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+    """,
+)
+def scan_partition_prune(spark, sf_dir):
+    """S3's read side: a date-partitioned table answers a one-day query
+    by touching ONE partition directory (PartitionFilters, asserted in
+    tests/unit/test_plans.py) — the 100 TB contract that a daily report
+    never scans the historical table. Writes the partitioned copy to a
+    scratch warehouse, then reads back a single day."""
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("date").alias("event_date")
+    )
+    path = scratch_dir("part_events")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    out = spark.read.parquet(path).where(F.col("event_date") == F.lit("2024-01-10").cast("date"))
+    return out.select("event_id", "user_id", "event_type", "event_date")
+
+
+@query(
     "join_bucketed",
     oracle="""
     SELECT c.c_custkey, c.c_name,

@@ -267,3 +267,13 @@ def test_join_bucketed_query_no_join_exchange(spark, sf_dir, qs):
     plan = physical_plan(qs["join_bucketed"](spark, sf_dir))
     details = re.findall(r"\(\d+\) Exchange\n.*?Arguments: (.*)", plan)
     assert all("hashpartitioning(o_custkey" not in a for a in details), plan
+
+
+def test_partition_prune_reads_one_partition(spark, sf_dir, qs):
+    # scan_partition_prune: the date predicate must land in
+    # PartitionFilters (directory pruning), not just PushedFilters.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["scan_partition_prune"](spark, sf_dir))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("event_date" in ln for ln in pf), plan
