@@ -749,6 +749,41 @@ def window_first_last(spark, sf_dir):
     )
 
 
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey AS okey FROM lineitem WHERE l_linenumber <= 3
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """§2.7 generalization: EXCEPT ALL — bag semantics (each occurrence
+    subtracts one occurrence), completing the set-op family's
+    multiplicity-aware half. Plans as a hash anti-count, one shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where("l_linenumber <= 3").select(F.col("l_orderkey").alias("okey"))
+    b = li.where("l_linenumber = 1").select(F.col("l_orderkey").alias("okey"))
+    return a.exceptAll(b)
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark, sf_dir):
+    """§2.3 generalization: deliberate CROSS JOIN — enumeration of two
+    FIXED-size dims (5 regions × 25 nations). The only sanctioned
+    cartesian in the engine: both sides are constant-cardinality; every
+    scaling-table cross product is forbidden by the plan tests."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
 # ---------------------------------------------------------------------------
 # §2.8 scalar functions — arrays, lateral explode, strings, CASE
 
