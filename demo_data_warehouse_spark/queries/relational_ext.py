@@ -895,6 +895,89 @@ def fn_case_when(spark, sf_dir):
 
 
 @query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 1365) AS xored,
+           event_id << 2 AS shifted_l,
+           event_id >> 3 AS shifted_r,
+           bit_count(CAST(event_id AS BIGINT)) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """§2.8 generalization: bitwise suite (&, |, xor, shifts, popcount)
+    — the primitives under simhash/bucketing, exposed as first-class
+    scalars. All codegen-folded."""
+    ev = table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(e, 2).alias("shifted_l"),
+        F.shiftright(e, 3).alias("shifted_r"),
+        F.bit_count(e).alias("popcount"),
+    )
+
+
+@query(
+    "fn_math_ops",
+    oracle="""
+    SELECT event_id,
+           abs(value - 50.0) AS dist50,
+           CAST(ceil(value) AS BIGINT) AS val_ceil,
+           CAST(floor(value) AS BIGINT) AS val_floor,
+           CAST(round(value * 100) AS BIGINT) % 7 AS mod7,
+           round(sqrt(value), 6) AS val_sqrt,
+           round(ln(value + 1.0), 6) AS val_ln
+    FROM events
+    """,
+)
+def fn_math_ops(spark, sf_dir):
+    """§2.8 generalization: math scalar suite. abs/ceil/floor/mod are
+    exact; sqrt/ln are rounded to 6dp — libm implementations may differ
+    in the last ulp across engines, and transcendental exactness is not
+    part of any SQL contract."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.abs(v - 50.0).alias("dist50"),
+        F.ceil(v).cast("bigint").alias("val_ceil"),
+        F.floor(v).cast("bigint").alias("val_floor"),
+        (F.round(v * 100).cast("bigint") % 7).alias("mod7"),
+        F.round(F.sqrt(v), 6).alias("val_sqrt"),
+        F.round(F.log(v + 1.0), 6).alias("val_ln"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """§2.4 generalization: several DISTINCT aggregates with different
+    arguments in one query — Catalyst plans this as one Expand (row per
+    distinct-set) + two-level aggregation, not k separate scans."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
     "fn_date_arith",
     oracle="""
     SELECT o_orderkey,
