@@ -956,6 +956,28 @@ def fn_math_ops(spark, sf_dir):
 
 
 @query(
+    "agg_bool",
+    oracle="""
+    SELECT user_id,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(event_type = 'purchase') AS ever_purchased,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_bool(spark, sf_dir):
+    """§2.4 generalization: boolean aggregates (every/any ≈ bool_and/
+    bool_or) — predicate rollups per key, single-pass with map-side
+    partials like any other aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "agg_multi_distinct",
     oracle="""
     SELECT o_orderstatus,

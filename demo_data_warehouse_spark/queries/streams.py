@@ -100,6 +100,39 @@ def stream_merge_upsert(spark, sf_dir):
 
 
 @query(
+    "stream_sliding",
+    oracle="""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+    )
+    SELECT win_start,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM expanded GROUP BY win_start
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding event-time windows (1h/30m) as a real stream — every
+    event lands in two overlapping windows; state per (window) group,
+    complete-mode drain. Same oracle as the batch agg_sliding (the two
+    forms must agree exactly)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("win_start"), "sum_value", "n")
+    )
+    sink = fresh_name("stream_sliding")
+    run_available_now(agg, memory_table=sink, output_mode="complete")
+    return spark.table(sink)
+
+
+@query(
     "stream_dedup",
     oracle="""
     SELECT user_id, event_type,
