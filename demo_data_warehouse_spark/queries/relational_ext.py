@@ -1028,6 +1028,27 @@ def fn_date_arith(spark, sf_dir):
     )
 
 
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding[1 : vec_id % 3] AS head FROM embeddings
+    )
+    SELECT vec_id,
+           unnest(CASE WHEN len(head) = 0 THEN [CAST(NULL AS FLOAT)] ELSE head END) AS val
+    FROM t
+    """,
+)
+def fn_explode_outer(spark, sf_dir):
+    """§2.8 generalization: NULL-preserving explode — rows with an empty
+    array survive as a single NULL row (plain explode silently drops
+    them, losing the parent row; the classic fan-out bug). Every third
+    vector gets an empty slice here to exercise the preserved branch."""
+    emb = table(spark, sf_dir, "embeddings")
+    head = F.slice("embedding", 1, (F.col("vec_id") % 3).cast("int"))
+    return emb.select("vec_id", F.explode_outer(head).alias("val"))
+
+
 # ---------------------------------------------------------------------------
 # training-data text sweep: n-gram mining with a full SQL oracle
 

@@ -15,6 +15,7 @@ from ..io import Warehouse
 from ..streaming.pipeline import (
     fresh_name,
     merge_batch_sink,
+    partition_replace_sink,
     read_landing_stream,
     run_available_now,
     scratch_dir,
@@ -156,6 +157,32 @@ def stream_dedup(spark, sf_dir):
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "stream_partition_replace",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_partition_replace(spark, sf_dir):
+    """ST4 as a stream: micro-batches published through the idempotent
+    dynamic-partition-overwrite sink (foreachBatch → Warehouse), then
+    read back from the warehouse. Replaying a batch overwrites its
+    partition exactly — the reference's WRITE_TRUNCATE partition
+    decorator semantics (dags/utils/common/data_helper.py:61-74)."""
+    wh = Warehouse(spark, scratch_dir("stream_pr"))
+    src = (
+        _events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select("event_id", "user_id", "event_type")
+    )
+    run_available_now(
+        src,
+        batch_fn=partition_replace_sink(wh, "bronze", "purchases", "2024-01-01"),
+        output_mode="append",
+    )
+    return wh.read("bronze", "purchases").select("event_id", "user_id", "event_type")
 
 
 @query(
