@@ -895,6 +895,30 @@ def fn_case_when(spark, sf_dir):
 
 
 @query(
+    "fn_sha256",
+    oracle="""
+    SELECT c_custkey,
+           sha256(c_name) AS name_sha,
+           md5(concat(c_name, '|', c_mktsegment)) AS compound_md5
+    FROM customer
+    """,
+)
+def fn_sha256(spark, sf_dir):
+    """§2.8 generalization: cryptographic hash surface (sha-256 + md5
+    compound keys) — the exact-dedup shuffle key (operators/dedup.py::
+    exact_dedup) and F1's surrogate-id shape, exposed as first-class
+    scalars. Engine-portable byte-for-byte."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("name_sha"),
+        F.md5(F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment"))).alias(
+            "compound_md5"
+        ),
+    )
+
+
+@query(
     "fn_bitwise",
     oracle="""
     SELECT event_id,
