@@ -9,11 +9,15 @@ save_table_to_gbq (reference dags/utils/common/data_helper.py:48-106):
                       partition overwrite replaces only the partitions
                       present in the frame (BigQuery `table$YYYYMMDD` +
                       WRITE_TRUNCATE analog)
-  merge               anti-join ∪ delta, written to a staging dir then
-                      swapped in — BigQuery `MERGE INTO` analog. On a
-                      real deployment this staging+swap is a Delta/
-                      Iceberg transactional commit; plain parquet has no
-                      atomic commit so the swap is the local stand-in.
+  merge               partition-scoped MERGE — BigQuery `MERGE INTO`
+                      analog (reference merges the delta into the table;
+                      it never rewrites the table). Only partitions the
+                      delta touches (its own partition_values plus any
+                      partition holding a matched key) are rewritten,
+                      via dynamic partition overwrite; rows in untouched
+                      partitions never move. On a real deployment this
+                      is a Delta/Iceberg MERGE commit; dynamic partition
+                      overwrite is the plain-parquet stand-in.
 
 Both stamp etl_inserted + partition_value at publish
 (reference dags/utils/etl.py:63-82).
@@ -45,10 +49,30 @@ class Warehouse:
         return os.path.join(self.root, db, table)
 
     def exists(self, db: str, table: str) -> bool:
+        self._recover(db, table)
         p = self.path(db, table)
         return os.path.isdir(p) and any(
             not n.startswith((".", "_tmp")) for n in os.listdir(p)
         )
+
+    def _recover(self, db: str, table: str) -> None:
+        """Heal a half-finished staging+swap (compact crash window).
+
+        The swap is two renames: final → final.old, then staging →
+        final. A crash between them leaves only `<table>.old`; without
+        recovery the next read() would silently bootstrap an empty
+        table from the delta's schema and prior history would be lost.
+        Rules: .old alone → restore it; .old alongside final → the swap
+        completed, .old is post-swap debris → drop it.
+        """
+        final = self.path(db, table)
+        old = final + ".old"
+        if not os.path.isdir(old):
+            return
+        if os.path.isdir(final):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, final)
 
     def read(self, db: str, table: str, schema: StructType | None = None) -> DataFrame:
         """Read a table; missing table + declared schema → empty frame
@@ -121,24 +145,67 @@ class Warehouse:
         partition: str,
         schema: StructType | None = None,
     ) -> None:
-        """S4/ST5: MERGE delta into the table on `keys` (delta wins),
-        via staging dir + swap. Idempotent under replay."""
+        """S4/ST5: MERGE delta into the table on `keys` (delta wins).
+        Partition-scoped and idempotent under replay.
+
+        Matches reference semantics (dags/utils/common/data_helper.py:76-106
+        — BigQuery merges the delta into the table; it never rewrites the
+        table): only *touched* partitions are rewritten. Touched =
+        partitions the delta writes into ∪ partitions holding a row whose
+        key the delta matches (a key can move partitions). The rewrite is
+        a dynamic partition overwrite, so at 100 TB a 1-partition delta
+        costs one partition's IO, not the table's; untouched partitions'
+        files are never opened or moved.
+
+        The touched-partition list is collected at the driver — it is a
+        set of partition VALUES (dates), bounded by the table's partition
+        count, never row data.
+        """
         if delta is None:
             return
         delta = self._stamp(delta, partition)
-        # missing target bootstraps from the delta's shape (MERGE auto-create)
-        target = self.read(db, table, schema=schema or delta.schema)
-        merged = merge_upsert(
-            target.select(*delta.columns), delta.select(*delta.columns), keys
-        )
         final = self.path(db, table)
-        staging = os.path.join(self.root, db, f"_tmp-{table}-{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").partitionBy("partition_value").parquet(staging)
-        old = final + ".old"
-        if os.path.isdir(final):
-            os.rename(final, old)
-        os.rename(staging, final)
-        shutil.rmtree(old, ignore_errors=True)
+        if not self.exists(db, table):
+            # MERGE auto-create: first publish is a plain partitioned write
+            delta.write.mode("overwrite").partitionBy("partition_value").parquet(final)
+            return
+        target = self.read(db, table, schema=schema or delta.schema)
+        keys = list(keys)
+        # delta keys are small relative to the target (a micro-batch /
+        # daily increment) — broadcast so the target is never shuffled
+        delta_keys = F.broadcast(delta.select(*keys).distinct())
+        matched_parts = {
+            r[0]
+            for r in target.join(delta_keys, on=keys, how="left_semi")
+            .select("partition_value")
+            .distinct()
+            .collect()
+        }
+        delta_parts = {
+            r[0] for r in delta.select("partition_value").distinct().collect()
+        }
+        touched = matched_parts | delta_parts
+        scoped = target.where(_partition_in(touched))
+        merged = merge_upsert(
+            scoped.select(*delta.columns), delta.select(*delta.columns), keys
+        )
+        # dynamic partition overwrite replaces exactly the partitions
+        # present in `merged` — but a touched partition can end up EMPTY
+        # (all its rows matched keys that moved elsewhere); those are not
+        # in the output, so their stale dirs are removed explicitly
+        survivor_parts = {
+            r[0]
+            for r in scoped.join(delta_keys, on=keys, how="left_anti")
+            .select("partition_value")
+            .distinct()
+            .collect()
+        }
+        merged.write.mode("overwrite").partitionBy("partition_value").parquet(final)
+        for part in touched - (survivor_parts | delta_parts):
+            shutil.rmtree(
+                os.path.join(final, f"partition_value={_hive_part(part)}"),
+                ignore_errors=True,
+            )
 
 
     def compact(
@@ -153,11 +220,18 @@ class Warehouse:
         then pays per-file open cost and loses row-group locality).
 
         Rewrites each partition_value directory to
-        ceil(bytes / target_file_bytes) files via the same staging+swap
-        as merge_write (atomic-commit stand-in; Delta/Iceberg OPTIMIZE
+        ceil(partition_bytes / target_file_bytes) files via a
+        staging+swap (atomic-commit stand-in; Delta/Iceberg OPTIMIZE
         is the production analog). Data is byte-identical — only file
         layout changes. Returns {'files_before': n, 'files_after': m}.
+
+        Per-partition file counts come from the on-disk partition dir
+        sizes; rows are spread across that many reducers with a
+        deterministic hash salt (pmod(xxhash64(all cols), n_i)), so a
+        partition larger than target_file_bytes splits into multiple
+        target-size files instead of collapsing to one.
         """
+        self._recover(db, table)
         final = self.path(db, table)
         files_before = sum(
             1
@@ -175,9 +249,40 @@ class Warehouse:
         partitioned = "partition_value" in df.columns
         n_files = max(1, -(-total_bytes // target_file_bytes))
         if partitioned:
-            # spread within each partition dir; repartition by the
-            # partition column so each output dir gets coalesced files
-            out = df.repartition(int(n_files), "partition_value")
+            # per-partition target file count from the dir's actual bytes
+            part_bytes: dict[str, int] = {}
+            for name in os.listdir(final):
+                d = os.path.join(final, name)
+                if not (name.startswith("partition_value=") and os.path.isdir(d)):
+                    continue
+                b = sum(
+                    os.path.getsize(os.path.join(dd, n))
+                    for dd, _s, names in os.walk(d)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+                part_bytes[name.split("=", 1)[1]] = b
+            nf_rows = [
+                (v, max(1, -(-b // target_file_bytes))) for v, b in part_bytes.items()
+            ]
+            nf = self.spark.createDataFrame(nf_rows, ["_part_str", "_nf"])
+            data_cols = [c for c in df.columns if c != "partition_value"]
+            salted = (
+                df.join(
+                    F.broadcast(nf),
+                    F.col("partition_value").cast("string") == F.col("_part_str"),
+                    "left",
+                )
+                .withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64(*data_cols), F.coalesce("_nf", F.lit(1))),
+                )
+                .drop("_part_str", "_nf")
+            )
+            total_out = max(1, sum(n for _v, n in nf_rows))
+            out = salted.repartition(
+                int(total_out), F.col("partition_value"), F.col("_salt")
+            ).drop("_salt")
         else:
             out = df.repartition(int(n_files))
         staging = os.path.join(self.root, db, f"_tmp-{table}-{uuid.uuid4().hex[:8]}")
@@ -196,6 +301,23 @@ class Warehouse:
             if n.endswith(".parquet")
         )
         return {"files_before": files_before, "files_after": files_after}
+
+
+def _hive_part(value) -> str:
+    """Render a partition value the way Spark names its directory."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(value)
+
+
+def _partition_in(values: set):
+    """Partition-pruning predicate for a set of partition values
+    (NULL-safe: isin() never matches NULL, so NULL gets its own arm)."""
+    non_null = [v for v in values if v is not None]
+    cond = F.col("partition_value").isin(non_null) if non_null else F.lit(False)
+    if None in values:
+        cond = cond | F.col("partition_value").isNull()
+    return cond
 
 
 def _with_publish_fields(schema: StructType) -> StructType:
