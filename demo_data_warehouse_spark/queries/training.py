@@ -235,13 +235,25 @@ def ann_cosine_lsh(spark, sf_dir):
 @query("ann_cosine_ivf")  # rows-only: recall asserted vs brute force in tests
 def ann_cosine_ivf(spark, sf_dir):
     """IVF-bucketed ANN (scale path): k-means coarse quantizer from a
-    bounded sample, distributed cell assignment, probe nearest cells."""
+    bounded sample, one distributed cell assignment materialized as a
+    cell-partitioned index, then probing = directory partition pruning
+    (PartitionFilters on `cell`, plan-asserted) — at 100 TB a query
+    opens n_probe cell dirs, never the full corpus."""
+    import os
+
     emb = table(spark, sf_dir, "embeddings")
     qrow = emb.where("vec_id = 0").select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     corpus = emb.where("vec_id <> 0")
     cents = similarity.ivf_train_centroids(corpus, "embedding", n_cells=8)
-    top = similarity.cosine_topk_ivf(corpus, "vec_id", "embedding", qv, cents, k=10, n_probe=3)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    index_path = os.path.join(
+        repo_root, ".cache", "ivf", os.path.basename(os.path.normpath(sf_dir)), "embeddings"
+    )
+    similarity.ivf_write_index(corpus, "vec_id", "embedding", cents, index_path)
+    top = similarity.cosine_topk_ivf_indexed(
+        spark, index_path, "vec_id", "embedding", qv, cents, k=10, n_probe=3
+    )
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 

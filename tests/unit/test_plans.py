@@ -177,6 +177,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS silver.cust_b")
 
 
+def test_ivf_indexed_probe_prunes_cell_partitions(spark, tmp_path):
+    # The IVF scale contract: probing a materialized index must be
+    # directory-level partition pruning (PartitionFilters on `cell`),
+    # not a filter over a full corpus scan — at 100 TB this is the
+    # difference between reading n_probe cells and reading everything.
+    from demo_data_warehouse_spark.operators import similarity
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = similarity.ivf_train_centroids(df, "embedding", n_cells=4, sample_rows=64)
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_index(df, "vec_id", "embedding", cents, idx)
+    top = similarity.cosine_topk_ivf_indexed(
+        spark, idx, "vec_id", "embedding", [1.0, 0.5, 1.0], cents, k=5, n_probe=2
+    )
+    plan = physical_plan(top)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell" in ln for ln in pf), plan
+    assert top.count() == 5
+
+
 def test_ann_topk_avoids_global_sort(spark, sf_dir, qs):
     # top-k must be TakeOrderedAndProject (per-partition heap + merge),
     # not a full Sort of every cosine score.

@@ -85,6 +85,25 @@ def test_ivf_recall(spark, vecs):
     assert len(set(got.vec_id) & brute) >= 3
 
 
+def test_ivf_indexed_matches_unindexed(spark, vecs, tmp_path):
+    # the materialized-index probe must return exactly what the
+    # semi-join probe returns for the same centroids and n_probe
+    m, df = vecs
+    q = [float(x) for x in m[0]]
+    corpus = df.where("vec_id <> 0")
+    cents = similarity.ivf_train_centroids(corpus, "embedding", n_cells=4, sample_rows=100)
+    direct = similarity.cosine_topk_ivf(
+        corpus, "vec_id", "embedding", q, cents, k=5, n_probe=2
+    ).toPandas()
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write_index(corpus, "vec_id", "embedding", cents, idx)
+    indexed = similarity.cosine_topk_ivf_indexed(
+        spark, idx, "vec_id", "embedding", q, cents, k=5, n_probe=2
+    ).toPandas()
+    assert list(indexed.vec_id) == list(direct.vec_id)
+    np.testing.assert_allclose(indexed.cos_sim.to_numpy(), direct.cos_sim.to_numpy(), rtol=1e-12)
+
+
 def test_ivf_centroids_deterministic(spark, vecs):
     _, df = vecs
     a = similarity.ivf_train_centroids(df, "embedding", n_cells=4, sample_rows=100)
