@@ -27,7 +27,14 @@ from ..io import Warehouse
 from . import bronze as bronze_mod
 from . import gold as gold_mod
 from . import silver as silver_mod
-from .schemas import BRONZE_SPECS, DIM_EMPLOYEE, DIM_VENDOR, GOLD_SCHEMAS, SILVER_SCHEMAS
+from .schemas import (
+    BRONZE_SPECS,
+    DIM_EMPLOYEE,
+    DIM_VENDOR,
+    GOLD_SCHEMAS,
+    SILVER_SCHEMAS,
+    infer_bronze_spec,
+)
 
 
 class LarkPipeline:
@@ -63,13 +70,48 @@ class LarkPipeline:
             df = df.drop(first)
         return df
 
+    def discover_tables(self, partition: str | None = None) -> list[str]:
+        """S6: runtime source-catalog discovery over the landing dir —
+        the local analog of the reference's paginated Bitable listing
+        (dags/utils/lark.py:71-112 `get_tables`) that the ingestion DAG
+        fans out over (dags/ingestion/lark_to_gcs.py:110-148
+        `expand_kwargs`): a table newly dropped into the source is
+        ingested with no code change. With `partition`, only tables
+        that actually have data for that partition are returned."""
+        if not os.path.isdir(self.landing):
+            return []
+        names = []
+        for name in sorted(os.listdir(self.landing)):
+            d = os.path.join(self.landing, name)
+            if not os.path.isdir(d):
+                continue
+            if partition is not None and not os.path.exists(
+                os.path.join(d, partition, "data.csv")
+            ):
+                continue
+            names.append(name)
+        return names
+
     def build_bronze(self, partition: str) -> dict[str, DataFrame | None]:
+        """Bronze over the union of registered specs and discovered
+        tables. Registered tables get their typed spec; discovered
+        unregistered tables get an inferred all-string spec
+        (infer_bronze_spec) so ingestion never needs a code change."""
         out: dict[str, DataFrame | None] = {}
-        for name, spec in BRONZE_SPECS.items():
+        self._spec_names: dict[str, str] = {
+            n: s.name for n, s in BRONZE_SPECS.items()
+        }
+        names = sorted(set(BRONZE_SPECS) | set(self.discover_tables(partition)))
+        for name in names:
             raw = self.load_landing(name, partition)
             if raw is None or not raw.head(1):
-                out[name] = None
+                if name in BRONZE_SPECS:
+                    out[name] = None
                 continue
+            spec = BRONZE_SPECS.get(name)
+            if spec is None:
+                spec = infer_bronze_spec(name, raw.columns)
+                self._spec_names[name] = spec.name
             df = bronze_mod.preprocess_bronze(raw, spec)
             if name == "employee":
                 # P5: dropna on the business key (reference etl.py:154)
@@ -93,11 +135,12 @@ class LarkPipeline:
     def _run(self, partition: str) -> None:
         bronze = self.build_bronze(partition)
 
-        # publish bronze (S3 partition replace, reference etl.py:109)
+        # publish bronze (S3 partition replace, reference etl.py:109) —
+        # including dynamically discovered tables (S6)
         for name, df in bronze.items():
             if df is not None:
                 self.wh.write_partition_replace(
-                    df, "bronze", BRONZE_SPECS[name].name, partition
+                    df, "bronze", self._spec_names[name], partition
                 )
 
         # silver dims: snapshot → delta → MERGE → read back (etl.py:525-614)

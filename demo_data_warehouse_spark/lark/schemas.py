@@ -187,6 +187,41 @@ BRONZE_SPECS = {
 }
 
 
+def snake_case(raw: str) -> str:
+    """Raw Lark column label → snake_case identifier (the same shape the
+    hand-written rename maps produce: 'Parent items' → 'parent_items')."""
+    import re
+
+    s = re.sub(r"[^0-9a-zA-Z]+", "_", raw).strip("_").lower()
+    return s or "col"
+
+
+def infer_bronze_spec(logical_name: str, raw_columns: list[str]) -> BronzeSpec:
+    """S6 dynamic-catalog analog: a landing table with NO registered spec
+    still lands in bronze — every column kept as string, auto snake_case
+    renames, no primary-key filter. Mirrors the reference's
+    discovery-driven ingestion (dags/utils/lark.py:71-112 `get_tables`
+    feeding dags/ingestion/lark_to_gcs.py:110-148 `expand_kwargs`): a
+    newly created Bitable is ingested with zero code change; typed
+    bronze treatment starts when a spec is registered."""
+    renames: dict[str, str] = {}
+    seen: set[str] = set()
+    for raw in raw_columns:
+        cand = snake_case(raw)
+        i, base = 2, cand
+        while cand in seen:  # collision-proof: 'A b' and 'a_b' both present
+            cand, i = f"{base}_{i}", i + 1
+        seen.add(cand)
+        if cand != raw:
+            renames[raw] = cand
+    return BronzeSpec(
+        name=f"lark_{logical_name}",
+        cols=tuple((raw, "s") for raw in raw_columns),
+        renames=renames,
+        primary_keys=(),
+    )
+
+
 def _f(name, t, nullable=True):
     return StructField(name, t, nullable)
 

@@ -174,6 +174,17 @@ def pipeline_run(spark, tmp_path_factory):
     u3["Last Modified Date"] = [T2]
     write_landing(landing, "employee", P2, pd.concat([emp_p2, u3], ignore_index=True))
 
+    # sixth, UNREGISTERED table → exercised by the S6 dynamic-discovery
+    # tests; must be ingested to bronze with no code change
+    proj_p1 = pd.DataFrame(
+        {
+            "Project Code": ["PRJ-1", "PRJ-2"],
+            "Owner Name": ["u1", "u2"],
+            "Ghi chú": ["", "x"],
+        }
+    )
+    write_landing(landing, "project", P1, proj_p1)
+
     from demo_data_warehouse_spark.lark.notify import CollectingNotifier
 
     wh = Warehouse(spark, str(root))
@@ -294,6 +305,39 @@ def test_replay_idempotent(pipeline_run, spark):
     after = snap()
     for k in before:
         pd.testing.assert_frame_equal(before[k], after[k]), k
+
+
+def test_dynamic_discovery_ingests_unregistered_table(pipeline_run, spark):
+    """S6 (reference dags/utils/lark.py:71-112 + lark_to_gcs.py:110-148):
+    the module fixture dropped a sixth, unregistered table 'project'
+    into landing before the runs — it must land in bronze with
+    snake_cased columns and partition stamping, with NO code change."""
+    wh, pipe = pipeline_run
+    assert "project" in pipe.discover_tables(P1)
+    proj = wh.read("bronze", "lark_project").toPandas()
+    assert set(proj.project_code) == {"PRJ-1", "PRJ-2"}
+    assert "owner_name" in proj.columns  # 'Owner Name' snake_cased
+    assert set(proj.partition_value.astype(str)) == {P1}
+
+
+def test_discover_tables_partition_filter(pipeline_run):
+    _, pipe = pipeline_run
+    all_t = set(pipe.discover_tables())
+    assert {"employee", "attendance", "vendor", "payment", "project"} <= all_t
+    # 'project' only has P1 data; P2 discovery must exclude it
+    assert "project" not in set(pipe.discover_tables(P2))
+    assert "employee" in set(pipe.discover_tables(P2))
+
+
+def test_infer_bronze_spec_collision_safe():
+    from demo_data_warehouse_spark.lark.schemas import infer_bronze_spec
+
+    spec = infer_bronze_spec("x", ["A b", "a_b", "Ghi chú", ""])
+    out = spec.out_columns
+    assert out[0] == "a_b" and out[1] == "a_b_2"  # no silent column collision
+    assert out[2] == "ghi_ch"  # non-ascii folded, not crashed
+    assert out[3] == "col"
+    assert spec.name == "lark_x"
 
 
 def test_notifier_success_and_failure(pipeline_run, spark, tmp_path):
