@@ -15,10 +15,40 @@ Python UDFs on the hot path.
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+
+def _cap_hot_buckets(
+    exploded: DataFrame, bucket_cols: list[str], max_bucket_size: int, op: str
+) -> DataFrame:
+    """Degenerate-corpus guard: drop LSH buckets holding more than
+    max_bucket_size members before the self-join.
+
+    A k-member bucket emits k(k-1)/2 candidate pairs — one boilerplate
+    string repeated 1M times turns a linear-ish candidate join into
+    5·10¹¹ pairs inside a single reducer. Oversized buckets are almost
+    always degenerate content (empty/boilerplate docs), and a true
+    near-dup pair dropped from one hot band can still surface via its
+    other bands (the banding redundancy). The drop is LOGGED (bucket
+    count + member rows) so silent truncation never reads as coverage.
+    """
+    sizes = exploded.groupBy(*bucket_cols).agg(F.count("*").alias("__n"))
+    over = sizes.where(F.col("__n") > max_bucket_size)
+    n_over, n_rows = over.agg(
+        F.count("*"), F.coalesce(F.sum("__n"), F.lit(0))
+    ).collect()[0]
+    if n_over:
+        _log.warning(
+            "%s: dropped %d hot bucket(s) (%d member rows) over cap %d",
+            op, n_over, n_rows, max_bucket_size,
+        )
+    return exploded.join(over.select(*bucket_cols), bucket_cols, "left_anti")
 
 # 31-bit Mersenne prime: permutations stay in 31-bit space so
 # a*h + b < 2^62 never overflows int64 under ANSI mode
@@ -127,6 +157,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     hash_mode: str = "fast",
+    cache_signatures: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded minhash LSH.
 
@@ -134,10 +166,19 @@ def minhash_lsh_pairs(
     est_jaccard >= threshold (estimated as matching-signature fraction).
     Shuffle profile: one groupless equi-join on (band_id, band_hash)
     buckets + one join back to signatures — no cross product.
+
+    cache_signatures persists the (id, sig) table, reused three times
+    (band explode + both join-back sides) — caller-controlled because at
+    100 TB an implicit full materialization must be an explicit opt-in.
+    max_bucket_size drops degenerate hot buckets (see _cap_hot_buckets);
+    enable cache_signatures alongside it to avoid re-deriving signatures
+    for the bucket census.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed, hash_mode).cache()
+    sigs = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed, hash_mode)
+    if cache_signatures:
+        sigs = sigs.cache()
 
     def band_hash(j: int):
         if hash_mode == "portable":
@@ -157,6 +198,10 @@ def minhash_lsh_pairs(
     exploded = sigs.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
+    if max_bucket_size is not None:
+        exploded = _cap_hot_buckets(
+            exploded, ["band_id", "band_hash"], max_bucket_size, "minhash_lsh_pairs"
+        )
     x, y = exploded.alias("x"), exploded.alias("y")
     cand = (
         x.join(y, on=["band_id", "band_hash"])
@@ -235,17 +280,28 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, hash_mode: str = "fast"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_mode: str = "fast",
+    cache_signatures: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by simhash hamming distance ≤ max_hamming.
 
     Candidate generation: split the hash into 4 equal blocks (16 or 15
     bits) and bucket-join on any equal block (pigeonhole: hamming ≤ 3 ⇒
     at least one of 4 blocks identical) — never a cross product.
+
+    cache_signatures / max_bucket_size: see minhash_lsh_pairs — same
+    caller-controlled materialization and degenerate-bucket guard.
     """
     bb = simhash_bits(hash_mode) // 4
     mask = (1 << bb) - 1
-    sigs = simhash_signatures(df, id_col, text_col, hash_mode).cache()
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode)
+    if cache_signatures:
+        sigs = sigs.cache()
     blocks = sigs.select(
         "id",
         "simhash",
@@ -261,6 +317,10 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.block_id").alias("block_id"), F.col("b.block_val").alias("block_val"))
+    if max_bucket_size is not None:
+        blocks = _cap_hot_buckets(
+            blocks, ["block_id", "block_val"], max_bucket_size, "simhash_pairs"
+        )
     x, y = blocks.alias("x"), blocks.alias("y")
     return (
         x.join(y, on=["block_id", "block_val"])
@@ -276,7 +336,12 @@ def simhash_pairs(
 
 
 def embed_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, round_dp: int = 4
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_dp: int = 4,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — exact all-pairs baseline.
 
@@ -287,9 +352,20 @@ def embed_cosine_pairs(
     This is the CORRECTNESS baseline: O(n²) pairs — fine for a corpus
     that fits one shuffle, wrong at 100 TB. The scale path is
     embed_cosine_pairs_lsh (banded sign-LSH buckets → exact verify).
+    max_rows is the guard rail for that: the call REFUSES (ValueError)
+    corpora above the bound rather than silently planning a 10¹⁰-pair
+    join; pass max_rows=None only when the quadratic cost is intended.
     """
     from .similarity import cosine_sim_col
 
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embed_cosine_pairs is an O(n²) baseline: corpus has {n} rows"
+                f" > max_rows={max_rows}; use embed_cosine_pairs_lsh for scale"
+                " or pass max_rows=None to force"
+            )
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
@@ -311,6 +387,7 @@ def embed_cosine_pairs_lsh(
     rows_per_band: int = 4,
     seed: int = 42,
     round_dp: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded random-hyperplane LSH.
 
@@ -352,6 +429,10 @@ def embed_cosine_pairs_lsh(
     exploded = e.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
         "id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        exploded = _cap_hot_buckets(
+            exploded, ["band_id", "bucket"], max_bucket_size, "embed_cosine_pairs_lsh"
+        )
     x, y = exploded.alias("x"), exploded.alias("y")
     cand = (
         x.join(y, on=["band_id", "bucket"])

@@ -94,7 +94,10 @@ def dedup_minhash(spark, sf_dir):
     signatures/bands; fast-mode Jaccard agreement is asserted in
     tests/unit/test_dedup.py."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3, hash_mode="portable")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.3, hash_mode="portable",
+        cache_signatures=True,
+    )
 
 
 @query(
@@ -117,7 +120,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     candidates and exact verify both oracle-replayed)."""
     docs = table(spark, sf_dir, "documents")
     cands = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.2, hash_mode="portable"
+        docs, "doc_id", "text", threshold=0.2, hash_mode="portable",
+        cache_signatures=True,
     ).select("id_a", "id_b")
     return dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text")
 
@@ -155,7 +159,10 @@ def dedup_simhash(spark, sf_dir):
     hash; oracle enumerates the same block-collision pairs all-pairs —
     fine at oracle scale, the Spark side stays bucket-joined)."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10, hash_mode="portable")
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=10, hash_mode="portable",
+        cache_signatures=True,
+    )
 
 
 @query(

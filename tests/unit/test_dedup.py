@@ -159,3 +159,66 @@ def test_embed_lsh_recall_and_precision(spark, vectors):
     assert got <= exact
     # recall: near-identical pairs collide in some band with p≈0.998
     assert len(got & exact) >= len(exact) - 1
+
+
+# ---------------------------------------------------------------------------
+# degenerate-corpus guards
+
+
+@pytest.fixture(scope="module")
+def pathological(spark):
+    # 1k identical short docs: every LSH bucket holds all 1000 ids →
+    # uncapped candidate space is ~500k pairs from a single bucket
+    return spark.createDataFrame(
+        [(i, "same boilerplate text repeated") for i in range(1000)],
+        ["doc_id", "text"],
+    )
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark, pathological):
+    capped = dedup.minhash_lsh_pairs(
+        pathological, "doc_id", "text", threshold=0.0, max_bucket_size=50
+    )
+    # every bucket is oversized → all dropped → no quadratic blow-up
+    assert capped.count() == 0
+
+
+def test_minhash_cap_no_op_on_normal_corpus(spark, corpus):
+    plain = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.3, num_hashes=64, bands=16
+    ).toPandas()
+    capped = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.3, num_hashes=64, bands=16,
+        max_bucket_size=100,
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+    assert key(capped) == key(plain)
+
+
+def test_simhash_hot_bucket_cap(spark, pathological, corpus):
+    assert (
+        dedup.simhash_pairs(
+            pathological, "doc_id", "text", max_hamming=3, max_bucket_size=50
+        ).count()
+        == 0
+    )
+    plain = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=16).toPandas()
+    capped = dedup.simhash_pairs(
+        corpus, "doc_id", "text", max_hamming=16, max_bucket_size=100
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+    assert key(capped) == key(plain)
+
+
+def test_embed_cosine_pairs_refuses_large_corpus(spark):
+    big = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\) baseline"):
+        dedup.embed_cosine_pairs(big, "vec_id", "embedding", threshold=0.5, max_rows=10)
+    # explicit opt-out still works
+    out = dedup.embed_cosine_pairs(
+        big, "vec_id", "embedding", threshold=0.5, max_rows=None
+    )
+    assert out.count() == 50 * 49 / 2
