@@ -3,8 +3,8 @@
 Generalizes the reference's dim_employee / dim_vendor build
 (reference dags/utils/etl.py:274-354, 356-422):
 
-  net-new   = batch keys absent from the current dim        (left-anti, J5)
-  new-ver   = batch ⋈ dim where dim.ts < batch.ts           (J6) → open rows
+  net-new   = batch keys absent from the current dim        (J5) → open row
+  new-ver   = batch ⋈ dim where dim.ts < batch.ts           (J6) → open row
   closed    = dim ⋈ batch where dim.ts < batch.ts           (J7) → the dim's
               old row with is_current=False, valid_to=batch.ts, and —
               reference quirk preserved — datetime_updated overwritten by the
@@ -20,9 +20,15 @@ The delta feeds operators.merge.merge_upsert on the surrogate id (the
 reference merges on sur_id alone, dags/utils/etl.py:542,559), which both
 inserts the new versions and closes the old ones in place.
 
-Scale: one shuffle on the business key for the join trio (Catalyst
-reuses the exchange); the dim side is filtered to is_current before the
-join so only the live snapshot shuffles.
+Scale: all three legs come out of ONE left join on the business key —
+each joined row emits 0–2 delta rows through a typed array + explode
+(net-new → [open], changed → [open, closed], unchanged → []). The
+union-of-three-joins formulation would scan and shuffle both inputs
+three times (verified: 6 Exchanges in the physical plan); this shape
+plans 2 input shuffles + 1 join, pinned by
+tests/unit/test_plans.py::test_scd2_single_join_no_recompute.
+The dim side is filtered to is_current before the join so only the
+live snapshot shuffles.
 """
 
 from __future__ import annotations
@@ -56,21 +62,7 @@ def scd2_delta(
     out_cols = [key, sur_id_col, *attr_cols, ts_col, "valid_from", "valid_to", "is_current"]
     dim_cur = dim.where(F.col("is_current"))
 
-    def open_row(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(key),
-            surrogate_id(key, ts_col).alias(sur_id_col),
-            *[F.col(c) for c in attr_cols],
-            F.col(ts_col),
-            F.col(ts_col).alias("valid_from"),
-            F.lit(SENTINEL_TS).cast("timestamp").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
-
-    # J5: net-new keys
-    net_new = open_row(batch.join(dim_cur, on=key, how="left_anti"))
-
-    # shared join for J6/J7 — batch vs live dim, changed keys only
+    # single join feeding all three legs (see module docstring)
     dim_ts = dim_cur.select(
         F.col(key),
         F.col(ts_col).alias("__dim_ts"),
@@ -78,26 +70,35 @@ def scd2_delta(
         F.col("valid_from").alias("__dim_valid_from"),
         *[F.col(c).alias(f"__dim_{c}") for c in attr_cols],
     )
-    changed = (
-        batch.join(dim_ts, on=key, how="inner")
-        .where(F.col("__dim_ts") < F.col(ts_col))
+    joined = batch.join(dim_ts, on=key, how="left")
+
+    # J5/J6: the open row (net-new and new-version are the same shape)
+    open_s = F.struct(
+        surrogate_id(key, ts_col).alias(sur_id_col),
+        *[F.col(c).alias(c) for c in attr_cols],
+        F.col(ts_col).alias(ts_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lit(SENTINEL_TS).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
     )
-
-    # J6: new open versions from the batch side
-    new_ver = open_row(changed.select(key, ts_col, *attr_cols))
-
-    # J7: close the old dim rows — old sur_id/attrs/valid_from kept,
+    # J7: close the old dim row — old sur_id/attrs/valid_from kept,
     # datetime_updated overwritten by the incoming ts (reference quirk)
-    closed = changed.select(
-        F.col(key),
+    closed_s = F.struct(
         F.col("__dim_sur").alias(sur_id_col),
         *[F.col(f"__dim_{c}").alias(c) for c in attr_cols],
-        F.col(ts_col),
+        F.col(ts_col).alias(ts_col),
         F.col("__dim_valid_from").alias("valid_from"),
         F.col(ts_col).alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
-
-    return net_new.select(out_cols).unionByName(new_ver.select(out_cols)).unionByName(
-        closed.select(out_cols)
+    both = F.array(open_s, closed_s)
+    rows = (
+        F.when(F.col("__dim_sur").isNull(), F.slice(both, 1, 1))   # net-new
+        .when(F.col("__dim_ts") < F.col(ts_col), both)             # changed
+        .otherwise(F.slice(both, 1, 0))                            # no-op
+    )
+    return (
+        joined.select(F.col(key), F.explode(rows).alias("__r"))
+        .select(key, "__r.*")
+        .select(out_cols)
     )

@@ -177,6 +177,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS silver.cust_b")
 
 
+def test_scd2_single_join_no_recompute(spark, sf_dir, qs):
+    # The SCD2 delta must come out of ONE join over each input computed
+    # once: 2 input shuffles (the two per-user windows) and 2 scans.
+    # The naive union-of-three-joins shape re-scans and re-shuffles both
+    # inputs per leg (6 Exchanges, 6 scans) — 3× the IO at 100 TB.
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["scd2_delta"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
 def test_ivf_indexed_probe_prunes_cell_partitions(spark, tmp_path):
     # The IVF scale contract: probing a materialized index must be
     # directory-level partition pruning (PartitionFilters on `cell`),
