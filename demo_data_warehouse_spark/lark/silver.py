@@ -16,8 +16,8 @@ preserved deliberately (SURVEY §7.3 item 4):
     over the stored dim's (reference etl.py:302-305)
 
 Scale: dim lookups are broadcast (dims are bounded, HR-sized); the
-delta joins shuffle on the business key once and Catalyst reuses the
-exchange across the three branches.
+SCD2 delta is a single left join on the business key — one shuffle per
+input, no recompute across legs (see _scd2_assemble).
 """
 
 from __future__ import annotations
@@ -38,53 +38,57 @@ def _sur_id(key_col: str, ts_col: str = "datetime_updated"):
 
 
 def _scd2_assemble(batch: DataFrame, dim_latest: DataFrame, key: str, attr_cols: list[str]) -> DataFrame:
-    """Three-branch SCD2 delta on `key`; batch/dim both carry attr_cols
-    (which include the surrogate id and datetime_updated)."""
+    """SCD2 delta on `key`; batch/dim both carry attr_cols (which
+    include the surrogate id and datetime_updated).
+
+    One left join feeds all three legs (same single-pass shape as
+    operators/scd2.py — the union-of-three-joins form scans and
+    shuffles both inputs three times). Classification mirrors the
+    reference's pandas left-merge exactly (reference etl.py:296-317):
+
+      - net-new ⇔ the merged dim ts is NULL — which covers BOTH an
+        absent key AND a stored dim row whose datetime_updated is NULL
+        (the reference checks datetime_updated_latest.isnull() after
+        the merge, so such a row re-opens with no closing row);
+      - the join is null-safe on the key (pandas merges NaN keys as
+        equal, so a NULL-key batch row matches a NULL-key dim row).
+    """
     out_cols = [*attr_cols, "is_current", "valid_from", "valid_to"]
     dim_k = dim_latest.select(
         F.col(key).alias("__k"),
         F.col("datetime_updated").alias("__dim_ts"),
         *[F.col(c).alias(f"__dim_{c}") for c in attr_cols if c != key],
     )
+    joined = batch.join(dim_k, batch[key].eqNullSafe(dim_k["__k"]), "left")
 
-    def open_flags(df):
-        return (
-            df.withColumn("is_current", F.lit(True))
-            .withColumn("valid_from", F.col("datetime_updated"))
-            .withColumn("valid_to", F.lit(SENTINEL).cast("timestamp"))
-        )
-
-    # net-new keys (reference etl.py:310-317)
-    net_new = open_flags(batch.join(dim_k, batch[key] == dim_k["__k"], "left_anti"))
-
-    joined = batch.join(dim_k, batch[key] == dim_k["__k"], "inner").where(
-        F.col("__dim_ts") < F.col("datetime_updated")
+    # open row (net-new and new-version share it; reference etl.py:310-329)
+    open_s = F.struct(
+        *[F.col(c).alias(c) for c in attr_cols],
+        F.lit(True).alias("is_current"),
+        F.col("datetime_updated").alias("valid_from"),
+        F.lit(SENTINEL).cast("timestamp").alias("valid_to"),
     )
-    # new open versions from the batch side (reference etl.py:320-329)
-    new_ver = open_flags(joined.select(*attr_cols))
 
     # close the old dim row: old attrs + old sur_id, datetime_updated
     # overwritten by the incoming ts, valid_from dropped→NULL (quirk)
-    closed = joined.select(
-        F.col(key),
-        *[
-            F.col(f"__dim_{c}").alias(c)
-            for c in attr_cols
-            if c not in (key, "datetime_updated")
-        ],
-        F.col("datetime_updated"),
-    ).select(
-        *attr_cols,
+    def _closed_field(c):
+        if c in (key, "datetime_updated"):
+            return F.col(c).alias(c)
+        return F.col(f"__dim_{c}").alias(c)
+
+    closed_s = F.struct(
+        *[_closed_field(c) for c in attr_cols],
         F.lit(False).alias("is_current"),
         F.lit(None).cast("timestamp").alias("valid_from"),
         F.col("datetime_updated").alias("valid_to"),
     )
-
-    return (
-        net_new.select(out_cols)
-        .unionByName(new_ver.select(out_cols))
-        .unionByName(closed.select(out_cols))
+    both = F.array(open_s, closed_s)
+    rows = (
+        F.when(F.col("__dim_ts").isNull(), F.slice(both, 1, 1))            # net-new
+        .when(F.col("__dim_ts") < F.col("datetime_updated"), both)         # changed
+        .otherwise(F.slice(both, 1, 0))                                    # no-op
     )
+    return joined.select(F.explode(rows).alias("__r")).select("__r.*").select(out_cols)
 
 
 def build_dim_employee(bronze_employee: DataFrame, dim_latest: DataFrame) -> DataFrame:

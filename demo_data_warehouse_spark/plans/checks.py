@@ -10,14 +10,30 @@ of silently costing 100× at 100 TB.
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
-    """The executed-plan string, as `.explain(mode)` would print it."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode
-    )
+    """The executed-plan string, as `.explain(mode)` would print it.
+
+    Fast path goes through the JVM explainString helper (no stdout
+    round-trip); those are private internals (`_sc._jvm`, `_jdf`) that
+    can move across Spark versions, so the public `.explain()` output
+    captured from stdout is the fallback — plan-regression tests must
+    survive a Spark upgrade rather than all break on an AttributeError.
+    """
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+    except Exception:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()
 
 
 def assert_pushed_filters(df: DataFrame, *needles: str) -> str:

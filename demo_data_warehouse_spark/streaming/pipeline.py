@@ -175,8 +175,12 @@ def stateful_user_progress(
         n, last_us = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            m = int(pdf[ts_col].astype("int64").max()) // 1000  # ns → µs
-            last_us = m if last_us is None else max(last_us, m)
+            # NaT maps to INT64_MIN under astype('int64') — drop nulls
+            # first and skip the ts update when the batch has none valid
+            valid = pdf[ts_col].dropna()
+            if len(valid):
+                m = int(valid.astype("int64").max()) // 1000  # ns → µs
+                last_us = m if last_us is None else max(last_us, m)
         state.update((n, last_us))
         yield pd.DataFrame(
             {

@@ -365,3 +365,38 @@ def test_notifier_success_and_failure(pipeline_run, spark, tmp_path):
         broken.run("2024-01-01")
     assert [e[0] for e in n.events] == ["failure"]
     assert "boom" in n.events[0][1]["error"]
+
+
+def test_scd2_null_dim_ts_classified_net_new(spark):
+    """ADVICE parity fix: the reference classifies net-new by NULL
+    datetime_updated_latest AFTER a pandas left merge — so a stored
+    current dim row with NULL datetime_updated re-opens (no closing
+    row), and NaN join keys match each other."""
+    import datetime as dt
+
+    from demo_data_warehouse_spark.lark.silver import _scd2_assemble
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    attr_cols = ["k", "sur", "datetime_updated"]
+    batch = spark.createDataFrame(
+        [("k1", "s1_new", t2), ("k2", "s2_new", t2), (None, "sn_new", t2)],
+        "k string, sur string, datetime_updated timestamp",
+    )
+    dim = spark.createDataFrame(
+        [("k1", "s1_old", None), ("k2", "s2_old", t1), (None, "sn_old", t1)],
+        "k string, sur string, datetime_updated timestamp",
+    )
+    out = _scd2_assemble(batch, dim, "k", attr_cols).toPandas()
+    by_key = out.groupby(out.k.fillna("<null>"))
+    # k1: dim ts NULL → net-new → ONE open row, nothing closed
+    k1 = out[out.k == "k1"]
+    assert len(k1) == 1 and bool(k1.iloc[0].is_current)
+    assert k1.iloc[0].sur == "s1_new"
+    # k2: normal change → open + closed
+    k2 = out[out.k == "k2"]
+    assert len(k2) == 2 and set(k2.is_current) == {True, False}
+    # NULL key: matches the NULL-key dim row (pandas NaN-merge parity)
+    kn = out[out.k.isna()]
+    assert len(kn) == 2 and set(kn.is_current) == {True, False}
+    assert set(kn[~kn.is_current].sur) == {"sn_old"}
+    del by_key

@@ -207,3 +207,36 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # 99.0 never appears anywhere
     assert (10, 1, 1.0) in got, got
     assert not any(abs(s - 99.0) < 1e-9 or n == 2 for (_h, n, s) in got), got
+
+
+def test_stateful_operator_ignores_all_null_ts_batch(spark, tmp_path):
+    """A micro-batch whose ts values are all NULL must count its events
+    but NOT corrupt last_ts (NaT→INT64_MIN under astype('int64'))."""
+    import datetime as dt
+
+    from demo_data_warehouse_spark.streaming.pipeline import stateful_user_progress
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    # batch 1: valid ts; batch 2 (separate file): null ts for the same key
+    _write_batch(spark, landing, _rows((1, 1, 5, 1.0)))
+    spark.createDataFrame(
+        [Row(event_id=2, user_id=1, ts=None, value=2.0)],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    emitted: list = []
+
+    def sink(batch, _bid):
+        emitted.extend(batch.collect())
+
+    schema = spark.read.parquet(landing).schema
+    out = stateful_user_progress(
+        read_landing_stream(spark, landing, schema=schema, maxFilesPerTrigger=1)
+    )
+    run_available_now(out, batch_fn=sink, checkpoint=ckpt, output_mode="update")
+    final = {r.user_id: (r.n_events, r.last_ts) for r in emitted}[1]
+    n_events, last_ts = final
+    assert n_events == 2  # null-ts event still counted
+    assert last_ts == dt.datetime(2024, 1, 1, 10, 5)  # not INT64_MIN garbage
