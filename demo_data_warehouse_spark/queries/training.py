@@ -5,8 +5,10 @@ Hash-driven dedup (minhash LSH / simhash / ngram-jaccard) runs in
 hash_mode='portable' (md5-60, dedup.hash60_sql) so a DuckDB oracle can
 replay the exact same signatures, buckets, and pairs bit-for-bit; the
 xxhash64 'fast' mode is the production default and is verified against
-brute force in tests/unit/test_dedup.py. The probabilistic ops
-(embedding sign-LSH, IVF, HLL) stay rows-only with recall/tolerance
+brute force in tests/unit/test_dedup.py. The embedding sign-LSH family
+is also oracle-replayed exactly — the seeded hyperplanes are inlined as
+double literals into the DuckDB SQL. Only genuinely engine-dependent
+ops (IVF k-means, HLL sketches) stay rows-only with recall/tolerance
 tests.
 """
 
@@ -186,10 +188,68 @@ def dedup_embed_cosine(spark, sf_dir):
     return dedup.embed_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
 
 
-@query("dedup_embed_lsh")  # rows-only: LSH recall is probabilistic; precision
-def dedup_embed_lsh(spark, sf_dir):  # + recall asserted in tests/unit/test_dedup.py
+def _sign_planes(n_planes: int, dim: int, seed: int = 42):
+    """The seeded hyperplanes shared by the Spark operators and the
+    DuckDB oracles (same RandomState stream as operators/dedup.py
+    embed_cosine_pairs_lsh and operators/similarity.py lsh_signatures)."""
+    import numpy as np
+
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def _duck_sign_bucket(planes, vexpr: str) -> str:
+    """SQL for the sign-LSH bucket of `vexpr`: bit i set iff
+    dot(v, plane_i) > 0, weighted 1<<i — the planes inlined as double
+    literals (repr round-trips exactly), mirroring the literal-array
+    projection the Spark side constant-folds into codegen."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vexpr}, {arr}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + "\n           + ".join(terms) + ")"
+
+
+def _duck_embed_lsh_oracle(
+    threshold: float = 0.35, dim: int = 64, bands: int = 8, rows_per_band: int = 4
+) -> str:
+    """DuckDB replay of embed_cosine_pairs_lsh: identical planes →
+    identical band buckets → identical candidate pairs → identical
+    4dp-rounded cosine verify."""
+    planes = _sign_planes(bands * rows_per_band, dim)
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {j} AS band_id, "
+        + _duck_sign_bucket(planes[j * rows_per_band : (j + 1) * rows_per_band], "v")
+        + " AS bucket FROM e"
+        for j in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.id < y.id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT c.id_a, c.id_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+      FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+    ) WHERE cos_sim > {threshold}
+    """
+
+
+@query("dedup_embed_lsh", oracle=_duck_embed_lsh_oracle())
+def dedup_embed_lsh(spark, sf_dir):
     """Embedding near-dup at scale: banded sign-LSH candidates (equi-join
-    on (band, bucket), no cross product) + exact cosine verify."""
+    on (band, bucket), no cross product) + exact cosine verify. The
+    seeded planes are inlined into the DuckDB oracle, so candidates AND
+    verify are replayed bit-for-bit (recall vs brute force additionally
+    asserted in tests/unit/test_dedup.py)."""
     emb = table(spark, sf_dir, "embeddings")
     return dedup.embed_cosine_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.35, dim=64, bands=8, rows_per_band=4
@@ -227,9 +287,33 @@ def ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-@query("ann_cosine_lsh")  # rows-only: recall asserted vs brute force in tests
+def _duck_ann_lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB replay of cosine_topk_lsh: same planes → same query
+    bucket and corpus signatures → same bucket-restricted top-k."""
+    planes = _sign_planes(n_planes, dim)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qb AS (SELECT {_duck_sign_bucket(planes, "qv")} AS b FROM q),
+    sims AS (
+      SELECT e.vec_id,
+             list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim_raw
+      FROM e, q, qb
+      WHERE e.vec_id <> 0 AND {_duck_sign_bucket(planes, "e.v")} = qb.b
+    )
+    SELECT vec_id, ROUND(sim_raw, 4) AS cos_sim FROM sims
+    ORDER BY sim_raw DESC, vec_id LIMIT {k}
+    """
+
+
+@query("ann_cosine_lsh", oracle=_duck_ann_lsh_oracle())
 def ann_cosine_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (scale path): search only the query's bucket."""
+    """LSH-bucketed ANN (scale path): search only the query's bucket.
+    Planes inlined into the DuckDB oracle → bucket membership and the
+    top-k are replayed exactly; recall vs brute force asserted in
+    tests/unit/test_similarity.py."""
     emb = table(spark, sf_dir, "embeddings")
     qrow = emb.where("vec_id = 0").select("embedding").head()
     qv = [float(x) for x in qrow[0]]
