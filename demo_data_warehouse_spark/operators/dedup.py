@@ -449,3 +449,36 @@ def embed_cosine_pairs_lsh(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") > threshold)
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    str_col: str,
+    block_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Blocked fuzzy string matching: distinct strings sharing a block
+    key are compared by edit distance; pairs within max_dist survive.
+
+    The block key (a cheap canonical feature of the string — last
+    token, soundex, length bucket, ...) turns the O(n²) all-pairs edit-
+    distance problem into an equi-join whose cost is Σ|block|², the
+    same candidate-generation discipline as the LSH dedup family:
+    never a cross product, and the quadratic term is bounded by the
+    largest block, not the corpus. Dedup the strings first — identical
+    strings re-occurring millions of times must not multiply pairs.
+
+    Returns (s_a, s_b, edit_dist) with s_a < s_b.
+    """
+    e = df.select(F.col(str_col).alias("s"), F.col(block_col).alias("blk")).distinct()
+    x, y = e.alias("x"), e.alias("y")
+    return (
+        x.join(y, on="blk")
+        .where(F.col("x.s") < F.col("y.s"))
+        .select(
+            F.col("x.s").alias("s_a"),
+            F.col("y.s").alias("s_b"),
+            F.levenshtein(F.col("x.s"), F.col("y.s")).cast("bigint").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+    )

@@ -75,3 +75,41 @@ def weighted_sample(
     )
     w = F.least(weight_col, F.lit(max_weight))
     return df.where(u01 < w)
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed token-budget training bins ("sequence
+    packing"): walk documents in id order, cut a new bin whenever the
+    running token total crosses `budget`. bin_id = floor(tokens-before-
+    this-doc / budget), i.e. a document whose prefix sum straddles a
+    boundary opens the bin it starts in (documents are not split).
+
+    Scale design: a single global ORDER BY would funnel 100 TB through
+    one reducer, so packing is per shard — shard = id % n_shards, and
+    the running sum is a window PARTITIONED BY shard. Shards pack
+    independently (bin ids are per-shard), which is exactly what a
+    1000-executor training-data job wants: n_shards independent
+    sorted streams, no global coordination, deterministic output.
+
+    Returns (id, shard, n_tokens, bin_id).
+    """
+    t = F.col(tokens_col).cast("bigint")
+    shard = (F.col(id_col) % n_shards).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), t.alias("n_tokens"))
+        .withColumn(
+            "bin_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)),
+        )
+    )

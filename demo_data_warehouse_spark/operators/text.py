@@ -116,3 +116,48 @@ def char_entropy(text: Column, round_dp: int = 6) -> Column:
         lambda acc, ch: acc + p(ch) * F.log2(p(ch)),
     )
     return F.round(ent, round_dp)
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Self-trained unigram language-model score per document — the
+    perplexity-ish quality signal of a training-data pipeline: documents
+    of improbable words (boilerplate, garbage, other languages) score
+    low.
+
+    Per-token log-probs are accumulated as FIXED-POINT MICROUNITS
+    (round(ln(c/total)*1e6) as bigint): integer sums are associative,
+    so the result is independent of Spark's partial-aggregation merge
+    order and matches a single-threaded SQL engine exactly — a float
+    SUM(ln(...)) would be merge-order-dependent and hash-unstable.
+
+    Scale: explode + wordcount (map-side partial agg) + broadcast of
+    the vocab table (vocab ≪ corpus); one shuffle by doc id.
+
+    Returns (id, n_tokens, logprob_micro, avg_logprob) with
+    avg_logprob = round(logprob_micro/1e6/n_tokens, 6).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    lp_micro = F.round(
+        F.log(F.col("c").cast("double") / F.col("total")) * F.lit(1000000.0), 0
+    ).cast("bigint")
+    return (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lp_micro).alias("logprob_micro"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "logprob_micro",
+            F.round(
+                F.col("logprob_micro") / F.lit(1000000.0) / F.col("n_tokens"), 6
+            ).alias("avg_logprob"),
+        )
+    )

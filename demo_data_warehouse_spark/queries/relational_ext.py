@@ -1142,3 +1142,186 @@ def text_bigrams(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated subqueries (Catalyst decorrelation), deterministic mode,
+# map functions, JSON round-trip
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * 20
+            * (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+          > (SELECT COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+             FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def subquery_correlated(spark, sf_dir):
+    """Correlated scalar subqueries — customers whose account balance
+    exceeds 1/20th of their own average order price (cents, ×20 — kept
+    integer-exact; balances are ~2 orders of magnitude below order
+    totals, so the raw comparison would be vacuously empty). Catalyst decorrelates both
+    subqueries into one aggregate + left-outer join (no per-row
+    re-execution — the thing a naive engine gets wrong). Cross-
+    multiplied to integer cents so the boundary comparison is exact."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v c
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) * 20
+                * (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+              > (SELECT COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                 FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 50)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity <= 2)
+    ORDER BY p_partkey
+    """,
+)
+def subquery_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS — parts with a max-quantity
+    shipment but never a near-empty one. Catalyst rewrites to left-semi
+    + left-anti joins on the correlation key (plan-asserted in
+    tests/unit/test_plans.py — no nested-loop re-execution)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part_v p
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 50)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+                          WHERE l.l_partkey = p.p_partkey AND l.l_quantity <= 2)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), m AS (
+      SELECT l_returnflag, ship_month AS mode_month, n AS mode_count
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                        ORDER BY n DESC, ship_month) AS rn FROM c)
+      WHERE rn = 1
+    ), f AS (
+      SELECT l_returnflag,
+             COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, mode_month, CAST(mode_count AS BIGINT) AS mode_count,
+           CAST(n_heavy AS BIGINT) AS n_heavy, CAST(n_rows AS BIGINT) AS n_rows
+    FROM m JOIN f ON m.l_returnflag = f.l_returnflag
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic statistical mode (most frequent ship month per
+    return flag, ties to the earliest month — never an engine-arbitrary
+    pick) + conditional counting via count_if. Two shuffles on the
+    same low-cardinality key; the mode rank is a window over the
+    already-aggregated (flag, month) table, not the raw rows."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").cast("bigint").alias("ship_month")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("ship_month"))
+    mode = (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("ship_month").alias("mode_month"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+    cif = li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_quantity >= 25)").alias("n_heavy"),
+        F.count("*").alias("n_rows"),
+    )
+    return mode.join(cif, "l_returnflag")
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT p_partkey, map_key, map_value, CAST(2 AS BIGINT) AS n_keys FROM (
+      SELECT p_partkey, 'brand' AS map_key, p_brand AS map_value FROM part
+      UNION ALL
+      SELECT p_partkey, 'type', p_type FROM part
+    )
+    """,
+)
+def fn_map_ops(spark, sf_dir):
+    """Map-typed columns: build a map from arrays, size it, explode it
+    back to rows — the attribute-bag pattern for sparse metadata. The
+    oracle replays the exploded rows relationally (maps are a layout,
+    not a semantic)."""
+    p = table(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return (
+        p.select("p_partkey", m.alias("m"))
+        .select(
+            "p_partkey",
+            F.explode("m").alias("map_key", "map_value"),
+            F.size("m").cast("bigint").alias("n_keys"),
+        )
+    )
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+)
+def scan_json_roundtrip(spark, sf_dir):
+    """S5's wire format done as a sink+source: write typed rows to JSON
+    lines (the reference ingests REST JSON payloads,
+    dags/ingestion/lark_to_gcs.py), read them back with an explicit
+    schema — no inference scan — and match the originals. Money
+    travels as integer cents: JSON is textual, and integers round-trip
+    exactly where double formatting might not."""
+    from ..streaming.pipeline import scratch_dir
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    path = scratch_dir("json_landing")
+    o.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, price_cents bigint, order_date date"
+    ).json(path)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators import dedup, multimodal, sampling, similarity, text
+from ..operators import dedup, graph, multimodal, sampling, similarity, text
 from ..operators.dedup import _MERSENNE_P, minhash_coeffs
 from . import query
 
@@ -254,6 +254,104 @@ def dedup_embed_lsh(spark, sf_dir):
     return dedup.embed_cosine_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.35, dim=64, bands=8, rows_per_band=4
     )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH p AS (SELECT DISTINCT p_name AS s, string_split(p_name, ' ')[-1] AS blk
+               FROM part)
+    SELECT x.s AS s_a, y.s AS s_b, CAST(levenshtein(x.s, y.s) AS BIGINT) AS edit_dist
+    FROM p x JOIN p y ON x.blk = y.blk AND x.s < y.s
+    WHERE levenshtein(x.s, y.s) <= 3
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy string dedup: distinct part names blocked on their last
+    token (same item noun), edit distance ≤ 3 — the typo/variant-
+    spelling catcher exact hashing misses. Blocked equi-join, never a
+    cross product (operators/dedup.py::levenshtein_pairs)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    )
+    return dedup.levenshtein_pairs(p, "p_name", "noun", max_dist=3)
+
+
+# ---------------------------------------------------------------------------
+# dedup-cluster resolution (pairs → components → keeper)
+
+_DUCK_MINHASH_EDGES = f"""{_duck_minhash_ctes()},
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+      WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32 >= 0.3
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.comp FROM sym s JOIN walk w ON s.src = w.id
+    ),
+    comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)"""
+
+
+def _minhash_edges(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.3, hash_mode="portable",
+        cache_signatures=True,
+    )
+    return docs, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MINHASH_EDGES}
+    SELECT id AS doc_id, comp FROM comps
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Transitive closure of the minhash near-dup pairs: every document
+    labeled with its dedup cluster (comp = min reachable doc_id;
+    singletons label themselves). Spark side is iterative min-label
+    propagation (operators/graph.py); the oracle replays it as a
+    recursive CTE over the identical portable-hash candidate pairs."""
+    docs, edges = _minhash_edges(spark, sf_dir)
+    comps = graph.connected_components(docs.select("doc_id"), edges)
+    return comps.select(F.col("id").alias("doc_id"), F.col("comp"))
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MINHASH_EDGES},
+    scored AS (
+      SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS text_len FROM documents
+    ),
+    ranked AS (
+      SELECT c.comp, s.id, s.text_len,
+             ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY s.text_len DESC, s.id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.comp) AS n_members
+      FROM comps c JOIN scored s ON s.id = c.id
+    )
+    SELECT comp, id AS keeper_id, CAST(n_members AS BIGINT) AS n_members,
+           text_len AS keeper_score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Dedup decision per cluster: keep the longest member (the most
+    complete duplicate), ties to the lowest doc_id — a deterministic
+    keeper, no engine-dependent arbitrary pick."""
+    docs, edges = _minhash_edges(spark, sf_dir)
+    comps = graph.connected_components(docs.select("doc_id"), edges)
+    scored = docs.select("doc_id", F.length("text").cast("bigint").alias("text_len"))
+    return graph.cluster_keep_best(comps, scored, "doc_id", "text_len")
 
 
 # ---------------------------------------------------------------------------
@@ -547,6 +645,57 @@ def text_entropy(spark, sf_dir):
     engine-identical (plus 6dp rounding as a second guard)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select("doc_id", "n_chars", text.char_entropy(F.col("text")).alias("char_entropy"))
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    f AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+    t AS (SELECT SUM(c) AS total FROM f),
+    g AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / total) * 1000000.0) AS BIGINT))
+               AS logprob_micro
+      FROM w JOIN f USING (w), t
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, logprob_micro,
+           ROUND(logprob_micro / 1000000.0 / n_tokens, 6) AS avg_logprob
+    FROM g
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram LM score per document (perplexity-ish
+    quality signal). Fixed-point microunit accumulation makes the sum
+    independent of partial-agg merge order — see
+    operators/text.py::unigram_logprob."""
+    docs = table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs, "doc_id", "text")
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+             AS bin_id
+    FROM t
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: documents → fixed-budget training
+    bins, packed per hash shard so there is no global sort — see
+    operators/sampling.py::pack_greedy_bins."""
+    docs = table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", text.ws_token_count(F.col("text")).alias("tok"))
+    return sampling.pack_greedy_bins(docs, "doc_id", "tok", budget=512, n_shards=8)
 
 
 # ---------------------------------------------------------------------------

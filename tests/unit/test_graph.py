@@ -1,0 +1,53 @@
+"""connected_components / cluster_keep_best invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_data_warehouse_spark.operators import graph
+
+
+def _cc(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id bigint")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs] or [(None, None)], "src bigint, dst bigint"
+    )
+    if not edge_pairs:
+        edges = edges.where(F.lit(False))
+    out = graph.connected_components(nodes, edges, **kw)
+    return {r["id"]: r["comp"] for r in out.collect()}
+
+
+def test_chain_and_singleton(spark):
+    # chain 1-2-3-4 (diameter 3) + pair {10,11} + singleton 99
+    got = _cc(spark, [1, 2, 3, 4, 10, 11, 99], [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    got = _cc(spark, [1, 2, 3], [(1, 2), (2, 1), (1, 2), (3, 3)])
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [5, 6], [])
+    assert got == {5: 5, 6: 6}
+
+
+def test_nonconvergence_raises(spark):
+    # a 6-chain needs >1 round; max_iter=1 must raise, not return a
+    # half-merged clustering
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, list(range(6)), [(i, i + 1) for i in range(5)], max_iter=1)
+
+
+def test_keep_best_deterministic_tiebreak(spark):
+    comps = spark.createDataFrame([(1, 1), (2, 1), (3, 1), (9, 9)], "id bigint, comp bigint")
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)], "doc_id bigint, s bigint"
+    )
+    out = {
+        r["comp"]: (r["keeper_id"], r["n_members"], r["keeper_score"])
+        for r in graph.cluster_keep_best(comps, scored, "doc_id", "s").collect()
+    }
+    # tie on score=30 → lower id (2) wins
+    assert out == {1: (2, 3, 30), 9: (9, 1, 5)}

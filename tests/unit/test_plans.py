@@ -313,3 +313,36 @@ def test_partition_prune_reads_one_partition(spark, sf_dir, qs):
     plan = physical_plan(qs["scan_partition_prune"](spark, sf_dir))
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("event_date" in ln for ln in pf), plan
+
+
+def test_subquery_exists_decorrelates_to_semi_anti(spark, sf_dir, qs):
+    # Correlated EXISTS / NOT EXISTS must become semi/anti hash joins
+    # on the correlation key — a nested-loop re-execution per outer row
+    # is the classic correlated-subquery scale failure.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["subquery_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_connected_components_rounds_are_equijoins(spark, sf_dir):
+    # One propagation round = edge equi-join + groupBy; never a cross
+    # product (the thing that would make label propagation quadratic).
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    sym = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    labels = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id bigint, comp bigint")
+    prop = sym.join(labels, sym["src"] == labels["id"]).select(
+        F.col("dst").alias("id"), F.col("comp")
+    )
+    one_round = (
+        labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp"))
+    )
+    plan = physical_plan(one_round)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
