@@ -305,3 +305,92 @@ def agg_session(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: click→purchase
+    attribution within 30 minutes, both sides real readStream sources.
+
+    The time-range condition + watermarks bound the join state: Spark
+    keeps only the last watermark-delay's worth of each side instead of
+    the full history — the property that makes a stream-stream join
+    runnable forever at 100 TB/day. Inner-join matches are emitted
+    deterministically (append mode), so the finite availableNow drain
+    hash-compares against the batch oracle."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    j = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+    sink = fresh_name("stream_ssj")
+    run_available_now(out, memory_table=sink, output_mode="append")
+    return spark.table(sink)
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           CAST(round(e.value * 100) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event stream joined to a batch
+    dimension. Stateless (no watermark, no join state — each micro-
+    batch joins against the current dim snapshot) and the dim side is
+    broadcast, so the stream is never shuffled — the canonical
+    dimension-enrichment topology at any scale."""
+    ev = _events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    out = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"]).select(
+        "event_id",
+        "user_id",
+        "c_mktsegment",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    sink = fresh_name("stream_enrich")
+    run_available_now(out, memory_table=sink, output_mode="append")
+    return spark.table(sink)

@@ -724,3 +724,27 @@ def multimodal_frames(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     media = multimodal.to_media_table(docs, "doc_id", "text")
     return multimodal.frame_sample(media, 4, fake=True).drop("frame")
+
+
+@query(
+    "text_scrub",
+    oracle="""
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+    FROM events
+    """,
+)
+def text_scrub(spark, sf_dir):
+    """Content normalization for training corpora: replace digit runs
+    with a placeholder token and count the replacements (the same
+    regexp_replace pattern scrubs emails/URLs/PII — the regex is the
+    policy, the plan is identical). JVM regex, no Python."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_nums"),
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
+    )
