@@ -74,11 +74,25 @@ class Warehouse:
         else:
             os.rename(old, final)
 
-    def read(self, db: str, table: str, schema: StructType | None = None) -> DataFrame:
+    def read(
+        self,
+        db: str,
+        table: str,
+        schema: StructType | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Read a table; missing table + declared schema → empty frame
-        (lets the first pipeline run bootstrap dims from nothing)."""
+        (lets the first pipeline run bootstrap dims from nothing).
+
+        merge_schema=True unions the footer schemas of all files — the
+        required read mode after an evolving MERGE, where untouched
+        partitions still carry the pre-evolution schema on disk (a
+        sampled-file schema would randomly lose the new columns)."""
         if self.exists(db, table):
-            return self.spark.read.parquet(self.path(db, table))
+            reader = self.spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", True)
+            return reader.parquet(self.path(db, table))
         if schema is None:
             raise FileNotFoundError(f"{db}.{table} does not exist and no schema given")
         full = _with_publish_fields(schema)
@@ -144,9 +158,17 @@ class Warehouse:
         keys: list[str],
         partition: str,
         schema: StructType | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """S4/ST5: MERGE delta into the table on `keys` (delta wins).
         Partition-scoped and idempotent under replay.
+
+        evolve_schema=True accepts a delta whose columns are a superset
+        or subset of the table's (new columns only ever ADD — see
+        operators/merge.py::align_schemas); the target is then read with
+        footer-merged schemas because untouched partitions keep the old
+        schema on disk. Default False: a delta whose schema drifted from
+        the table fails loudly instead of silently nulling columns.
 
         Matches reference semantics (dags/utils/common/data_helper.py:76-106
         — BigQuery merges the delta into the table; it never rewrites the
@@ -169,7 +191,10 @@ class Warehouse:
             # MERGE auto-create: first publish is a plain partitioned write
             delta.write.mode("overwrite").partitionBy("partition_value").parquet(final)
             return
-        target = self.read(db, table, schema=schema or delta.schema)
+        if evolve_schema:
+            target = self.read(db, table, merge_schema=True)
+        else:
+            target = self.read(db, table, schema=schema or delta.schema)
         keys = list(keys)
         # delta keys are small relative to the target (a micro-batch /
         # daily increment) — broadcast so the target is never shuffled
@@ -186,9 +211,12 @@ class Warehouse:
         }
         touched = matched_parts | delta_parts
         scoped = target.where(_partition_in(touched))
-        merged = merge_upsert(
-            scoped.select(*delta.columns), delta.select(*delta.columns), keys
-        )
+        if evolve_schema:
+            merged = merge_upsert(scoped, delta, keys, evolve_schema=True)
+        else:
+            merged = merge_upsert(
+                scoped.select(*delta.columns), delta.select(*delta.columns), keys
+            )
         # dynamic partition overwrite replaces exactly the partitions
         # present in `merged` — but a touched partition can end up EMPTY
         # (all its rows matched keys that moved elsewhere); those are not

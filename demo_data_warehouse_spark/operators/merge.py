@@ -22,13 +22,54 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """Return target MERGE source on keys, source winning on collision."""
+def align_schemas(target: DataFrame, source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for MERGE: project both sides onto the union of
+    their columns, filling each side's missing columns with typed nulls
+    (the type comes from the side that has the column — matching Delta
+    Lake's mergeSchema contract: columns are only ever ADDED, never
+    retyped or dropped). Column order: target's columns, then new
+    source columns in source order, so existing readers see a stable
+    prefix."""
+    tgt_types = dict(target.dtypes)
+    src_types = dict(source.dtypes)
+    conflicts = {
+        c: (tgt_types[c], src_types[c])
+        for c in tgt_types
+        if c in src_types and tgt_types[c] != src_types[c]
+    }
+    if conflicts:
+        raise ValueError(f"schema evolution cannot retype columns: {conflicts}")
+    ordered = target.columns + [c for c in source.columns if c not in tgt_types]
+    for c in ordered:
+        if c not in tgt_types:
+            target = target.withColumn(c, F.lit(None).cast(src_types[c]))
+        if c not in src_types:
+            source = source.withColumn(c, F.lit(None).cast(tgt_types[c]))
+    return target.select(*ordered), source.select(*ordered)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    evolve_schema: bool = False,
+) -> DataFrame:
+    """Return target MERGE source on keys, source winning on collision.
+
+    evolve_schema=True additionally accepts a source whose columns are a
+    superset/subset of the target's: new columns appear (null for
+    surviving target rows), columns the source lacks survive (null for
+    upserted rows) — see align_schemas. With the default False, the
+    source must cover the target's columns exactly (a typo'd delta
+    schema should fail loudly, not silently null a column)."""
     keys = list(keys)
     missing = [k for k in keys if k not in target.columns or k not in source.columns]
     if missing:
         raise ValueError(f"merge keys missing from inputs: {missing}")
+    if evolve_schema:
+        target, source = align_schemas(target, source)
     survivors = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
     return survivors.unionByName(source.select(*target.columns))

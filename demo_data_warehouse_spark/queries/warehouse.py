@@ -120,3 +120,34 @@ def merge_upsert_query(spark, sf_dir):
         "event_id", "user_id", (F.col("value") * 2).alias("value")
     )
     return merge_upsert(target, src, keys=["event_id"])
+
+
+@query(
+    "merge_schema_evolution",
+    oracle="""
+    WITH target AS (
+        SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 8
+    ), src AS (
+        SELECT event_id, user_id, value * 2 AS value, event_type
+        FROM events WHERE event_id % 10 >= 6
+    )
+    SELECT t.event_id, t.user_id, t.value, CAST(NULL AS VARCHAR) AS event_type
+    FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
+    UNION ALL
+    SELECT event_id, user_id, value, event_type FROM src
+    """,
+)
+def merge_schema_evolution_query(spark, sf_dir):
+    """S4 + schema drift: the delta arrives with a NEW column (the
+    upstream added a field — the reference's get_table_schema refreshes
+    per run, dags/ingestion/lark_to_gcs.py:110-125, so new Bitable
+    fields flow in without code changes). Evolution adds the column,
+    nulls it for surviving rows, and never retypes or drops —
+    operators/merge.py::align_schemas."""
+    ev = table(spark, sf_dir, "events")
+    target = ev.where(F.col("event_id") % 10 < 8).select("event_id", "user_id", "value")
+    src = ev.where(F.col("event_id") % 10 >= 6).select(
+        "event_id", "user_id", (F.col("value") * 2).alias("value"), "event_type"
+    )
+    return merge_upsert(target, src, keys=["event_id"], evolve_schema=True)
