@@ -11,6 +11,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.diff import snapshot_diff
+from ..operators.incremental import (
+    finalize_rollup,
+    merge_partials,
+    rollup_partials,
+)
 from ..operators.merge import merge_upsert
 from ..operators.scd2 import SENTINEL_TS, scd2_delta, surrogate_id
 from . import query
@@ -151,3 +157,77 @@ def merge_schema_evolution_query(spark, sf_dir):
         "event_id", "user_id", (F.col("value") * 2).alias("value"), "event_type"
     )
     return merge_upsert(target, src, keys=["event_id"], evolve_schema=True)
+
+
+@query(
+    "agg_incremental",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS avg_value,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_incremental(spark, sf_dir):
+    """Incremental gold-rollup maintenance: the stored aggregate (facts
+    up to the cutoff, kept as mergeable partial state) is updated from
+    the post-cutoff delta WITHOUT re-reading history — partial-aggregate
+    the delta, merge states, finalize. The oracle is the full recompute
+    over all facts: incremental maintenance must be indistinguishable
+    from it. Replaces the reference's rebuild-gold-every-run
+    (dags/utils/etl.py:616-677) with the O(delta) plan that survives
+    100 TB — operators/incremental.py."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    stored = rollup_partials(ev.where(F.col("ts") <= cutoff), ["event_type"], "value")
+    delta = rollup_partials(ev.where(F.col("ts") > cutoff), ["event_type"], "value")
+    return finalize_rollup(merge_partials(stored, delta, ["event_type"]), ["event_type"])
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT event_id, value, event_type FROM events WHERE event_id % 11 <> 0
+    ), new_snap AS (
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value,
+               event_type
+        FROM events WHERE event_id % 13 <> 0
+    ), j AS (
+        SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+               CASE WHEN o.event_id IS NULL THEN 'inserted'
+                    WHEN n.event_id IS NULL THEN 'deleted'
+                    WHEN NOT (o.value IS NOT DISTINCT FROM n.value
+                              AND o.event_type IS NOT DISTINCT FROM n.event_type)
+                         THEN 'updated' END AS change_type,
+               o.value AS old_value, o.event_type AS old_event_type,
+               n.value AS new_value, n.event_type AS new_event_type
+        FROM old_snap o FULL OUTER JOIN new_snap n ON o.event_id = n.event_id
+    )
+    SELECT event_id, change_type, old_value, old_event_type, new_value, new_event_type
+    FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def table_diff(spark, sf_dir):
+    """Snapshot reconciliation: classify rows between two published
+    table versions as inserted / deleted / updated (null-safe value
+    compare), dropping the unchanged majority — the audit a warehouse
+    runs over a MERGE sink, and the same classification the reference's
+    SCD2 build performs inline (dags/utils/etl.py:274-354) —
+    operators/diff.py::snapshot_diff."""
+    ev = table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 11 != 0).select("event_id", "value", "event_type")
+    new = ev.where(F.col("event_id") % 13 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "event_type",
+    )
+    return snapshot_diff(old, new, keys=["event_id"], compare_cols=["value", "event_type"])
