@@ -47,24 +47,25 @@ def profile(df: DataFrame, num_cols: list[str], str_cols: list[str]) -> DataFram
         aggs += [F.min(c).alias(f"{c}__mns"), F.max(c).alias(f"{c}__mxs")]
     wide = df.agg(*aggs)
 
-    def row(c: str, numeric: bool) -> list[Column]:
-        return [
+    # pivot the single wide row to per-column rows via explode(array(
+    # struct...)) — NOT a union of per-column selects: Catalyst prunes
+    # each union branch down to its own column and re-derives an
+    # independent aggregation per branch, turning one scan into |cols|
+    # scans (observed; pinned by tests/unit/test_plans.py)
+    def pack(c: str, numeric: bool) -> Column:
+        return F.struct(
             F.lit(c).alias("col_name"),
-            F.col("n_rows"),
+            F.col("n_rows").alias("n_rows"),
             (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_null"),
             F.col(f"{c}__nd").alias("n_distinct"),
             (F.col(f"{c}__mn") if numeric else F.lit(None).cast("double")).alias("min_num"),
             (F.col(f"{c}__mx") if numeric else F.lit(None).cast("double")).alias("max_num"),
             (F.lit(None).cast("string") if numeric else F.col(f"{c}__mns")).alias("min_str"),
             (F.lit(None).cast("string") if numeric else F.col(f"{c}__mxs")).alias("max_str"),
-        ]
+        )
 
-    parts = [wide.select(*row(c, True)) for c in num_cols]
-    parts += [wide.select(*row(c, False)) for c in str_cols]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    packed = [pack(c, True) for c in num_cols] + [pack(c, False) for c in str_cols]
+    return wide.select(F.explode(F.array(*packed)).alias("p")).select("p.*")
 
 
 def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:

@@ -346,3 +346,69 @@ def test_connected_components_rounds_are_equijoins(spark, sf_dir):
     plan = physical_plan(one_round)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dq_profile_single_scan(spark, sf_dir, qs):
+    # Profiling N columns must stay ONE pass over the table (a
+    # multi-aggregate row later pivoted to per-column rows) — a
+    # per-column scan loop is N× the IO at 100 TB.
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["dq_profile"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_check_rules_is_shuffle_free(spark, sf_dir):
+    # Rule tagging is a pure projection: no Exchange, no Python.
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.catalog import table
+    from demo_data_warehouse_spark.operators.quality import check_rules
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = check_rules(
+        table(spark, sf_dir, "events"), {"v_pos": F.col("value") > 0}
+    )
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_table_diff_single_copartitioned_join(spark, sf_dir, qs):
+    # Snapshot reconciliation is ONE full-outer join: each snapshot
+    # shuffles on the key at most once (2 Exchanges), never more.
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["table_diff"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_merge_shuffles_state_not_facts(spark, sf_dir, qs):
+    # The rollup-maintenance plan: facts are partially aggregated
+    # map-side BEFORE any exchange (the shuffle moves |groups|-sized
+    # state), and the state merge is itself a partial+final agg. A plan
+    # that exchanged raw fact rows would show an Exchange directly over
+    # a scan with no intervening HashAggregate.
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["agg_incremental"](spark, sf_dir))
+    # every Exchange hashpartitioning must sit above a HashAggregate
+    # (partial), never directly above a scan
+    blocks = re.split(r"\n(?=\(\d+\))", plan)
+    ids = {}
+    for b in blocks:
+        m = re.match(r"\((\d+)\) (\w+)", b)
+        if m:
+            ids[int(m.group(1))] = m.group(2)
+    order = sorted(ids)
+    for i, node in enumerate(order):
+        if ids[node] == "Exchange":
+            below = [ids[n] for n in order[i + 1 :]]
+            assert "HashAggregate" in below[:3] or "Scan" not in below[:1], plan
