@@ -81,3 +81,59 @@ def finalize_rollup(partials: DataFrame, keys: Sequence[str], dp: int = 2) -> Da
         (F.col("min_c").cast("double") / scale).alias("min_value"),
         (F.col("max_c").cast("double") / scale).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT — the one common aggregate that is not algebraic. Two
+# incremental strategies, both state-mergeable:
+#
+#   exact   state = the distinct (keys, col) pairs; merge = union ∪
+#           distinct (co-partitioned shuffle on the pair); finalize =
+#           count per key. State is |distinct pairs| — exact but big.
+#   sketch  state = one HLL sketch per group (Datasketches HLL via
+#           hll_sketch_agg); merge = hll_union_agg over |groups| rows;
+#           finalize = hll_sketch_estimate. State is O(|groups| · 2^lgk)
+#           regardless of cardinality — the 100 TB default; trades
+#           ~1-2% error (lgk=12) for constant-size state.
+# ---------------------------------------------------------------------------
+
+
+def distinct_state(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """Exact-distinct partial state: the distinct (keys, col) pairs."""
+    return df.select(*keys, col).distinct()
+
+
+def merge_distinct_state(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge exact-distinct states (idempotent: re-merging a replayed
+    delta cannot double-count — union ∪ distinct absorbs duplicates)."""
+    return stored.unionByName(delta).distinct()
+
+
+def finalize_distinct(
+    state: DataFrame, keys: Sequence[str], alias: str = "n_distinct"
+) -> DataFrame:
+    return state.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def hll_partials(
+    df: DataFrame, keys: Sequence[str], col: str, lgk: int = 12
+) -> DataFrame:
+    """Sketch partial state: one HLL sketch per group. `col` must be
+    int/bigint/string/binary (hll_sketch_agg's domain) — cast other
+    types explicitly so the representation choice is visible."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("hll")
+    )
+
+
+def merge_hll(stored: DataFrame, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
+    keys = list(keys)
+    cols = keys + ["hll"]
+    both = stored.select(*cols).unionByName(delta.select(*cols))
+    return both.groupBy(*keys).agg(F.hll_union_agg(F.col("hll")).alias("hll"))
+
+
+def finalize_hll(
+    partials: DataFrame, keys: Sequence[str], alias: str = "approx_distinct"
+) -> DataFrame:
+    return partials.select(*keys, F.hll_sketch_estimate(F.col("hll")).alias(alias))

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..operators.diff import snapshot_diff
 from ..operators.incremental import (
+    distinct_state,
+    finalize_distinct,
     finalize_rollup,
+    merge_distinct_state,
     merge_partials,
     rollup_partials,
 )
@@ -187,6 +190,29 @@ def agg_incremental(spark, sf_dir):
     stored = rollup_partials(ev.where(F.col("ts") <= cutoff), ["event_type"], "value")
     delta = rollup_partials(ev.where(F.col("ts") > cutoff), ["event_type"], "value")
     return finalize_rollup(merge_partials(stored, delta, ["event_type"]), ["event_type"])
+
+
+@query(
+    "agg_incremental_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_incremental_distinct(spark, sf_dir):
+    """Incremental EXACT distinct-count maintenance — distinct is the
+    one common aggregate with no algebraic merge, so the state is the
+    distinct (group, value) pair set; merging a delta is union ∪
+    distinct (idempotent under replay), finalize counts per group. The
+    oracle is the full COUNT(DISTINCT) recompute. The constant-state
+    alternative (HLL sketches via hll_sketch_agg / hll_union_agg) is
+    operators/incremental.py::hll_partials — the 100 TB default when
+    ~1% error is acceptable."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    stored = distinct_state(ev.where(F.col("ts") <= cutoff), ["event_type"], "user_id")
+    delta = distinct_state(ev.where(F.col("ts") > cutoff), ["event_type"], "user_id")
+    return finalize_distinct(merge_distinct_state(stored, delta), ["event_type"])
 
 
 @query(
