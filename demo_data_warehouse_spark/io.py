@@ -145,6 +145,38 @@ class Warehouse:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(f"{db}.{table}")
 
+    def write_clustered(
+        self,
+        df: DataFrame,
+        db: str,
+        table: str,
+        cluster_cols: list[str],
+        n_files: int = 8,
+    ) -> None:
+        """Range-clustered write — the file-skipping path for columns
+        too fine-grained to partition by (timestamps, ids).
+
+        repartitionByRange splits rows into n_files contiguous key
+        ranges; sortWithinPartitions orders rows inside each file, so
+        every parquet file AND row group carries tight, pairwise-
+        disjoint min/max stats on the cluster columns. A range or
+        point predicate then skips whole files via footer stats
+        (ParquetFileFormat row-group filtering) instead of scanning —
+        directory partitioning prunes coarse keys (dates), clustering
+        prunes inside them. At 100 TB: partition by day, cluster by
+        (ts, key) within each day; a narrow time-range query reads a
+        handful of files total. Disjointness is pinned by
+        tests/unit/test_clustered.py reading the footers back.
+
+        Range boundaries come from Spark's reservoir sample of the
+        cluster columns (spark.sql.execution.rangeExchange.sampleSizePerPartition)
+        — no driver-side data collection.
+        """
+        out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+        out.write.mode("overwrite").parquet(self.path(db, table))
+
     def read_catalog_table(self, db: str, table: str) -> DataFrame:
         """Catalog read — required for bucketed tables (a raw parquet
         path read loses the bucket-spec and re-introduces the shuffle)."""

@@ -363,6 +363,37 @@ def scan_partition_prune(spark, sf_dir):
 
 
 @query(
+    "scan_clustered_skip",
+    oracle="""
+    SELECT event_id, user_id, ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+    """,
+)
+def scan_clustered_skip(spark, sf_dir):
+    """Range-clustered table answers a time-range query by file
+    skipping: the write (io.py::write_clustered) range-partitions and
+    sorts on ts, so every file carries disjoint min/max footer stats
+    and the pushed predicate (PushedFilters, plan-asserted) eliminates
+    whole files before any row is read. The directory-partitioning
+    complement of scan_partition_prune — clustering prunes keys too
+    fine-grained to be partition columns. Footer disjointness pinned in
+    tests/unit/test_clustered.py."""
+    from ..io import Warehouse
+    from ..streaming.pipeline import scratch_dir
+
+    wh = Warehouse(spark, scratch_dir("clustered"))
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    wh.write_clustered(ev, "silver", "events_by_ts", ["ts"], n_files=8)
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    out = wh.read("silver", "events_by_ts").where(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    return out.select("event_id", "user_id", "ts")
+
+
+@query(
     "join_bucketed",
     oracle="""
     SELECT c.c_custkey, c.c_name,

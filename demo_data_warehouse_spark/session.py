@@ -28,6 +28,11 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # parquet scans: keep row-group pruning + pushdown on (defaults, pinned)
     "spark.sql.parquet.filterPushdown": "true",
+    # write timestamps as INT64 micros, not legacy INT96: INT96 carries
+    # NO min/max column stats, which silently disables footer-based
+    # file/row-group skipping on every ts predicate (io.py
+    # write_clustered contract; pinned by tests/unit/test_clustered.py)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # testdata events.parquet stores TIMESTAMP(NANOS) which Spark rejects
     # by default; read as long ns and convert in catalog.table
     "spark.sql.legacy.parquet.nanosAsLong": "true",
