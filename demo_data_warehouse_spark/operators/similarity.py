@@ -94,6 +94,41 @@ def cosine_topk_lsh(
     return cosine_topk(cands, id_col, vec_col, query_vec, k)
 
 
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str, quant: int = 10**6
+) -> DataFrame:
+    """Per-group vector centroid as (group, pos, centroid_val) — the
+    mean of each embedding position over the group's members.
+
+    Inputs are quantized to 1/quant before summation (round(v·quant) →
+    bigint), making the accumulation EXACT and order-independent — a
+    raw double sum's value would depend on partial-aggregation order,
+    so no two engines (or two Spark runs with different partitioning)
+    would agree bit-for-bit. The quantization error (≤ 0.5/quant per
+    element) is far below float32 input precision.
+
+    Plan: posexplode → one shuffle keyed (group, pos) with map-side
+    partial sums. At 100 TB the shuffle moves |groups|·dim partial
+    states per mapper, not rows — the same pattern as any grouped agg;
+    dim multiplies the exploded row count but partial aggregation
+    collapses it before the wire.
+    """
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    q = F.round(F.col("val").cast("double") * quant).cast("bigint")
+    return (
+        exploded.groupBy(group_col, "pos")
+        .agg(F.sum(q).alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            "pos",
+            (F.col("sum_q").cast("double") / quant / F.col("n")).alias("centroid_val"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:

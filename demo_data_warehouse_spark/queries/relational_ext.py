@@ -457,6 +457,35 @@ def window_ntile(spark, sf_dir):
 
 
 @query(
+    "window_cume_dist",
+    oracle="""
+    SELECT n_nationkey, c_custkey,
+           CAST(cume_dist() OVER (PARTITION BY n_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS DOUBLE)
+             AS bal_cume
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def window_cume_dist(spark, sf_dir):
+    """§2.5: cumulative distribution per partition — the per-nation
+    percentile position of each customer's balance. Partitioned window
+    (one shuffle on the partition key), so unlike a global-order
+    window it parallelizes across nations at 100 TB."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_nationkey", "c_custkey", "c_acctbal")
+        .select(
+            "n_nationkey",
+            "c_custkey",
+            F.cume_dist().over(w).cast("double").alias("bal_cume"),
+        )
+    )
+
+
+@query(
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id, ts,

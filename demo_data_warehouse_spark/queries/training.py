@@ -385,6 +385,30 @@ def ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query(
+    "embed_centroid",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS centroid_val
+    FROM flat GROUP BY label, pos
+    """,
+)
+def embed_centroid(spark, sf_dir):
+    """Per-label embedding centroid (the class prototype a training
+    pipeline computes for clustering, probing, or as IVF seeds) —
+    exact quantized accumulation so the grouped mean is
+    order-independent; operators/similarity.py::group_centroids."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, "label", "embedding")
+
+
 def _duck_ann_lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
     """DuckDB replay of cosine_topk_lsh: same planes → same query
     bucket and corpus signatures → same bucket-restricted top-k."""
