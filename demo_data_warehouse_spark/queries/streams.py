@@ -17,6 +17,7 @@ from ..streaming.pipeline import (
     merge_batch_sink,
     partition_replace_sink,
     read_landing_stream,
+    rollup_merge_sink,
     run_available_now,
     scratch_dir,
     stateful_user_progress,
@@ -98,6 +99,39 @@ def stream_merge_upsert(spark, sf_dir):
         output_mode="append",
     )
     return wh.read("silver", "events_upsert").select("event_id", "user_id", "value")
+
+
+@query(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*)
+             AS avg_value,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_incremental_rollup(spark, sf_dir):
+    """Streaming materialized-view maintenance: micro-batches are
+    partially aggregated and state-merged into a stored gold rollup
+    (foreachBatch → rollup_merge_sink, exactly-once via a batch-id
+    marker committed atomically with the state swap). After the drain,
+    finalizing the state equals the full batch recompute — the same
+    oracle as agg_incremental, now maintained by a stream."""
+    from ..operators.incremental import finalize_rollup
+
+    wh = Warehouse(spark, scratch_dir("stream_rollup"))
+    src = _events_stream(spark, sf_dir).select("event_type", "value")
+    run_available_now(
+        src,
+        batch_fn=rollup_merge_sink(wh, "gold", "events_rollup", ["event_type"], "value"),
+        output_mode="append",
+    )
+    return finalize_rollup(wh.read("gold", "events_rollup"), ["event_type"])
 
 
 @query(

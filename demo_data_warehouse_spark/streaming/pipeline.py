@@ -114,6 +114,59 @@ def run_available_now(
         raise TimeoutError("availableNow stream did not drain in time")
 
 
+def rollup_merge_sink(
+    warehouse: Warehouse,
+    db: str,
+    table: str,
+    keys: Sequence[str],
+    measure: str,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming materialized-view maintenance: each micro-batch is
+    partially aggregated (operators/incremental.py::rollup_partials)
+    and state-merged into the stored rollup — the streaming form of
+    incremental gold maintenance; after any drain, finalize_rollup of
+    the state table equals a batch recompute over everything ingested.
+
+    foreachBatch is at-least-once, and a partial-sum merge is NOT
+    idempotent — a replayed batch would double-count. Exactly-once is
+    restored by committing the applied batch_id atomically WITH the
+    state: the id rides inside the swapped state directory (an
+    underscore-prefixed marker file Spark readers ignore), so a batch
+    is skipped iff its effect is already in the state, no matter where
+    a crash landed. Swap is staging + two renames; Warehouse._recover
+    heals the half-swapped window.
+    """
+    from ..operators.incremental import merge_partials, rollup_partials
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        state_dir = warehouse.path(db, table)
+        marker = os.path.join(state_dir, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed micro-batch: effect already committed
+        parts = rollup_partials(batch, keys, measure)
+        if warehouse.exists(db, table):
+            merged = merge_partials(warehouse.read(db, table), parts, keys)
+        else:
+            merged = parts
+        staging = os.path.join(warehouse.root, db, f"_tmp-{table}-{uuid.uuid4().hex[:8]}")
+        # executing the write materializes `merged` (reading the OLD
+        # state) before any rename touches the directory
+        merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        old = state_dir + ".old"
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(staging, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return sink
+
+
 def merge_batch_sink(
     warehouse: Warehouse,
     db: str,

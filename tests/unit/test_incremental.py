@@ -113,3 +113,23 @@ def test_hll_incremental_matches_one_shot_and_near_exact(spark):
         assert abs(gi[g] - go[g]) / max(go[g], 1) < 0.03, (gi, go)
     # and the estimate is near the exact cardinalities (500, 100)
     assert abs(gi["g"] - 500) / 500 < 0.05 and abs(gi["h"] - 100) / 100 < 0.05
+
+
+def test_rollup_merge_sink_multi_batch_and_replay(spark, tmp_path):
+    """Two micro-batches accumulate; a REPLAYED batch (same id) is a
+    no-op — the at-least-once foreachBatch contract cannot double-count
+    because the applied batch id commits atomically with the state."""
+    from demo_data_warehouse_spark.io import Warehouse
+    from demo_data_warehouse_spark.operators.incremental import finalize_rollup
+    from demo_data_warehouse_spark.streaming.pipeline import rollup_merge_sink
+
+    wh = Warehouse(spark, str(tmp_path))
+    sink = rollup_merge_sink(wh, "gold", "mv", ["g"], "v")
+    b0 = _facts(spark, [("x", 1.0), ("y", 2.0)])
+    b1 = _facts(spark, [("x", 3.0)])
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay after a simulated checkpoint rollback
+    out = finalize_rollup(wh.read("gold", "mv"), ["g"])
+    got = {r["g"]: (r["n_rows"], r["sum_value"]) for r in out.collect()}
+    assert got == {"x": (2, 4.0), "y": (1, 2.0)}
