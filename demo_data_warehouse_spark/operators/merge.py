@@ -73,3 +73,19 @@ def merge_upsert(
         target, source = align_schemas(target, source)
     survivors = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
     return survivors.unionByName(source.select(*target.columns))
+
+
+def merge_delete(
+    target: DataFrame, deletes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE … WHEN MATCHED DELETE: drop target rows whose key appears
+    in `deletes` (the GDPR/right-to-erasure propagation path — a
+    delete-key feed applied to a table). One anti-join on the keys;
+    with a small delete set Spark broadcasts it and the target is never
+    shuffled. Idempotent: re-applying the same delete feed is a no-op.
+    """
+    keys = list(keys)
+    missing = [k for k in keys if k not in target.columns or k not in deletes.columns]
+    if missing:
+        raise ValueError(f"delete keys missing from inputs: {missing}")
+    return target.join(deletes.select(*keys).distinct(), on=keys, how="left_anti")

@@ -20,7 +20,7 @@ from ..operators.incremental import (
     merge_partials,
     rollup_partials,
 )
-from ..operators.merge import merge_upsert
+from ..operators.merge import merge_delete, merge_upsert
 from ..operators.scd2 import SENTINEL_TS, scd2_delta, surrogate_id
 from . import query
 
@@ -160,6 +160,31 @@ def merge_schema_evolution_query(spark, sf_dir):
         "event_id", "user_id", (F.col("value") * 2).alias("value"), "event_type"
     )
     return merge_upsert(target, src, keys=["event_id"], evolve_schema=True)
+
+
+@query(
+    "merge_delete",
+    oracle="""
+    SELECT event_id, user_id, value, event_type
+    FROM events t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events d
+        WHERE d.event_id % 997 = 0 AND d.user_id = t.user_id
+    )
+    """,
+)
+def merge_delete_query(spark, sf_dir):
+    """MERGE … WHEN MATCHED DELETE: a delete-key feed (users named in a
+    right-to-erasure request, here every user owning an event_id % 997 == 0
+    event) removes all their rows from the target. One anti-join; the
+    small distinct key set broadcasts so the target never shuffles —
+    operators/merge.py::merge_delete. Complements merge_upsert's
+    UPDATE/INSERT arms to cover the full MERGE verb set of the
+    reference's publish path (dags/utils/common/data_helper.py:76-106)."""
+    ev = table(spark, sf_dir, "events")
+    target = ev.select("event_id", "user_id", "value", "event_type")
+    deletes = ev.where(F.col("event_id") % 997 == 0).select("user_id")
+    return merge_delete(target, deletes, keys=["user_id"])
 
 
 @query(

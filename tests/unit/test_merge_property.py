@@ -35,6 +35,26 @@ def test_merge_upsert_matches_dict_semantics(spark, target, source):
     assert got == set(expected.items())
 
 
+@settings(max_examples=12, deadline=None)
+@given(kv_st, st.sets(st.integers(min_value=0, max_value=20), max_size=8))
+def test_merge_delete_matches_dict_semantics(spark, target, delete_keys):
+    # MERGE DELETE == dict minus keys; idempotent under re-application
+    from demo_data_warehouse_spark.operators.merge import merge_delete
+
+    t = spark.createDataFrame(list(target.items()) or [(None, None)], "pk int, v int").where(
+        "pk is not null"
+    )
+    d = spark.createDataFrame([(k,) for k in delete_keys] or [(None,)], "pk int").where(
+        "pk is not null"
+    )
+    once = merge_delete(t, d, ["pk"])
+    got = {(r.pk, r.v) for r in once.collect()}
+    expected = {(k, v) for k, v in target.items() if k not in delete_keys}
+    assert got == expected
+    twice = {(r.pk, r.v) for r in merge_delete(once, d, ["pk"]).collect()}
+    assert twice == expected
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.dictionaries(st.integers(0, 10), st.integers(0, 100), min_size=1, max_size=6),
