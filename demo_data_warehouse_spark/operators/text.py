@@ -161,3 +161,157 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: repeated-token
+    ratio (1 - distinct/total) and most-frequent-token mass. Highly
+    repetitive documents (boilerplate, keyword stuffing, generation
+    loops) score high on both and get filtered before training.
+
+    One explode + two-level aggregation: (id, token) counts partial-
+    aggregate map-side, then a per-id rollup whose input is at most the
+    distinct-token stream (≪ corpus). All counts are exact integers;
+    the two ratios are single IEEE divisions rounded to 6dp, so the
+    result is merge-order-independent and engine-portable.
+
+    Returns (id, n_tokens, n_distinct, top_token_count, rep_ratio,
+    top_token_frac).
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    per = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return per.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_token_count"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        "top_token_count",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+        ).alias("rep_ratio"),
+        F.round(
+            F.col("top_token_count").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_token_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing at
+    least one k-token shingle with a held-out evaluation set — the
+    standard guard against test-set leakage into training data (the
+    n-gram overlap rule used by public LM data pipelines).
+
+    Same shingling as the dedup family (dedup._with_shingles). Scale:
+    the eval set is small (benchmarks are MBs), so its distinct shingle
+    set is BROADCAST; contamination detection is a map-side semi-join
+    over the corpus — the 100 TB corpus is never shuffled, only the
+    tiny contaminated-id set is (for the final anti-join, which AQE
+    also broadcasts).
+    """
+    from .dedup import _with_shingles
+
+    c_sh = _with_shingles(corpus, text_col, k_shingle).select(
+        F.col(id_col), F.explode("__shingles").alias("sh")
+    )
+    e_sh = (
+        _with_shingles(eval_df, text_col, k_shingle)
+        .select(F.explode("__shingles").alias("sh"))
+        .distinct()
+    )
+    contaminated = (
+        c_sh.join(F.broadcast(e_sh), "sh", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(document, term) TF-IDF over the corpus itself — the weight
+    behind keyword extraction and sparse retrieval indexes.
+
+    score = (c/n_tokens) * ln(N/df). The idf is frozen to FIXED-POINT
+    MICROUNITS (round(ln(N/df)*1e6) as bigint) before entering the
+    product, so the only float ops downstream are exact-input IEEE
+    divisions + one 6dp round — engine-portable like unigram_logprob.
+
+    Scale: one explode + (id, term) count (map-side partials); df and N
+    are tiny aggregates joined by BROADCAST; the corpus shuffles once
+    on (id, term).
+
+    Returns (id, term, c, n_tokens, df, tfidf).
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("c"))
+    n_d = tf.groupBy(id_col).agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    idf_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * F.lit(1000000.0), 0
+    ).cast("bigint")
+    return (
+        tf.join(n_d, id_col)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("c").cast("bigint").alias("c"),
+            "n_tokens",
+            "df",
+            F.round(
+                idf_micro * F.col("c") / F.col("n_tokens") / F.lit(1000000.0), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    windows (context-length chunking for training/embedding pipelines):
+    chunk i covers tokens [i*stride, i*stride + window). The final
+    chunk may be short; a document shorter than one window yields
+    exactly one chunk.
+
+    Pure per-row projection (sequence + explode + slice) — no shuffle,
+    no UDF; scales as a map over the corpus.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(window)) / F.lit(float(stride))).cast("int") + F.lit(1),
+        F.lit(1),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            toks.alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.slice("__toks", F.col("chunk_id") * stride + 1, window).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )

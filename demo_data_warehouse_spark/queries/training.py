@@ -722,6 +722,116 @@ def pack_sequences(spark, sf_dir):
     return sampling.pack_greedy_bins(docs, "doc_id", "tok", budget=512, n_shards=8)
 
 
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    per AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok),
+    g AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_token_count
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, top_token_count,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS rep_ratio,
+           ROUND(CAST(top_token_count AS DOUBLE) / n_tokens, 6) AS top_token_frac
+    FROM g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: repeated-token ratio and
+    most-frequent-token mass per document — the standard boilerplate /
+    generation-loop detectors in corpus quality pipelines —
+    operators/text.py::repetition_stats."""
+    docs = table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text")
+
+
+# 3-token shingle list, mirroring dedup._with_shingles in DuckDB
+_DUCK_SHINGLES = """list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 41 <> 0),
+    evals AS (SELECT * FROM documents WHERE doc_id % 41 = 0),
+    e_sh AS (SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS sh FROM evals),
+    c_sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM corpus),
+    bad AS (SELECT DISTINCT doc_id FROM c_sh JOIN e_sh USING (sh))
+    SELECT doc_id, lang, n_chars FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop corpus documents sharing any
+    3-token shingle with a held-out eval split (doc_id % 41 == 0 plays
+    the benchmark). Eval shingles broadcast; the corpus is never
+    shuffled — operators/text.py::decontaminate."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 41 != 0)
+    evals = docs.where(F.col("doc_id") % 41 == 0)
+    return text.decontaminate(corpus, evals, "doc_id", "text").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM w GROUP BY doc_id, term),
+    nd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nn AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, CAST(tf.c AS BIGINT) AS c, nd.n_tokens, dft.df,
+           ROUND(CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0) AS BIGINT)
+                 * tf.c / nd.n_tokens / 1000000.0, 6) AS tfidf
+    FROM tf JOIN nd USING (doc_id) JOIN dft USING (term), nn
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Per-(document, term) TF-IDF — keyword extraction / sparse
+    retrieval weighting. The idf is frozen to integer microunits before
+    the product so the score is engine-portable —
+    operators/text.py::tfidf."""
+    docs = table(spark, sf_dir, "documents")
+    return text.tfidf(docs, "doc_id", "text")
+
+
+@query(
+    "text_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS INT) + 1, 1)))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Context-length chunking: overlapping 32-token windows at stride
+    24 (8-token overlap) per document — the chunker feeding embedding /
+    training pipelines. Pure projection, no shuffle —
+    operators/text.py::chunk_tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, "doc_id", "text", window=32, stride=24)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

@@ -1,0 +1,92 @@
+"""Unit tests for the training-text operators added in round 2:
+repetition stats, decontamination, tf-idf, and overlapping chunking.
+Edge cases the sf-gate's synthetic corpus never hits: empty text,
+single-token docs, fully-contaminated corpora, sub-window documents.
+"""
+
+from __future__ import annotations
+
+from demo_data_warehouse_spark.operators import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_repetition_stats_extremes(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a a a"),  # fully repetitive
+            (2, "a b c d"),  # fully distinct
+            (3, "x"),  # single token
+        ],
+    )
+    got = {r.id: r for r in text.repetition_stats(df, "id", "text").collect()}
+    assert got[1].n_tokens == 4 and got[1].n_distinct == 1
+    assert got[1].rep_ratio == 0.75 and got[1].top_token_frac == 1.0
+    assert got[2].rep_ratio == 0.0 and got[2].top_token_frac == 0.25
+    assert got[3].n_tokens == 1 and got[3].rep_ratio == 0.0
+
+
+def test_decontaminate_drops_overlap_keeps_clean(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),  # shares 'quick brown fox'
+            (2, "entirely unrelated clean document"),
+            (3, "xy"),  # shorter than one shingle, never matches
+        ],
+    )
+    evals = _docs(spark, [(100, "quick brown fox")])
+    kept = sorted(r.id for r in text.decontaminate(corpus, evals, "id", "text").collect())
+    assert kept == [2, 3]
+
+
+def test_decontaminate_is_idempotent_and_total(spark):
+    corpus = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    evals = _docs(spark, [(9, "a b c")])
+    once = text.decontaminate(corpus, evals, "id", "text")
+    assert once.count() == 0  # both share the eval shingle
+    again = text.decontaminate(once, evals, "id", "text")
+    assert again.count() == 0
+
+
+def test_tfidf_values(spark):
+    # 'rare' appears in 1 of 2 docs; 'common' in both (idf = ln(1) = 0).
+    df = _docs(spark, [(1, "common rare"), (2, "common common")])
+    got = {(r.id, r.term): r for r in text.tfidf(df, "id", "text").collect()}
+    assert got[(1, "common")].tfidf == 0.0
+    # round(ln(2)*1e6) = 693147 → 0.3465735 → HALF_UP (Spark/DuckDB) 6dp
+    assert got[(1, "rare")].tfidf == 0.346574
+    assert got[(2, "common")].df == 2 and got[(2, "common")].c == 2
+
+
+def test_chunk_tokens_windows(spark):
+    short = " ".join(f"t{i}" for i in range(10))  # < window → 1 chunk
+    exact = " ".join(f"t{i}" for i in range(32))  # == window → 1 chunk
+    longer = " ".join(f"t{i}" for i in range(80))  # 3 chunks at stride 24
+    df = _docs(spark, [(1, short), (2, exact), (3, longer)])
+    out = text.chunk_tokens(df, "id", "text", window=32, stride=24).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0].n_chunk_tokens == 10
+    assert len(by_id[2]) == 1 and by_id[2][0].n_chunk_tokens == 32
+    chunks = sorted(by_id[3], key=lambda r: r.chunk_id)
+    assert [c.n_chunk_tokens for c in chunks] == [32, 32, 32]
+    # stride-24 overlap: chunk i starts at token 24*i
+    assert chunks[1].chunk_text.split(" ")[0] == "t24"
+    assert chunks[2].chunk_text.split(" ")[0] == "t48"
+    # consecutive chunks share window-stride = 8 tokens
+    assert chunks[0].chunk_text.split(" ")[-8:] == chunks[1].chunk_text.split(" ")[:8]
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    from demo_data_warehouse_spark.plans.checks import assert_broadcast_join
+
+    corpus = _docs(spark, [(i, f"doc {i} text body here") for i in range(50)])
+    evals = _docs(spark, [(999, "held out benchmark prompt")])
+    out = text.decontaminate(corpus, evals, "id", "text")
+    # the eval shingle set must broadcast — the corpus side never shuffles
+    assert_broadcast_join(out, count=1)
