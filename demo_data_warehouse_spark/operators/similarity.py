@@ -271,3 +271,48 @@ def cosine_topk_ivf_indexed(
     probe = probe_cells(query_vec, centroids, n_probe)
     cands = spark.read.parquet(index_path).where(F.col("cell").isin(probe))
     return cosine_topk(cands, id_col, vec_col, query_vec, k)
+
+
+def l2_normalize(df: DataFrame, id_col: str, vec_col: str, round_dp: int = 6) -> DataFrame:
+    """Unit-normalize each embedding (x / ||x||2) — the standard prep
+    before cosine retrieval (dot product == cosine on unit vectors).
+
+    Pure per-row projection: the norm is a sequential in-order fold in
+    doubles (deterministic, engine-portable), each element rounded as a
+    cross-engine guard. Zero vectors pass through as zeros instead of
+    NaN. No shuffle, no UDF — scales as a map over the corpus.
+
+    Returns (id, norm, unit: array<double>).
+    """
+    v = _as_double(F.col(vec_col))
+    norm = F.sqrt(_dot(v, v))
+    unit = F.when(norm == 0.0, F.transform(v, lambda _: F.lit(0.0))).otherwise(
+        F.transform(v, lambda x: F.round(x / norm, round_dp))
+    )
+    return df.select(
+        F.col(id_col), F.round(norm, round_dp).alias("norm"), unit.alias("unit")
+    )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: q_i = round(x_i * 127 /
+    max|x|), dequantized by scale = max|x| / 127 — the 4× storage
+    compression an embedding store applies before ANN serving.
+
+    max|x| is an exact float maximum (no summation), the per-element
+    scaling a deterministic IEEE multiply + HALF_UP round on both
+    engines. Zero vectors quantize to zeros with scale 0. Pure
+    projection: no shuffle, no UDF.
+
+    Returns (id, scale, qvec: array<int>).
+    """
+    v = _as_double(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    qvec = F.when(maxabs == 0.0, F.transform(v, lambda _: F.lit(0).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.round(x * 127.0 / maxabs, 0).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(maxabs / 127.0, 6).alias("scale"),
+        qvec.alias("qvec"),
+    )

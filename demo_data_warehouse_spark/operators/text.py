@@ -242,23 +242,27 @@ def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     product, so the only float ops downstream are exact-input IEEE
     divisions + one 6dp round — engine-portable like unigram_logprob.
 
-    Scale: one explode + (id, term) count (map-side partials); df and N
-    are tiny aggregates joined by BROADCAST; the corpus shuffles once
-    on (id, term).
+    Scale: one explode + (id, term) count (map-side partials), one
+    reshuffle of the tf table by id for a window-sum of doc length (no
+    self-join, no second aggregate of the token stream); df and N are
+    tiny aggregates joined by BROADCAST.
 
     Returns (id, term, c, n_tokens, df, tfidf).
     """
+    from pyspark.sql import Window
+
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("c"))
-    n_d = tf.groupBy(id_col).agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    tf = tf.withColumn(
+        "n_tokens", F.sum("c").over(Window.partitionBy(id_col)).cast("bigint")
+    )
     df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     idf_micro = F.round(
         F.log(F.col("n_docs").cast("double") / F.col("df")) * F.lit(1000000.0), 0
     ).cast("bigint")
     return (
-        tf.join(n_d, id_col)
-        .join(F.broadcast(df_t), "term")
+        tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

@@ -826,6 +826,45 @@ def window_lag_lead(spark, sf_dir):
 
 
 @query(
+    "window_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(ts - lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM g
+    """,
+)
+def window_sessionize(spark, sf_dir):
+    """Sessionization with session IDs assigned back to EVENTS (the
+    row-level complement of agg_session's per-session rollup): a new
+    session starts after a >30-min gap; session_id is the running count
+    of gap breaks per user. Both window functions share one
+    (user_id)-partitioned spec — a single shuffle, no self-join. The
+    exact-µs gap keeps the break flag engine-portable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flag = F.when(gap_us > 1800000000, 1).otherwise(0)
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(flag)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT strftime(ts, '%Y-%m') AS month,

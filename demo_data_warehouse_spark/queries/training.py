@@ -409,6 +409,51 @@ def embed_centroid(spark, sf_dir):
     return similarity.group_centroids(emb, "label", "embedding")
 
 
+@query(
+    "embed_normalize",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT vec_id, label, ROUND(nrm, 6) AS norm,
+           CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
+                ELSE list_transform(v, x -> ROUND(x / nrm, 6)) END AS unit
+    FROM n
+    """,
+)
+def embed_normalize(spark, sf_dir):
+    """L2 unit-normalization of the embedding column — the prep step
+    before cosine retrieval (dot == cosine on unit vectors). Pure
+    shuffle-free projection; sequential in-order double fold for the
+    norm so both engines sum identically —
+    operators/similarity.py::l2_normalize."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.l2_normalize(emb, "vec_id", "embedding")
+    return out.join(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "label", "norm", "unit")
+
+
+@query(
+    "embed_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+    SELECT vec_id, ROUND(maxabs / 127.0, 6) AS scale,
+           CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS INT))
+                ELSE list_transform(v, x -> CAST(ROUND(x * 127.0 / maxabs) AS INT))
+           END AS qvec
+    FROM m
+    """,
+)
+def embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of embeddings (4× storage, the
+    compression an embedding store applies before ANN serving): exact
+    float max, deterministic IEEE scaling, HALF_UP round on both
+    engines — operators/similarity.py::quantize_int8."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb, "vec_id", "embedding")
+
+
 def _duck_ann_lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
     """DuckDB replay of cosine_topk_lsh: same planes → same query
     bucket and corpus signatures → same bucket-restricted top-k."""

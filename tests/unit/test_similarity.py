@@ -109,3 +109,27 @@ def test_ivf_centroids_deterministic(spark, vecs):
     a = similarity.ivf_train_centroids(df, "embedding", n_cells=4, sample_rows=100)
     b = similarity.ivf_train_centroids(df, "embedding", n_cells=4, sample_rows=100)
     assert a == b
+
+
+def test_l2_normalize_unit_norm_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    got = {r.vec_id: r for r in similarity.l2_normalize(df, "vec_id", "embedding").collect()}
+    assert got[1].norm == 5.0 and got[1].unit == [0.6, 0.8]
+    assert got[2].norm == 0.0 and got[2].unit == [0.0, 0.0]  # no NaN
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in similarity.quantize_int8(df, "vec_id", "embedding").collect()}
+    assert got[1].qvec == [127, -64, 32]  # HALF_UP away from zero
+    assert all(-127 <= q <= 127 for q in got[1].qvec)
+    # dequantized values within one quantization step of the input
+    step = got[1].scale
+    for orig, q in zip([1.0, -0.5, 0.25], got[1].qvec):
+        assert abs(q * step - orig) <= step / 2 + 1e-9
+    assert got[2].scale == 0.0 and got[2].qvec == [0, 0, 0]
