@@ -65,13 +65,19 @@ def stopword_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """N-gram/stopword language-ID heuristic: count English stopword hits."""
-    t = F.col(text_col)
+def en_hits_col(t: Column) -> Column:
+    """Total English stopword hits — the lang_id score as a reusable
+    column expression."""
     hits = None
     for w in EN_STOPWORDS:
         h = stopword_hits(t, w)
         hits = h if hits is None else hits + h
+    return hits
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: count English stopword hits."""
+    hits = en_hits_col(F.col(text_col))
     return df.select(
         F.col(id_col),
         hits.alias("en_hits"),

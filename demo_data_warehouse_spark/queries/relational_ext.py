@@ -926,6 +926,47 @@ def fn_string_ops(spark, sf_dir):
 
 
 @query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang || '&sz=' || CAST(n_chars AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def fn_url_parse(spark, sf_dir):
+    """URL decomposition (host / path / query-param) via anchored regex
+    extraction — the canonicalization primitive under web-corpus
+    source tracking and URL-keyed dedup. Pure projection, regex is
+    engine-portable (no parse_url dependence)."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&sz="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"^https://([^/]+)", 1).alias("host"),
+        F.regexp_extract(url, r"^https://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"lang=([^&]*)", 1).alias("lang_param"),
+    )
+
+
+@query(
     "fn_case_when",
     oracle="""
     SELECT o_orderkey,

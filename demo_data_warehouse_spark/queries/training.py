@@ -877,6 +877,64 @@ def text_chunks(spark, sf_dir):
     return text.chunk_tokens(docs, "doc_id", "text", window=32, stride=24)
 
 
+# the lang_id stopword-hit score as a DuckDB fragment (mirrors
+# text.en_hits_col: divisor = len(' word '))
+_DUCK_EN_HITS = "\n             + ".join(
+    f"CAST((length(text) - length(replace(text, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+    for w in text.EN_STOPWORDS
+)
+
+
+@query(
+    "corpus_clean",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 41 <> 0),
+    evals AS (SELECT * FROM documents WHERE doc_id % 41 = 0),
+    q AS (
+      SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM corpus
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200
+    ),
+    l AS (
+      SELECT * FROM q
+      WHERE {_DUCK_EN_HITS} >= 1
+    ),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM l
+    ),
+    k AS (SELECT doc_id, text, n_tokens FROM d WHERE rn = 1),
+    e_sh AS (SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS sh FROM evals),
+    c_sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM k),
+    bad AS (SELECT DISTINCT doc_id FROM c_sh JOIN e_sh USING (sh))
+    SELECT doc_id, n_tokens FROM k
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def corpus_clean(spark, sf_dir):
+    """End-to-end corpus cleaning — the composed training-data pipeline
+    run as ONE lazy plan: length-window quality filter → stopword
+    language filter → exact dedup (keep lowest id per identical text) →
+    benchmark decontamination against the eval split. Each stage is an
+    already-oracled operator; composing them keeps everything in a
+    single Catalyst plan (filters fuse into the scan; the only
+    shuffles are the dedup window and the contaminated-id anti-join —
+    eval shingles broadcast)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 41 != 0)
+    evals = docs.where(F.col("doc_id") % 41 == 0)
+    q = corpus.select(
+        "doc_id", "text", text.ws_token_count(F.col("text")).alias("n_tokens")
+    ).where(F.col("n_tokens").between(20, 200))
+    lang_ok = q.where(text.en_hits_col(F.col("text")) >= 1)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        lang_ok.withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn")
+    )
+    return text.decontaminate(kept, evals, "doc_id", "text").select("doc_id", "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

@@ -412,3 +412,55 @@ def test_incremental_merge_shuffles_state_not_facts(spark, sf_dir, qs):
         if ids[node] == "Exchange":
             below = [ids[n] for n in order[i + 1 :]]
             assert "HashAggregate" in below[:3] or "Scan" not in below[:1], plan
+
+
+def test_sessionize_single_window_shuffle(spark, sf_dir, qs):
+    # window_sessionize: the gap flag (lag) and the running session
+    # counter share one (user_id)-partitioned sort — exactly one
+    # exchange; a second would mean the window spec split.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["window_sessionize"](spark, sf_dir))
+    assert plan.count("Exchange (") <= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_tfidf_no_self_join_on_corpus(spark, sf_dir, qs):
+    # text_tfidf: doc length comes from a window over the tf table, the
+    # df/N sides broadcast — the token stream is aggregated once and
+    # never self-joined by a shuffled join.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["text_tfidf"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir, qs):
+    # text_chunks: pure per-row generator — no exchange at any width.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["text_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_embed_projection_ops_shuffle_free(spark, sf_dir, qs):
+    # embed_quantize: per-vector projection — no exchange, JVM-native.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["embed_quantize"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_corpus_clean_broadcasts_eval_side(spark, sf_dir, qs):
+    # corpus_clean: the composed cleaning pipeline must keep the eval
+    # shingle set broadcast (no shuffled join against the corpus) and
+    # stay fully JVM-side.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    plan = physical_plan(qs["corpus_clean"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
