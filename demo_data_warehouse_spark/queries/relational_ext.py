@@ -486,6 +486,47 @@ def window_cume_dist(spark, sf_dir):
 
 
 @query(
+    "window_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT event_id, event_type, cents,
+             CAST(SUM(cents) OVER (PARTITION BY event_type) AS DOUBLE) AS s1,
+             CAST(SUM(cents * cents) OVER (PARTITION BY event_type) AS DOUBLE) AS s2,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+      FROM c
+    )
+    SELECT event_id, event_type,
+           ROUND((cents / 100.0 - s1 / n / 100.0)
+                 / sqrt((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)), 4)
+             AS zscore
+    FROM s
+    """,
+)
+def window_zscore(spark, sf_dir):
+    """Per-group z-score anomaly scoring: each event's value scored
+    against its event_type's mean/std — the outlier flagger of a
+    data-quality pipeline. The moments come from EXACT integer cent
+    sums over an unordered partition window (one shuffle, no join
+    back), so mean/std are merge-order-independent; the z formula is
+    then a fixed IEEE expression mirrored verbatim in the oracle."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type")
+    s1 = F.sum(cents).over(w).cast("double")
+    s2 = F.sum(cents * cents).over(w).cast("double")
+    n = F.count("*").over(w).cast("double")
+    mean_v = s1 / n / F.lit(100.0)
+    var_v = (s2 / F.lit(10000.0) - (s1 / F.lit(100.0)) * (s1 / F.lit(100.0)) / n) / (
+        n - F.lit(1.0)
+    )
+    z = (cents / F.lit(100.0) - mean_v) / F.sqrt(var_v)
+    return ev.select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+
+
+@query(
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id, ts,
