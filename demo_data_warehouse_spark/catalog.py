@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -39,4 +39,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet TIMESTAMP(NANOS) read as long via nanosAsLong (session.py);
         # truncate ns → µs exactly as DuckDB/pyarrow do on their ns→µs path
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # parquet timestamps with isAdjustedToUTC=false surface as TIMESTAMP_NTZ;
+    # several chrono builtins (unix_micros/unix_millis, tz conversions) only
+    # accept TIMESTAMP. Session tz is pinned UTC (session.py), so casting
+    # NTZ → TIMESTAMP reinterprets the wall-clock as UTC — value-identical
+    # to how the same files read under inferTimestampNTZ=false.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -34,8 +34,13 @@ def _events_stream(spark, sf_dir):
     stream = read_landing_stream(
         spark, sf_dir, fmt="parquet", pathGlobFilter="events.parquet"
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # event-time watermarks require TIMESTAMP; session tz is UTC so
+        # the cast is value-identical (same rule as catalog.table)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
