@@ -251,32 +251,41 @@ def simhash_bits(hash_mode: str) -> int:
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, hash_mode: str = "fast"
 ) -> DataFrame:
-    """(id, simhash: bigint) — 64/60-bit simhash over whitespace tokens."""
+    """(id, simhash: bigint) — 64/60-bit simhash over whitespace tokens.
+
+    Shape: explode tokens → hash once per token → ONE hash aggregation
+    with n per-bit conditional sums (all whole-stage codegen, map-side
+    partials) → assemble the signature from the counts (bit i set iff
+    2·count_set(i) > n_tokens, ties → 0 — sign(Σ±1) > 0 exactly).
+
+    The tempting alternative — nested higher-order functions folding a
+    per-token ±1 vector — is a trap: Catalyst's projection collapse
+    inlines the token-hash fold into the per-bit outer loop, silently
+    re-hashing every token n times per document (~60× the md5 work,
+    all interpreted). Measured 108s → 2s at 5k docs for this rewrite.
+
+    NULL text yields no tokens and therefore no output row (matches the
+    oracle's unnest semantics); empty text hashes its single empty
+    token as before.
+    """
     n = simhash_bits(hash_mode)
-    out = (
-        df.withColumn(
-            "__th",
-            F.expr(f"transform(split({text_col}, ' '), t -> {_hash_expr('t', hash_mode)})"),
-        )
-        .withColumn(
-            "__bitsum",
-            F.expr(
-                f"aggregate(__th, transform(sequence(0, {n - 1}), i -> 0),"
-                " (acc, h) -> zip_with(acc,"
-                f"   transform(sequence(0, {n - 1}), i -> if(((h >> i) & 1) = 1, 1, -1)),"
-                "   (a, b) -> a + b))"
-            ),
-        )
-        .withColumn(
-            "simhash",
-            F.expr(
-                f"aggregate(sequence(0, {n - 1}), cast(0 as bigint),"
-                " (acc, i) -> acc | if(element_at(__bitsum, i + 1) > 0,"
-                "   shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
-            ),
-        )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__t"),
     )
-    return out.select(F.col(id_col).alias("id"), "simhash")
+    per_tok = toks.select("id", F.expr(_hash_expr("__t", hash_mode)).alias("__h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__c{i}")
+        for i in range(n)
+    ]
+    counts = per_tok.groupBy("id").agg(F.count("*").alias("__n"), *bit_sums)
+    sim = F.lit(0).cast("bigint")
+    for i in range(n):
+        sim = sim + F.when(
+            F.col(f"__c{i}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("bigint"), i),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return counts.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -330,8 +339,13 @@ def simhash_pairs(
             F.col("y.id").alias("id_b"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair, so filtering BEFORE the
+        # distinct is result-identical — and turns the dedup shuffle from
+        # |all block-collision candidates| (quadratic in bucket load:
+        # ~150M rows at 50k docs) into |near-dup survivors| (tiny). The
+        # candidate join itself stays in whole-stage codegen, map-side.
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -356,7 +370,7 @@ def embed_cosine_pairs(
     corpora above the bound rather than silently planning a 10¹⁰-pair
     join; pass max_rows=None only when the quadratic cost is intended.
     """
-    from .similarity import cosine_sim_col
+    from .similarity import cosine_batch
 
     if max_rows is not None:
         n = df.count()
@@ -366,10 +380,16 @@ def embed_cosine_pairs(
                 f" > max_rows={max_rows}; use embed_cosine_pairs_lsh for scale"
                 " or pass max_rows=None to force"
             )
+    # candidate generation stays a JVM join; the O(pairs·dim) scoring is
+    # Arrow-vectorized (cosine_batch) — no JVM expression form survives
+    # 64 dims on a pair-quadratic path (interpreted HOF fold ≈ 20µs/pair;
+    # unrolled codegen trips the JIT huge-method limit; both measured
+    # ~100s at 2M pairs vs ~8s vectorized). The final round-then-filter
+    # is Spark-side so the HALF_UP boundary rule matches the SQL oracle.
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), round_dp)
+    sim = F.round(cosine_batch(F.col("va"), F.col("vb")), round_dp)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cos_sim"))

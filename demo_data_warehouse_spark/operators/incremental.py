@@ -115,6 +115,73 @@ def finalize_distinct(
     return state.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
 
 
+# ---------------------------------------------------------------------------
+# QUANTILES — also not algebraic exactly, but mergeable via a fixed
+# binning: state = per-group counts over nbins equal-width value bins.
+# Merge = summing counts (associative/commutative, replay gives the
+# same state only if the delta split is disjoint — same contract as
+# rollup_partials). Finalize walks the cumulative histogram. The
+# estimate is DETERMINISTIC (bin midpoint), so unlike percentile_approx
+# it is oracle-checkable bit-for-bit; error is bounded by width/2.
+# At 100 TB the state is O(|groups| · nbins) longs — constant in rows.
+# ---------------------------------------------------------------------------
+
+
+def quantile_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: str,
+    lo: float,
+    width: float,
+    nbins: int,
+) -> DataFrame:
+    """Binned-histogram partial state: rows per (keys, bin) where
+    bin = clamp(floor((measure - lo)/width), 0, nbins-1). Out-of-range
+    values saturate into the edge bins (visible as edge-midpoint
+    estimates rather than silently dropped rows)."""
+    b = F.floor((F.col(measure) - F.lit(lo)) / F.lit(width)).cast("bigint")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    return df.groupBy(*keys, b.alias("bin")).agg(F.count("*").alias("n"))
+
+
+def merge_quantile_state(
+    stored: DataFrame, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    keys = list(keys)
+    cols = keys + ["bin", "n"]
+    both = stored.select(*cols).unionByName(delta.select(*cols))
+    return both.groupBy(*keys, "bin").agg(F.sum("n").alias("n"))
+
+
+def finalize_quantile(
+    state: DataFrame,
+    keys: Sequence[str],
+    lo: float,
+    width: float,
+    q_num: int = 1,
+    q_den: int = 2,
+    alias: str = "quantile_est",
+) -> DataFrame:
+    """Resolve histogram state to the q = q_num/q_den quantile estimate:
+    midpoint of the first bin whose cumulative count reaches q·total.
+    The comparison is integer-exact (cum·q_den >= total·q_num) so Spark
+    and a SQL oracle cannot disagree by float rounding."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w_cum = Window.partitionBy(*keys).orderBy("bin")
+    w_all = Window.partitionBy(*keys)
+    cum = state.select(
+        *keys,
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    hit = cum.where(F.col("cum") * F.lit(q_den) >= F.col("total") * F.lit(q_num))
+    mid = (F.col("bin") + F.lit(0.5)) * F.lit(width) + F.lit(lo)
+    return hit.groupBy(*keys).agg(F.min(mid).cast("double").alias(alias))
+
+
 def hll_partials(
     df: DataFrame, keys: Sequence[str], col: str, lgk: int = 12
 ) -> DataFrame:

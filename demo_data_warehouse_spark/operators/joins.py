@@ -86,6 +86,76 @@ def asof_join(
     )
 
 
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """asof_join's semantics via cogrouped applyInPandas — the custom-
+    operator escape hatch for per-key logic the DataFrame algebra can't
+    express (here it CAN — asof_join above is the production path; this
+    exists to pin the cogroup plumbing with an oracle-checked twin).
+
+    Spark co-shuffles both sides on `key` (one Exchange each, no
+    replication) and hands each key's pair of pandas frames to
+    merge_asof (backward, inclusive). Arrow-batched: cost is per-group
+    Python dispatch, not per-row. Deterministic only when the right
+    side is unique per (key, right_ts) — callers pre-aggregate ties
+    away; merge_asof would otherwise pick the last row in frame order.
+
+    Scale: group count bounds parallelism and the largest single group
+    must fit one executor's pandas heap — same contract as every
+    applyInPandas op. Skewed keys want the salted pre-split first.
+    """
+    import pandas as pd
+
+    lschema = left.schema
+    rtypes = dict(zip(right.schema.fieldNames(), right.schema.fields))
+    out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in lschema.fields]
+    out_fields += [
+        f"`{c}` {rtypes[c].dataType.simpleString()}" for c in right_cols
+    ]
+    out_schema = ", ".join(out_fields)
+    lcols = [f.name for f in lschema.fields]
+    rkeep = [right_ts] + [c for c in right_cols if c != right_ts]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=lcols + right_cols)
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf.dropna(subset=[right_ts]).sort_values(right_ts, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in right_cols:
+                out[c] = None
+            return out[lcols + right_cols]
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[rkeep],
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            allow_exact_matches=True,
+            suffixes=("", "__r"),
+        )
+        # merge_asof suffixes a clashing right_ts column; restore the
+        # requested output names
+        if right_ts in right_cols and f"{right_ts}__r" in merged.columns:
+            merged = merged.rename(columns={f"{right_ts}__r": right_ts})
+        elif right_ts not in right_cols:
+            merged = merged.drop(columns=[right_ts + "__r"], errors="ignore")
+        return merged[lcols + right_cols]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -14,12 +14,70 @@ for large query batches.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _dot(a, b):  # sequential fold in doubles — deterministic
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_fixed(a, b, dim: int):
+    """Dot product with a STATICALLY KNOWN dimension, unrolled into a
+    left-associated sum of per-element products — value-identical to
+    the sequential fold (_dot): IEEE `0.0 + x` rounds to x, both
+    accumulate in index order, and the per-element float→double cast
+    happens before multiplying either way.
+
+    ONLY for dim ≲ 16: the unrolled expression JITs and beats the
+    interpreted higher-order fold, but past ~30 terms the generated
+    method crosses the JVM's huge-method limit and silently runs in the
+    bytecode interpreter (measured on a 2M-pair join: dim=16 → 1.5s,
+    dim=32 → 22s, dim=64 → 44s). For wide vectors on an all-pairs hot
+    path use cosine_batch (Arrow-vectorized, exact same fold order)."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def cosine_batch(va_col, vb_col):
+    """Cosine similarity as an Arrow-vectorized pandas UDF — the hot
+    path for O(pairs)·O(dim) scoring where no JVM expression form is
+    viable: interpreted higher-order folds cost ~20µs/pair, and an
+    unrolled codegen expression of 64 terms exceeds the JVM JIT's
+    huge-method limit and falls back to the bytecode interpreter (see
+    dot_fixed). NumPy vectorizes ACROSS the Arrow batch while
+    accumulating SEQUENTIALLY over the dimension index k in float64 —
+    acc starts at 0.0 and adds x_k·y_k in index order, so every pair's
+    result is bit-identical to the sequential fold (_dot) and to
+    DuckDB's list_dot_product. This is the vectorized-Python exception
+    the 2.10 UDF policy sanctions: BLAS-class arithmetic, batch-level,
+    never row-at-a-time Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(va.to_numpy()).astype(np.float64)
+        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        ab = np.zeros(len(A))
+        aa = np.zeros(len(A))
+        bb = np.zeros(len(A))
+        for k in range(A.shape[1]):
+            x, y = A[:, k], B[:, k]
+            ab += x * y
+            aa += x * x
+            bb += y * y
+        return pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)))
+
+    return _cos(va_col, vb_col)
 
 
 def _as_double(col):

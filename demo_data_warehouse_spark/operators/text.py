@@ -243,17 +243,21 @@ def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-(document, term) TF-IDF over the corpus itself — the weight
     behind keyword extraction and sparse retrieval indexes.
 
-    score = (c/n_tokens) * ln(N/df). The idf is frozen to FIXED-POINT
-    MICROUNITS (round(ln(N/df)*1e6) as bigint) before entering the
-    product, so the only float ops downstream are exact-input IEEE
-    divisions + one 6dp round — engine-portable like unigram_logprob.
+    score = (c/n_tokens) * ln(N/df), reported in FIXED-POINT MICROUNITS:
+    idf_micro = round(ln(N/df)*1e6) as bigint, then
+    tfidf_micro = (idf_micro * c) div n_tokens — integer floor division,
+    NO float rounding in the output. A final ROUND(double, 6) is not
+    engine-portable (Spark rounds the exact binary value HALF_UP via
+    BigDecimal; DuckDB rounds a scaled double — ~0.03% of rows land on
+    ties and differ by 1 ulp at corpus scale), so the score never
+    re-enters floating point.
 
     Scale: one explode + (id, term) count (map-side partials), one
     reshuffle of the tf table by id for a window-sum of doc length (no
     self-join, no second aggregate of the token stream); df and N are
     tiny aggregates joined by BROADCAST.
 
-    Returns (id, term, c, n_tokens, df, tfidf).
+    Returns (id, term, c, n_tokens, df, tfidf_micro).
     """
     from pyspark.sql import Window
 
@@ -276,10 +280,10 @@ def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col("c").cast("bigint").alias("c"),
             "n_tokens",
             "df",
-            F.round(
-                idf_micro * F.col("c") / F.col("n_tokens") / F.lit(1000000.0), 6
-            ).alias("tfidf"),
+            (idf_micro * F.col("c")).alias("__idf_c"),
         )
+        .withColumn("tfidf_micro", F.expr("__idf_c div n_tokens"))
+        .drop("__idf_c")
     )
 
 

@@ -1467,3 +1467,86 @@ def scan_json_roundtrip(spark, sf_dir):
     return spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, price_cents bigint, order_date date"
     ).json(path)
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 20000.0) AS BIGINT), 0), 19) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           CAST(bin * 20000.0 AS DOUBLE) AS bin_lo,
+           CAST((bin + 1) * 20000.0 AS DOUBLE) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equal-width histogram of order totals (20 bins, width 20k,
+    saturating edge bins) — the profiling/dashboard primitive the
+    reference's gold reports imply but never generalize
+    (dags/utils/etl.py:616-677 fixed groupings). One scan, map-side
+    combine, |bins|-row shuffle: the ideal 100 TB aggregation shape.
+    Bin edges are exact binary fractions of the input doubles, so the
+    DuckDB oracle reproduces the bucketing bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(20000.0)).cast("bigint")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(19))
+    return (
+        o.groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(20000.0)).cast("double").alias("bin_lo"),
+            ((F.col("bin") + F.lit(1)) * F.lit(20000.0)).cast("double").alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+@query(
+    "cogroup_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts AS view_ts, MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.click_ts, c.click_value,
+           v.view_ts, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+    """,
+)
+def cogroup_asof(spark, sf_dir):
+    """Point-in-time attribution via cogrouped applyInPandas
+    (operators/joins.py::asof_join_cogrouped): each click joined to the
+    newest same-user view at-or-before it. This is the oracle-checked
+    twin of the native union+window asof_join (join_asof) — it pins the
+    cogroup API plumbing (co-shuffle both sides on the key, Arrow-batch
+    each group pair into pandas merge_asof) against DuckDB's ASOF LEFT
+    JOIN. The right side is pre-aggregated unique per (user, ts) so the
+    backward-inclusive match is deterministic. Production guidance
+    stays: prefer the native form; use cogroup only for per-key logic
+    the algebra can't express."""
+    from ..operators.joins import asof_join_cogrouped
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join_cogrouped(
+        clicks, views, "user_id", "click_ts", "view_ts", ["view_ts", "view_value"]
+    )

@@ -433,3 +433,107 @@ def stream_static_join(spark, sf_dir):
     sink = fresh_name("stream_enrich")
     run_available_now(out, memory_table=sink, output_mode="append")
     return spark.table(sink)
+
+
+@query(
+    "stream_late_data",
+    oracle="""
+    WITH batched AS (
+      SELECT event_id, ts, value,
+             CASE WHEN event_id % 97 = 0 THEN 2 ELSE b0 END AS batch
+      FROM (
+        SELECT *,
+               LEAST(CAST(floor((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                                / 86400000000) AS BIGINT) // 10, 2) AS b0
+        FROM events
+      )
+    ), wm AS (
+      -- Spark >= 3.4 splits the watermark: LATE-EVENT filtering in batch
+      -- N uses the watermark published for batch N-1 (data through
+      -- N-2); EVICTION/emission uses the batch-N watermark (data
+      -- through N-1). Hence 2 PRECEDING here, and emission is checked
+      -- against the final watermark below.
+      SELECT batch,
+             MAX(bts) OVER (ORDER BY batch
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - INTERVAL 1 HOUR AS w
+      FROM (SELECT batch, MAX(ts) AS bts FROM batched GROUP BY batch)
+    ), kept AS (
+      SELECT t.value, date_trunc('hour', t.ts) AS ws
+      FROM batched t JOIN wm ON t.batch = wm.batch
+      WHERE wm.w IS NULL OR date_trunc('hour', t.ts) + INTERVAL 1 HOUR > wm.w
+    )
+    SELECT ws AS win_start,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM kept
+    WHERE ws + INTERVAL 1 HOUR
+            <= (SELECT MAX(ts) FROM batched) - INTERVAL 1 HOUR
+    GROUP BY ws
+    """,
+)
+def stream_late_data(spark, sf_dir):
+    """ST3 done honestly: append-mode watermark semantics — late rows
+    DROPPED, open windows WITHHELD — verified against a SQL replay of
+    the micro-batch schedule.
+
+    The event month is split into three files (ts-thirds by day, with
+    every 97th event diverted to the LAST file as a straggler), written
+    with strictly increasing mtimes so the file source processes them
+    in order under maxFilesPerTrigger=1. Spark then applies the real
+    rules — including the SPARK-40925 split verified empirically here:
+    late-event filtering in batch N uses the watermark PUBLISHED FOR
+    batch N-1 (max event time through batch N-2, minus delay), while
+    eviction/emission uses batch N's own watermark (through N-1). So a
+    day-3 straggler arriving in batch 2 is dropped (its window end is
+    behind max(batch 0) - 1h), while one arriving in batch 1 is still
+    admitted; windows newer than final-max - delay never appear at all
+    (append mode withholds open windows). The oracle replays exactly
+    that schedule in SQL — the lagged late-watermark via a 2-PRECEDING
+    running max — a bit-for-bit check of streaming semantics, not a
+    rows-only smoke.
+
+    Scale: state is bounded by the watermark horizon (windows older
+    than W are evicted on emit), so a 100 TB backlog drains in bounded
+    memory; the straggler pattern is the real-world shape (mostly
+    ordered, sparse stragglers) that makes watermark tuning matter."""
+    import os
+    import shutil
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    base_us = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    day = ((F.unix_micros("ts") - base_us) / F.lit(86400000000)).cast("bigint")
+    b0 = F.least(F.floor(day / 10).cast("bigint"), F.lit(2))
+    batch = F.when(F.col("event_id") % 97 == 0, F.lit(2)).otherwise(b0)
+    tagged = ev.withColumn("batch", batch)
+
+    landing = scratch_dir("late_landing")
+    t0 = 1_700_000_000
+    for i in range(3):
+        tmp = scratch_dir(f"late_tmp{i}")
+        tagged.where(F.col("batch") == i).drop("batch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(landing, f"b{i}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("win_start"), "sum_value", "n")
+    )
+    sink = fresh_name("stream_late")
+    run_available_now(agg, memory_table=sink, output_mode="append")
+    return spark.table(sink)

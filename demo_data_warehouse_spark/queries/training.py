@@ -833,16 +833,17 @@ def text_decontaminate(spark, sf_dir):
     dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
     nn AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT tf.doc_id, tf.term, CAST(tf.c AS BIGINT) AS c, nd.n_tokens, dft.df,
-           ROUND(CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0) AS BIGINT)
-                 * tf.c / nd.n_tokens / 1000000.0, 6) AS tfidf
+           (CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0) AS BIGINT)
+                 * tf.c) // nd.n_tokens AS tfidf_micro
     FROM tf JOIN nd USING (doc_id) JOIN dft USING (term), nn
     """,
 )
 def text_tfidf(spark, sf_dir):
     """Per-(document, term) TF-IDF — keyword extraction / sparse
-    retrieval weighting. The idf is frozen to integer microunits before
-    the product so the score is engine-portable —
-    operators/text.py::tfidf."""
+    retrieval weighting. The score stays in integer microunits end to
+    end (idf frozen to micro-units, then integer floor division) — a
+    final ROUND(double, 6) is NOT engine-portable (Spark vs DuckDB
+    disagree on ~0.03% tie rows at sf0.1) — operators/text.py::tfidf."""
     docs = table(spark, sf_dir, "documents")
     return text.tfidf(docs, "doc_id", "text")
 

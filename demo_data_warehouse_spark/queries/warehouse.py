@@ -15,9 +15,12 @@ from ..operators.diff import snapshot_diff
 from ..operators.incremental import (
     distinct_state,
     finalize_distinct,
+    finalize_quantile,
     finalize_rollup,
     merge_distinct_state,
     merge_partials,
+    merge_quantile_state,
+    quantile_state,
     rollup_partials,
 )
 from ..operators.merge import merge_delete, merge_upsert
@@ -238,6 +241,51 @@ def agg_incremental_distinct(spark, sf_dir):
     stored = distinct_state(ev.where(F.col("ts") <= cutoff), ["event_type"], "user_id")
     delta = distinct_state(ev.where(F.col("ts") > cutoff), ["event_type"], "user_id")
     return finalize_distinct(merge_distinct_state(stored, delta), ["event_type"])
+
+
+@query(
+    "agg_incremental_quantile",
+    oracle="""
+    WITH state AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(floor((value - 0.0) / 0.5) AS BIGINT), 0), 999) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM state
+    )
+    SELECT event_type,
+           CAST(MIN((bin + 0.5) * 0.5 + 0.0) AS DOUBLE) AS p50_est
+    FROM cum WHERE cum * 2 >= total * 1
+    GROUP BY event_type
+    """,
+)
+def agg_incremental_quantile(spark, sf_dir):
+    """Incremental MEDIAN maintenance via mergeable fixed-bin histogram
+    state (operators/incremental.py::quantile_state): exact quantiles
+    don't merge, so the state is per-group counts over 1000 equal-width
+    value bins; a delta is histogrammed alone and count-merged — O(delta)
+    plus a |groups·bins|-bounded shuffle, history never re-read. The
+    estimate (first-bin-midpoint crossing q·total, integer-exact
+    comparison) is deterministic, so the oracle replays the identical
+    binning in SQL — unlike percentile_approx, whose sketch is
+    implementation-defined. Error bound = width/2 (±0.25 here).
+    Replaces rebuild-gold-every-run for percentile KPIs
+    (reference dags/utils/etl.py:616-677)."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    lo, width, nbins = 0.0, 0.5, 1000
+    stored = quantile_state(
+        ev.where(F.col("ts") <= cutoff), ["event_type"], "value", lo, width, nbins
+    )
+    delta = quantile_state(
+        ev.where(F.col("ts") > cutoff), ["event_type"], "value", lo, width, nbins
+    )
+    merged = merge_quantile_state(stored, delta, ["event_type"])
+    return finalize_quantile(merged, ["event_type"], lo, width, alias="p50_est")
 
 
 @query(

@@ -133,3 +133,43 @@ def test_rollup_merge_sink_multi_batch_and_replay(spark, tmp_path):
     out = finalize_rollup(wh.read("gold", "mv"), ["g"])
     got = {r["g"]: (r["n_rows"], r["sum_value"]) for r in out.collect()}
     assert got == {"x": (2, 4.0), "y": (1, 2.0)}
+
+
+def test_quantile_state_merge_equals_full(spark):
+    from demo_data_warehouse_spark.operators.incremental import (
+        finalize_quantile,
+        merge_quantile_state,
+        quantile_state,
+    )
+
+    a = _facts(spark, [("x", 1.2), ("x", 3.4), ("x", 9.9), ("y", 0.2)])
+    b = _facts(spark, [("x", 5.1), ("y", 0.4), ("y", 0.6)])
+    lo, w, nb = 0.0, 0.5, 40
+    merged = merge_quantile_state(
+        quantile_state(a, ["g"], "v", lo, w, nb),
+        quantile_state(b, ["g"], "v", lo, w, nb),
+        ["g"],
+    )
+    full = quantile_state(a.unionByName(b), ["g"], "v", lo, w, nb)
+    got_m = {r.g: r.quantile_est for r in finalize_quantile(merged, ["g"], lo, w).collect()}
+    got_f = {r.g: r.quantile_est for r in finalize_quantile(full, ["g"], lo, w).collect()}
+    assert got_m == got_f
+    # x values 1.2,3.4,5.1,9.9 → bins 2,6,10,19; cum 2 hits 2·cum>=total
+    # → bin 6 midpoint (6+0.5)*0.5 = 3.25
+    assert got_m["x"] == 3.25
+    # y: 0.2,0.4,0.6 → bins 0,0,1; bin 0 cum 2, 2·2>=3 → midpoint 0.25
+    assert got_m["y"] == 0.25
+
+
+def test_quantile_saturates_out_of_range(spark):
+    from demo_data_warehouse_spark.operators.incremental import (
+        finalize_quantile,
+        quantile_state,
+    )
+
+    df = _facts(spark, [("g", -5.0), ("g", -4.0), ("g", 99.0)])
+    st = quantile_state(df, ["g"], "v", 0.0, 0.5, 10)
+    bins = sorted((r.bin, r.n) for r in st.collect())
+    assert bins == [(0, 2), (9, 1)]  # clamped into edge bins, visible
+    est = finalize_quantile(st, ["g"], 0.0, 0.5).collect()[0].quantile_est
+    assert est == 0.25  # median falls in the low edge bin

@@ -113,3 +113,34 @@ def test_salted_join_spreads_hot_key(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
     assert salted.count() == 100
+
+
+def test_cogrouped_asof_matches_native(spark):
+    # the cogrouped applyInPandas twin must agree with the native
+    # union+window asof_join on every row (right side unique per
+    # (key, ts) so both tie rules coincide)
+    from demo_data_warehouse_spark.operators.joins import asof_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, _ts(5), "e1"), (1, _ts(20), "e2"), (2, _ts(5), "e3"), (3, _ts(5), "e4")],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(10), 20.0), (2, _ts(6), 30.0)],
+        "k bigint, rts timestamp, price double",
+    )
+    native = asof_join(left, right, "k", "ts", "rts", ["rts", "price"])
+    cg = asof_join_cogrouped(left, right, "k", "ts", "rts", ["rts", "price"])
+    key = lambda r: (r["k"], r["tag"])  # noqa: E731
+    n = {key(r): (r["rts"], r["price"]) for r in native.collect()}
+    c = {key(r): (r["rts"], r["price"]) for r in cg.collect()}
+    assert n == c and len(c) == 4
+
+
+def test_cogrouped_asof_left_only_key(spark):
+    from demo_data_warehouse_spark.operators.joins import asof_join_cogrouped
+
+    left = spark.createDataFrame([(9, _ts(1), "solo")], "k bigint, ts timestamp, tag string")
+    right = spark.createDataFrame([], "k bigint, rts timestamp, price double")
+    row = asof_join_cogrouped(left, right, "k", "ts", "rts", ["price"]).collect()[0]
+    assert row.tag == "solo" and row.price is None

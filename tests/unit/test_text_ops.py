@@ -56,9 +56,9 @@ def test_tfidf_values(spark):
     # 'rare' appears in 1 of 2 docs; 'common' in both (idf = ln(1) = 0).
     df = _docs(spark, [(1, "common rare"), (2, "common common")])
     got = {(r.id, r.term): r for r in text.tfidf(df, "id", "text").collect()}
-    assert got[(1, "common")].tfidf == 0.0
-    # round(ln(2)*1e6) = 693147 → 0.3465735 → HALF_UP (Spark/DuckDB) 6dp
-    assert got[(1, "rare")].tfidf == 0.346574
+    assert got[(1, "common")].tfidf_micro == 0
+    # round(ln(2)*1e6) = 693147 → 693147 * 1 div 2 = 346573 (floor div)
+    assert got[(1, "rare")].tfidf_micro == 346573
     assert got[(2, "common")].df == 2 and got[(2, "common")].c == 2
 
 
