@@ -38,6 +38,31 @@ from .operators.merge import merge_upsert
 DATABASES = ("bronze", "silver", "gold")
 
 
+def zorder_key(dims: list[tuple], bits: int = 12):
+    """Morton (Z-curve) key column: each (col, lo, hi) dimension is
+    affine-ranked into [0, 2^bits) with clamping, then the ranks' bits
+    are interleaved (dim d contributes bit i to position i·ndims + d).
+    Pure per-row arithmetic — deterministic, engine-portable, and a
+    single codegen chain of bits·ndims OR-free adds (terms are disjoint
+    bits, so + ≡ |)."""
+    ranks = []
+    for col, lo, hi in dims:
+        scaled = F.floor(
+            (col.cast("double") - F.lit(float(lo)))
+            / F.lit(float(hi) - float(lo))
+            * F.lit(float(1 << bits))
+        ).cast("bigint")
+        ranks.append(F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << bits) - 1)))
+    z = F.lit(0).cast("bigint")
+    nd = len(ranks)
+    for i in range(bits):
+        for d, r in enumerate(ranks):
+            z = z + F.shiftleft(
+                F.shiftright(r, i).bitwiseAND(F.lit(1)).cast("bigint"), i * nd + d
+            )
+    return z
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -174,6 +199,51 @@ class Warehouse:
         """
         out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
             *cluster_cols
+        )
+        out.write.mode("overwrite").parquet(self.path(db, table))
+
+    def write_zordered(
+        self,
+        df: DataFrame,
+        db: str,
+        table: str,
+        cluster_cols: list[tuple[str, float, float]],
+        bits: int = 12,
+        n_files: int = 8,
+    ) -> None:
+        """Z-order (Morton-interleaved) clustered write — multi-dimension
+        file skipping where range clustering only serves one dimension.
+
+        write_clustered sorts lexicographically, so files carry tight
+        min/max stats on the FIRST cluster column only; a predicate on
+        the second column alone (or a 2-D box) scans everything. The
+        Z-curve interleaves the bit-ranks of all dimensions, so file
+        boundaries cut space into hyper-rectangles that are tight in
+        EVERY dimension at once — each parquet footer then carries a
+        small min/max rectangle per column, and an N-dim box predicate
+        skips any file whose rectangle misses the box. No zkey predicate
+        is needed at read time: skipping rides the ordinary per-column
+        footer stats, exactly like Delta/Iceberg OPTIMIZE ZORDER BY.
+
+        cluster_cols is (name, lo, hi) per dimension — the fixed affine
+        rank mapping (clamped floor((x-lo)/(hi-lo)·2^bits)) keeps the
+        key a pure per-row expression: no sampling pass, deterministic
+        across engines, and out-of-range values saturate into edge
+        cells rather than erroring. The interleave is a once-per-row
+        write-time expression, so its size only matters for codegen
+        hygiene — keep bits·dims modest (24 here); skipping precision
+        beyond the file count is wasted anyway.
+
+        At 100 TB: partition by day, Z-order by (user, metric) inside
+        each partition; selective multi-dim dashboards read a handful
+        of files per day instead of the full day.
+        """
+        z = zorder_key([(F.col(c), lo, hi) for c, lo, hi in cluster_cols], bits)
+        out = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
         )
         out.write.mode("overwrite").parquet(self.path(db, table))
 

@@ -1550,3 +1550,50 @@ def cogroup_asof(spark, sf_dir):
     return asof_join_cogrouped(
         clicks, views, "user_id", "click_ts", "view_ts", ["view_ts", "view_value"]
     )
+
+
+@query(
+    "scan_zorder_skip",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE user_id BETWEEN 30 AND 60 AND value BETWEEN 20.0 AND 60.0
+    """,
+)
+def scan_zorder_skip(spark, sf_dir):
+    """Z-order-clustered table answering a 2-D box predicate by file
+    skipping (io.py::write_zordered): Morton-interleaving the
+    (user_id, value) bit-ranks at write time cuts the space into
+    per-file hyper-rectangles tight in BOTH dimensions, so the box
+    predicate eliminates files via ordinary per-column footer min/max —
+    where range clustering (scan_clustered_skip) serves only its lead
+    column. Result is layout-independent (the oracle is the plain
+    filter); the skipping itself — most files' stat rectangles miss the
+    box — is pinned by tests/unit/test_clustered.py reading the footers
+    back. The Delta/Iceberg OPTIMIZE ZORDER BY analog on plain parquet."""
+    from ..io import Warehouse
+    from ..streaming.pipeline import scratch_dir
+
+    wh = Warehouse(spark, scratch_dir("zorder"))
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    bounds = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("value").alias("vlo"),
+        F.max("value").alias("vhi"),
+    ).first()
+    wh.write_zordered(
+        ev,
+        "silver",
+        "events_z",
+        [
+            ("user_id", bounds["ulo"], bounds["uhi"] + 1),
+            ("value", bounds["vlo"], bounds["vhi"] + 1e-6),
+        ],
+        bits=12,
+        n_files=16,
+    )
+    out = wh.read("silver", "events_z").where(
+        F.col("user_id").between(30, 60) & F.col("value").between(20.0, 60.0)
+    )
+    return out.select("event_id", "user_id", "value")

@@ -2,6 +2,7 @@
 file-skipping contract) and pushed range predicates."""
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -72,3 +73,59 @@ def test_clustered_read_pushes_range_predicate(spark, sf_dir, tmp_path):
     )
     plan = physical_plan(out)
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_zorder_files_skippable_in_both_dims(spark, tmp_path):
+    """Z-ordered files must carry stat rectangles that let a 2-D box
+    skip most files — including boxes on the SECOND dimension, where
+    lexicographic range clustering cannot skip at all."""
+    import pyarrow.parquet as pq
+
+    from demo_data_warehouse_spark.catalog import table as cat_table
+    from demo_data_warehouse_spark.io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "whz"))
+    ev = cat_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    wh.write_zordered(
+        ev, "silver", "ez",
+        [("user_id", 0, 150), ("value", 0.0, 500.0)],
+        bits=12, n_files=16,
+    )
+    root = wh.path("silver", "ez")
+    rects = []
+    for f in os.listdir(root):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(root, f))
+        los, his = {}, {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name in ("user_id", "value") and col.statistics is not None:
+                    st = col.statistics
+                    los[name] = min(los.get(name, st.min), st.min)
+                    his[name] = max(his.get(name, st.max), st.max)
+        rects.append((los, his))
+    assert len(rects) >= 8
+
+    def intersects(lo, hi, blo, bhi):
+        return not (hi < blo or lo > bhi)
+
+    # 2-D box: a file survives only if its rectangle meets BOTH ranges
+    box_hits = [
+        r for r in rects
+        if intersects(r[0]["user_id"], r[1]["user_id"], 30, 60)
+        and intersects(r[0]["value"], r[1]["value"], 20.0, 60.0)
+    ]
+    assert len(box_hits) < len(rects) / 2, (
+        f"Z-order should skip most files for a small 2-D box: "
+        f"{len(box_hits)}/{len(rects)} files intersect"
+    )
+    # second-dimension-only predicate also skips: value stats must not
+    # all span the full range (the lexicographic-clustering failure mode)
+    val_hits = [r for r in rects if intersects(r[0]["value"], r[1]["value"], 20.0, 60.0)]
+    assert len(val_hits) < len(rects), "value-only predicate skipped nothing"
