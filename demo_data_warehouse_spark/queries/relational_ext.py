@@ -21,6 +21,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1597,3 +1598,99 @@ def scan_zorder_skip(spark, sf_dir):
         F.col("user_id").between(30, 60) & F.col("value").between(20.0, 60.0)
     )
     return out.select("event_id", "user_id", "value")
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT)) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS trimmed_mean
+    FROM c
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean per group via a pandas GROUPED_AGG UDF — the
+    UDAF surface (SURVEY §2.10: the reference has none; this is the
+    declared custom-aggregate escape hatch). Spark shuffles each group
+    to one Arrow batch and the UDAF sorts/trims/sums NumPy-side.
+
+    Exactness contract: values are lifted to integer cents BEFORE the
+    UDAF (one JVM-side round), the trim drops the k=⌊n/10⌋ smallest and
+    largest elements of the sorted MULTISET (deterministic regardless
+    of tie order), the sum is int64, and the single float division
+    matches the oracle's CAST(SUM AS DOUBLE)/(100.0·COUNT) op-for-op —
+    so a Python UDAF still hash-matches a SQL oracle bit-for-bit.
+
+    Scale: per-group state is the group's cents vector — same contract
+    as any holistic aggregate (exact medians, percentile sort): the
+    largest group must fit an executor Arrow batch; pre-aggregate or
+    sketch (agg_incremental_quantile) when it cannot."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(cents: pd.Series) -> float:
+        a = np.sort(cents.to_numpy(dtype="int64"))
+        n = len(a)
+        k = n // 10
+        t = a[k : n - k]
+        return float(int(t.sum())) / (100.0 * len(t))
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    return (
+        ev.select("event_type", cents)
+        .groupBy("event_type")
+        .agg(trimmed_mean(F.col("cents")).alias("trimmed_mean"))
+    )
+
+
+@query(
+    "fn_udtf_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(range(len(string_split(text, ' ')))) AS INT) AS pos,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+    WHERE doc_id % 100 = 0
+    """,
+)
+def fn_udtf_split(spark, sf_dir):
+    """Python UDTF (table function) surface: a per-row generator
+    emitting (pos, term) for each whitespace token, consumed as a SQL
+    LATERAL join. The reference has no UDTFs (SURVEY §2.10); this pins
+    the declared escape hatch for set-returning custom logic with an
+    oracle twin (UNNEST WITH ORDINALITY).
+
+    Production guidance unchanged: a native generator (posexplode —
+    fn_explode) stays JVM-side and beats any Python UDTF; UDTFs are for
+    logic explode() cannot express (stateful parses, multi-row
+    expansion with carried state). Row-at-a-time Python, hence the
+    deterministic doc_id sample: the point is API parity, not a hot
+    path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class SplitTerms:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    spark.udtf.register("ddw_split_terms", SplitTerms)
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 100 == 0)
+    docs.createOrReplaceTempView("ddw_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.term "
+        "FROM ddw_udtf_docs d, LATERAL ddw_split_terms(d.text) s"
+    )
