@@ -108,20 +108,46 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def char_entropy(text: Column, round_dp: int = 6) -> Column:
-    """Shannon entropy (bits/char) of the character distribution — a
-    classic low-quality-text detector (repetitive spam scores low,
-    natural text ~4 bits). Folds over the SORTED distinct character
-    set so the float summation order is engine-identical; rounded as a
-    second guard."""
-    chars = F.split(text, "")
-    p = lambda ch: F.size(F.filter(chars, lambda x: x == ch)) / F.size(chars)  # noqa: E731
-    ent = -F.aggregate(
-        F.array_sort(F.array_distinct(chars)),
-        F.lit(0.0),
-        lambda acc, ch: acc + p(ch) * F.log2(p(ch)),
+def char_entropy_table(
+    df: DataFrame, id_col: str, text_col: str, carry: list[str] | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — a classic low-quality-text detector (repetitive spam
+    scores low, natural text ~4 bits). Returns (id, *carry, char_entropy).
+
+    Shape: explode chars → groupBy (id, char) count (map-side combine:
+    the shuffle moves ~|distinct chars| rows per doc, never the raw
+    character stream) → per-doc fold over the SORTED (char, count)
+    structs so the float summation order is engine-identical; p = cnt/n
+    with n = Σcnt reproduces size(filter(chars,=ch))/size(chars)
+    exactly. Left join back to the base keeps null-text docs as rows
+    with NULL entropy (matching the SQL oracle's behavior).
+
+    The tempting pure-projection form — fold over array_distinct with
+    p(ch) = size(filter(chars, =ch)) inside the lambda — re-evaluates
+    the full split per distinct char PER REFERENCE (p appears twice per
+    term): O(2·distinct·len) interpreted work per document. Same
+    Catalyst trap as simhash (projection collapse counts static
+    references, not fold-loop evaluations)."""
+    carry = carry or []
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__ch")
     )
-    return F.round(ent, round_dp)
+    cnt = chars.groupBy(id_col, "__ch").agg(F.count("*").alias("__c"))
+    dist = cnt.groupBy(id_col).agg(
+        F.sum("__c").alias("__n"),
+        F.sort_array(F.collect_list(F.struct("__ch", "__c"))).alias("__dist"),
+    )
+    term = lambda s: (s["__c"] / F.col("__n")) * F.log2(s["__c"] / F.col("__n"))  # noqa: E731
+    ent = dist.select(
+        F.col(id_col),
+        F.round(
+            -F.aggregate(F.col("__dist"), F.lit(0.0), lambda acc, s: acc + term(s)),
+            round_dp,
+        ).alias("char_entropy"),
+    )
+    return df.select(id_col, *carry).join(ent, id_col, "left")
 
 
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -709,11 +709,12 @@ def sample_weighted(spark, sf_dir):
 )
 def text_entropy(spark, sf_dir):
     """Character-distribution Shannon entropy per document — the
-    classic repetitive-spam detector in corpus quality scoring. Folds
-    over the sorted distinct character set so the float sum order is
-    engine-identical (plus 6dp rounding as a second guard)."""
+    classic repetitive-spam detector in corpus quality scoring. The
+    fold runs over sorted (char, count) structs so the float sum order
+    is engine-identical (plus 6dp rounding as a second guard);
+    operators/text.py::char_entropy_table for the shuffle/CPU shape."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "n_chars", text.char_entropy(F.col("text")).alias("char_entropy"))
+    return text.char_entropy_table(docs, "doc_id", "text", carry=["n_chars"])
 
 
 @query(
