@@ -464,3 +464,53 @@ def test_corpus_clean_broadcasts_eval_side(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_agg_histogram_partial_aggregation(spark, sf_dir, qs):
+    # R1: one scan, map-side combine, |bins|-row shuffle — two
+    # HashAggregate nodes, no Python anywhere.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["agg_histogram"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert_no_rowwise_python(df)
+
+
+def test_simhash_signature_not_reexecuted_per_bit(spark, sf_dir, qs):
+    # the signature must be ONE token-hash pass aggregated into per-bit
+    # sums — not the nested-fold form Catalyst inlines into a per-bit
+    # re-hash (the round-3 108s regression). The interpreted fold shows
+    # up as zip_with/aggregate lambdas in the plan; the rewritten path
+    # has none.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["dedup_simhash"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "zip_with" not in plan, "per-token fold is back in the plan"
+    assert_no_rowwise_python(df)
+
+
+def test_embed_cosine_scoring_is_arrow_not_rowwise(spark, sf_dir, qs):
+    # the O(n²) scorer must be Arrow-batched (ArrowEvalPython), never
+    # BatchEvalPython, and candidate generation must stay a join (no
+    # interpreted per-pair lambdas in a Filter above a cross product).
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["dedup_embed_cosine"](spark, sf_dir)
+    plan = assert_no_rowwise_python(df)
+    assert "ArrowEvalPython" in plan or "EvalPython" not in plan, plan
+
+
+def test_char_entropy_shuffles_counts_not_chars(spark, sf_dir, qs):
+    # the entropy shuffle must move (id, char) COUNTS (post map-side
+    # combine), so the plan needs partial+final HashAggregates and no
+    # per-distinct-char refilter (higher-order `filter(` lambda) in a
+    # projection.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["text_entropy"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "array_distinct" not in plan, "per-char refilter form is back"
+    assert_no_rowwise_python(df)
