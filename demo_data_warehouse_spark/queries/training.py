@@ -490,20 +490,88 @@ def ann_cosine_lsh(spark, sf_dir):
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-@query("ann_cosine_ivf")  # rows-only: recall asserted vs brute force in tests
+def _seq_dot(a, b):
+    """Sequential-fold dot in Python doubles — matches Spark's _dot and
+    DuckDB's list_dot_product bit-for-bit (0.0 + x rounds to x)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+_IVF_ORACLE = """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.v, ct.cv)
+                          / (sqrt(list_dot_product(c.v, c.v))
+                             * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+                          ct.cell DESC
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT cell FROM cents, q
+      ORDER BY list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+               cell DESC
+      LIMIT 3
+    )
+    SELECT vec_id, ROUND(cos_sim, 4) AS cos_sim FROM (
+      SELECT c.vec_id,
+             list_dot_product(c.v, q.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+               AS cos_sim
+      FROM corpus c JOIN assign a USING (vec_id), q
+      WHERE a.cell IN (SELECT cell FROM probe)
+      ORDER BY cos_sim DESC, c.vec_id
+      LIMIT 10
+    )
+    """
+
+
+@query("ann_cosine_ivf", oracle=_IVF_ORACLE)
 def ann_cosine_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (scale path): k-means coarse quantizer from a
-    bounded sample, one distributed cell assignment materialized as a
-    cell-partitioned index, then probing = directory partition pruning
-    (PartitionFilters on `cell`, plan-asserted) — at 100 TB a query
-    opens n_probe cell dirs, never the full corpus."""
+    """IVF-bucketed ANN (scale path): coarse quantizer, one distributed
+    cell assignment materialized as a cell-partitioned index, then
+    probing = directory partition pruning (PartitionFilters on `cell`,
+    plan-asserted) — at 100 TB a query opens n_probe cell dirs, never
+    the full corpus.
+
+    The driver query pins the ENTIRE pipeline (assign → partitioned
+    index write/read → probe → exact rerank) against a SQL oracle by
+    using a deterministic quantizer: the first 8 corpus vectors by id,
+    unit-normalized with sequential-fold arithmetic (_seq_dot) so the
+    centroid doubles match DuckDB's list_dot_product exactly; ties in
+    both assignment and probe ranking break toward the higher cell id
+    on both sides. Production quantizer training (sampled k-means,
+    ivf_train_centroids) is unchanged and recall-tested in
+    tests/unit/test_similarity.py — the oracle pins the machinery, the
+    k-means path tunes the recall."""
+    import math
     import os
 
     emb = table(spark, sf_dir, "embeddings")
     qrow = emb.where("vec_id = 0").select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     corpus = emb.where("vec_id <> 0")
-    cents = similarity.ivf_train_centroids(corpus, "embedding", n_cells=8)
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    cents = [
+        [x / math.sqrt(_seq_dot(v, v)) for x in v] for v in seeds
+    ]
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     index_path = os.path.join(
         repo_root, ".cache", "ivf", os.path.basename(os.path.normpath(sf_dir)), "embeddings"
