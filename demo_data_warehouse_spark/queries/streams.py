@@ -26,6 +26,29 @@ from ..streaming.pipeline import (
 from . import query
 
 
+def _write_batched_landing(tagged, prefix, n_batches=3):
+    """Write a `batch`-tagged frame as one parquet file per batch with
+    strictly increasing mtimes, so a file-source stream under
+    maxFilesPerTrigger=1 processes the batches in deterministic order —
+    the harness every multi-batch streaming-semantics query shares."""
+    import os
+    import shutil
+
+    landing = scratch_dir(prefix)
+    t0 = 1_700_000_000
+    for i in range(n_batches):
+        tmp = scratch_dir(f"{prefix}_tmp{i}")
+        tagged.where(F.col("batch") == i).drop("batch").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(landing, f"b{i}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return landing
+
+
 def _events_stream(spark, sf_dir):
     """readStream over events.parquet, normalizing the TIMESTAMP(NANOS)
     ts column exactly like catalog.table does for batch reads."""
@@ -505,20 +528,7 @@ def stream_late_data(spark, sf_dir):
     day = ((F.unix_micros("ts") - base_us) / F.lit(86400000000)).cast("bigint")
     b0 = F.least(F.floor(day / 10).cast("bigint"), F.lit(2))
     batch = F.when(F.col("event_id") % 97 == 0, F.lit(2)).otherwise(b0)
-    tagged = ev.withColumn("batch", batch)
-
-    landing = scratch_dir("late_landing")
-    t0 = 1_700_000_000
-    for i in range(3):
-        tmp = scratch_dir(f"late_tmp{i}")
-        tagged.where(F.col("batch") == i).drop("batch").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dst = os.path.join(landing, f"b{i}.parquet")
-        shutil.copyfile(os.path.join(tmp, part), dst)
-        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    landing = _write_batched_landing(ev.withColumn("batch", batch), "late_landing")
 
     stream = (
         spark.readStream.schema("event_id bigint, ts timestamp, value double")
