@@ -156,6 +156,57 @@ def asof_join_cogrouped(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """All (left, right) pairs per key whose half-open intervals
+    [start, end) overlap — without the inequality nested-loop join.
+
+    Each interval explodes to the integer indices of the fixed-width
+    time-grid buckets it spans (floor(µs/width), ≤ span/width + 1 rows,
+    grid-aligned on both sides by construction); the join is then a
+    pure EQUI-join on (key, bucket), candidates are deduped, and the
+    exact overlap predicate filters. Equivalent output to
+    `l.start < r.end AND r.start < l.end` per key, but the physical
+    plan is hash-partitioned by (key, bucket): at 100 TB the naive
+    form is a per-key O(n·m) BroadcastNestedLoop/cartesian, while this
+    shuffles each row ~(span/width + 1) times and meets only
+    bucket-local candidates. Choose bucket_us ≈ typical interval span:
+    too small multiplies the explode, too large multiplies candidates.
+
+    Columns returned: key, all left columns, all right columns (caller
+    pre-aliases collisions), plus overlap_us (exact integer microseconds
+    of intersection — never ≤ 0 post-filter).
+    """
+
+    def span(start: str, end: str):
+        lo = F.floor(F.unix_micros(F.col(start)) / F.lit(bucket_us)).cast("bigint")
+        hi = F.floor(
+            (F.unix_micros(F.col(end)) - F.lit(1)) / F.lit(bucket_us)
+        ).cast("bigint")
+        return F.explode(F.sequence(lo, hi)).alias("__bkt")
+
+    lx = left.select(F.col(key), *[c for c in left.columns if c != key], span(l_start, l_end))
+    rx = right.select(F.col(key), *[c for c in right.columns if c != key], span(r_start, r_end))
+    cand = (
+        lx.join(rx, on=[key, "__bkt"])
+        .drop("__bkt")
+        .distinct()
+        .where((F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end)))
+    )
+    overlap_us = F.unix_micros(F.least(F.col(l_end), F.col(r_end))) - F.unix_micros(
+        F.greatest(F.col(l_start), F.col(r_start))
+    )
+    return cand.withColumn("overlap_us", overlap_us)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -1694,3 +1694,50 @@ def fn_udtf_split(spark, sf_dir):
         "SELECT d.doc_id, s.pos, s.term "
         "FROM ddw_udtf_docs d, LATERAL ddw_split_terms(d.text) s"
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS c_start, ts + INTERVAL 30 MINUTE AS c_end
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_start, ts + INTERVAL 45 MINUTE AS p_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           epoch_us(LEAST(c.c_end, p.p_end)) - epoch_us(GREATEST(c.c_start, p.p_start))
+             AS overlap_us
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.c_start < p.p_end AND p.p_start < c.c_end
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (attribution windows: click sessions ×
+    purchase sessions per user) via grid-bucketed equi-join —
+    operators/joins.py::interval_overlap_join. The oracle is the naive
+    inequality join; the Spark plan is hash-partitioned on
+    (user, bucket) with the exact predicate as a post-filter — the
+    shape that survives 100 TB where the inequality form degenerates
+    to a per-key nested loop. overlap_us is exact integer microseconds."""
+    from ..operators.joins import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("c_end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("interval 45 minutes")).alias("p_end"),
+    )
+    out = interval_overlap_join(
+        clicks, purchases, "user_id", "c_start", "c_end", "p_start", "p_end"
+    )
+    return out.select("user_id", "click_id", "purchase_id", "overlap_us")

@@ -144,3 +144,34 @@ def test_cogrouped_asof_left_only_key(spark):
     right = spark.createDataFrame([], "k bigint, rts timestamp, price double")
     row = asof_join_cogrouped(left, right, "k", "ts", "rts", ["price"]).collect()[0]
     assert row.tag == "solo" and row.price is None
+
+
+def test_interval_overlap_matches_naive(spark):
+    from demo_data_warehouse_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(30)), (1, 11, _ts(50), _ts(55)), (2, 12, _ts(0), _ts(30))],
+        "k bigint, lid bigint, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        # overlaps lid=10; touches lid=10's end exactly (half-open: no);
+        # overlaps lid=11 across an hour-bucket boundary via span
+        [(1, 20, _ts(29), _ts(40)), (1, 21, _ts(30), _ts(45)),
+         (1, 22, _ts(54), datetime(2024, 1, 1, 11, 10)), (3, 23, _ts(0), _ts(5))],
+        "k bigint, rid bigint, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(left, right, "k", "ls", "le", "rs", "re")
+    got = sorted((r.lid, r.rid, r.overlap_us) for r in out.collect())
+    # lid10×rid20: [29,30) = 60s; lid11×rid22: [54,55) = 60s
+    assert got == [(10, 20, 60_000_000), (11, 22, 60_000_000)]
+
+
+def test_interval_overlap_no_nested_loop(spark, sf_dir):
+    import __spark_entry__ as m
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = m.queries()["join_interval_overlap"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan, plan
