@@ -1741,3 +1741,117 @@ def join_interval_overlap(spark, sf_dir):
         clicks, purchases, "user_id", "c_start", "c_end", "p_start", "p_end"
     )
     return out.select("user_id", "click_id", "purchase_id", "overlap_us")
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 10000.0
+             AS covar_samp_dollars
+    FROM m
+    """,
+)
+def agg_corr_exact(spark, sf_dir):
+    """Correlation/covariance per group from EXACT integer moments:
+    built-in corr()/covar_samp() accumulate floats, so their value
+    depends on partial-aggregation merge order — hash-unstable across
+    engines and even across runs. Here the five moments (Σx, Σy, Σx²,
+    Σy², Σxy) accumulate as exact integers (cents, lifted losslessly;
+    DECIMAL(38,0) buffers on the Spark side, HUGEINT in DuckDB), and
+    the classic n·Σxy−ΣxΣy formulas run ONCE on exact inputs with an
+    op-for-op-identical float epilogue — deterministic bit-for-bit.
+    Same pattern as window_zscore's integer moments; the mergeable
+    moment state also slots into operators/incremental.py maintenance.
+    covar is reported in dollars² (cents² / 10⁴)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_qty_price"),
+        (num / (F.col("n") * (F.col("n") - 1)).cast("double") / F.lit(10000.0)).alias(
+            "covar_samp_dollars"
+        ),
+    )
+
+
+@query(
+    "window_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_num
+      FROM events
+    ), grp AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS island
+      FROM days
+    ), islands AS (
+      SELECT user_id, island,
+             CAST(MIN(day_num) AS BIGINT) AS start_day,
+             CAST(MAX(day_num) AS BIGINT) AS end_day,
+             CAST(COUNT(*) AS BIGINT) AS streak_days
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id, start_day, end_day, streak_days FROM (
+      SELECT user_id, start_day, end_day, streak_days,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, start_day) AS rn
+      FROM islands
+    ) WHERE rn = 1
+    """,
+)
+def window_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, via the rank-difference idiom (day − row_number is constant
+    within a consecutive run). Two window passes + one group-by, all on
+    integer day numbers — no self-join, no recursion; the tie rule
+    (earliest of equal-length streaks) is pinned. The retention/streak
+    KPI shape every activity warehouse needs."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    grp = days.withColumn("island", F.col("day_num") - F.row_number().over(w))
+    islands = grp.groupBy("user_id", "island").agg(
+        F.min("day_num").alias("start_day"),
+        F.max("day_num").alias("end_day"),
+        F.count("*").alias("streak_days"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.col("start_day")
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("user_id", "start_day", "end_day", "streak_days")
+    )
