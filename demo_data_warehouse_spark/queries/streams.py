@@ -547,3 +547,87 @@ def stream_late_data(spark, sf_dir):
     sink = fresh_name("stream_late")
     run_available_now(agg, memory_table=sink, output_mode="append")
     return spark.table(sink)
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS buy_ts
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT c.click_id, p.purchase_id, c.user_id,
+             CAST(date_diff('second', c.click_ts, p.buy_ts) AS BIGINT) AS lag_s
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.buy_ts >= c.click_ts
+       AND p.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ), w AS (
+      SELECT LEAST((SELECT MAX(click_ts) FROM c), (SELECT MAX(buy_ts) FROM p))
+               - INTERVAL 1 HOUR AS wm
+    )
+    SELECT click_id, purchase_id, user_id, lag_s FROM m
+    UNION ALL
+    SELECT c.click_id, NULL AS purchase_id, c.user_id, CAST(NULL AS BIGINT) AS lag_s
+    FROM c, w
+    WHERE c.click_ts + INTERVAL 30 MINUTE < w.wm
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.buy_ts >= c.click_ts
+          AND p.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the semantics inner
+    joins hide: a null-padded left row may only emit once the state
+    watermark PROVES no future right row can match (click_ts + 30min
+    behind the global watermark, which under the default min policy is
+    the LEAST of the two sides' max event times minus delay). Clicks
+    younger than that horizon at end-of-stream never emit their null —
+    withholding is correct, not missing data. The oracle replays
+    exactly that rule: inner matches ∪ null rows for match-less clicks
+    whose window is fully closed by the final watermark (emitted by the
+    terminal no-data batch). State stays watermark-bounded on both
+    sides — the 100 TB/day property."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    j = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+    sink = fresh_name("stream_ssoj")
+    run_available_now(out, memory_table=sink, output_mode="append")
+    return spark.table(sink)
