@@ -1855,3 +1855,60 @@ def window_islands(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "start_day", "end_day", "streak_days")
     )
+
+
+@query(
+    "agg_linear_fit",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             AS slope,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) / 100.0 AS intercept_dollars
+    FROM m
+    """,
+)
+def agg_linear_fit(spark, sf_dir):
+    """Per-group OLS line fit (price ~ quantity) from the same exact
+    integer moments as agg_corr_exact: slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²̂),
+    intercept = (Σy − slope·Σx)/n — built-in regr_slope/regr_intercept
+    accumulate floats and are merge-order-dependent; the exact-moment
+    form is deterministic and hash-comparable. Slope is scale-free in
+    cents/cent; intercept reported in dollars. The trend-KPI shape of a
+    gold-layer report, mergeable for incremental maintenance."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(100.0)
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept_dollars"),
+    )
