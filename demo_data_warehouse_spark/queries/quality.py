@@ -81,3 +81,122 @@ def dq_quarantine(spark, sf_dir):
     return tagged.where(F.col("violations") != "").select(
         "event_id", "event_type", "value", "violations"
     )
+
+
+@query(
+    "dq_referential",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS relationship,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS orphans,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           CAST((SELECT COUNT(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+    """,
+)
+def dq_referential(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphan
+    foreign keys per relationship via LEFT ANTI joins (the reference
+    trusts its FK chain blindly — silver builds left-join and carry
+    nulls, dags/utils/etl.py:518-553; this makes the trust checkable
+    before publish). Each relationship is one anti-join against a
+    broadcastable dim — at 100 TB the fact side streams once per
+    relationship with no wide shuffle; a combined single-pass variant
+    (one scan, four EXISTS flags) trades scan count for join fan-out
+    and is the right shape when scans dominate."""
+    from functools import reduce
+
+    checks = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    outs = []
+    for name, fact, fk, dim, pk in checks:
+        f, d = table(spark, sf_dir, fact), table(spark, sf_dir, dim)
+        orphans = f.join(
+            F.broadcast(d.select(F.col(pk).alias(fk))), fk, "left_anti"
+        ).agg(F.count("*").alias("orphans"))
+        total = f.agg(F.count("*").alias("total"))
+        outs.append(
+            orphans.crossJoin(total).select(
+                F.lit(name).alias("relationship"), "orphans", "total"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "scan_csv_permissive",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_type,
+             event_id % 53 = 0 AS bad
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN bad THEN NULL ELSE cents END AS cents,
+           event_type,
+           CASE WHEN bad
+                THEN event_id || ',' || user_id || ',N/A,' || event_type
+                ELSE NULL END AS corrupt_record
+    FROM src
+    """,
+)
+def scan_csv_permissive(spark, sf_dir):
+    """Malformed-record quarantine on CSV ingestion (PERMISSIVE +
+    columnNameOfCorruptRecord): the reference trusts its CSV exports
+    and would crash (FAILFAST default pandas) or silently coerce; here
+    a bad field parses to NULL, the rest of the row survives, and the
+    RAW line is captured for quarantine — verified by round-tripping
+    events through CSV with every 53rd row's numeric field corrupted
+    to 'N/A'. The oracle reconstructs the exact parse outcome,
+    including the captured raw line. Per-line, schema-driven,
+    splittable — the ingestion edge every landing pipeline needs."""
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_type",
+    )
+    line = F.concat_ws(
+        ",",
+        F.col("event_id"),
+        F.col("user_id"),
+        F.when(F.col("event_id") % 53 == 0, F.lit("N/A")).otherwise(
+            F.col("cents").cast("string")
+        ),
+        F.col("event_type"),
+    )
+    path = scratch_dir("csv_permissive")
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    return (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, cents bigint, event_type string,"
+            " corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .csv(path)
+    )
