@@ -1912,3 +1912,54 @@ def agg_linear_fit(spark, sf_dir):
         slope.alias("slope"),
         intercept.alias("intercept_dollars"),
     )
+
+
+@query(
+    "fn_grouped_normalize",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), m AS (
+      SELECT event_type, MIN(cents) AS minc, MAX(cents) AS maxc
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           CASE WHEN m.maxc = m.minc THEN 0.0
+                ELSE CAST(c.cents - m.minc AS DOUBLE) / CAST(m.maxc - m.minc AS DOUBLE)
+           END AS value_norm
+    FROM c JOIN m USING (event_type)
+    """,
+)
+def fn_grouped_normalize(spark, sf_dir):
+    """Per-group min-max normalization via grouped-map applyInPandas —
+    the last of the four pandas surfaces (mapInPandas: multimodal;
+    applyInPandasWithState: stream_stateful; cogroup: cogroup_asof;
+    GROUPED_AGG: agg_trimmed_mean). Each event_type's rows arrive as
+    one Arrow batch; the UDF computes group min/max on exact integer
+    cents and a single float division per row — identical arithmetic to
+    the SQL oracle, so a grouped-map UDF stays hash-matchable. The
+    native join+window form is the production path (this co-shuffles
+    the same way but pays Arrow transfer); the surface exists for
+    per-group logic the algebra can't express (model scoring, library
+    calls). Largest group must fit one executor's pandas heap."""
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        minc, maxc = int(pdf["cents"].min()), int(pdf["cents"].max())
+        if maxc == minc:
+            pdf["value_norm"] = 0.0
+        else:
+            pdf["value_norm"] = (pdf["cents"] - minc).astype("float64") / float(
+                maxc - minc
+            )
+        return pdf
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ev.groupBy("event_type").applyInPandas(
+        norm, schema="event_id bigint, event_type string, cents bigint, value_norm double"
+    )
