@@ -175,3 +175,41 @@ def test_interval_overlap_no_nested_loop(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_interval_overlap_property_matches_naive(spark):
+    # randomized (seeded) cross-check: bucketed interval join must equal
+    # the naive inequality join for arbitrary interval layouts,
+    # including zero-length and bucket-straddling intervals
+    import random
+
+    from demo_data_warehouse_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1).timestamp()
+
+    def mk(side, n):
+        rows = []
+        for i in range(n):
+            k = rng.randint(1, 5)
+            start = datetime.fromtimestamp(base + rng.randint(0, 6 * 3600))
+            end = datetime.fromtimestamp(
+                start.timestamp() + rng.choice([1, 60, 1800, 3600, 7200])
+            )
+            rows.append((k, side * 1000 + i, start, end))
+        return rows
+
+    left = spark.createDataFrame(mk(1, 40), "k bigint, lid bigint, ls timestamp, le timestamp")
+    right = spark.createDataFrame(mk(2, 40), "k bigint, rid bigint, rs timestamp, re timestamp")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(left, right, "k", "ls", "le", "rs", "re").collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (left["k"] == right["k"]) & (left["ls"] < right["re"]) & (right["rs"] < left["le"]),
+        ).collect()
+    )
+    assert got == naive
