@@ -520,9 +520,6 @@ def stream_late_data(spark, sf_dir):
     than W are evicted on emit), so a 100 TB backlog drains in bounded
     memory; the straggler pattern is the real-world shape (mostly
     ordered, sparse stragglers) that makes watermark tuning matter."""
-    import os
-    import shutil
-
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
     base_us = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
     day = ((F.unix_micros("ts") - base_us) / F.lit(86400000000)).cast("bigint")
