@@ -1963,3 +1963,36 @@ def fn_grouped_normalize(spark, sf_dir):
     return ev.groupBy("event_type").applyInPandas(
         norm, schema="event_id bigint, event_type string, cents bigint, value_norm double"
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap aggregation — the lakehouse
+    COUNT DISTINCT accelerator: values map to (bucket, bit position),
+    each (group, bucket) folds into one roaring-style bitmap
+    (bitmap_construct_agg), bitmaps OR-merge associatively, and the
+    final count is Σ bitmap_count. Versus COUNT(DISTINCT): state is
+    O(groups · buckets · 4KB) bitmaps instead of a shuffle of every
+    distinct pair, merges are cheap bitwise ORs (pre-aggregable into a
+    materialized view — the mergeable-state companion to
+    operators/incremental.py::distinct_state, exact unlike the HLL
+    variant). The oracle is plain COUNT(DISTINCT): bitmap math is
+    exact, so they must agree bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct"))
+    )
