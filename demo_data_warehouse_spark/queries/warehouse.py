@@ -330,3 +330,38 @@ def table_diff(spark, sf_dir):
         "event_type",
     )
     return snapshot_diff(old, new, keys=["event_id"], compare_cols=["value", "event_type"])
+
+
+@query(
+    "agg_incremental_topk",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY SUM(CAST(round(value * 100) AS BIGINT)) DESC, user_id
+    LIMIT 10
+    """,
+)
+def agg_incremental_topk(spark, sf_dir):
+    """Incrementally-maintained leaderboard: top-k is NOT mergeable from
+    per-partition top-k lists (a key just below k in every shard can be
+    global top-1), so the maintained state is the FULL per-key partial
+    sums (operators/incremental.py::rollup_partials — exact integer
+    cents, O(delta) updates), and top-k is a cheap finalize over state:
+    TakeOrdered on |keys| rows, never a fact re-read. The oracle is the
+    full recompute. Ties break toward the lower key, pinned in both
+    engines by sorting on the EXACT integer sum (a double sort key
+    could not distinguish sums differing below 1 ulp)."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    stored = rollup_partials(ev.where(F.col("ts") <= cutoff), ["user_id"], "value")
+    delta = rollup_partials(ev.where(F.col("ts") > cutoff), ["user_id"], "value")
+    state = merge_partials(stored, delta, ["user_id"])
+    return (
+        state.orderBy(F.desc("sum_c"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            (F.col("sum_c").cast("double") / 100.0).alias("total_value"),
+        )
+    )
