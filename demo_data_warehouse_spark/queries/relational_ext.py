@@ -1996,3 +1996,91 @@ def agg_bitmap_distinct(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct"))
     )
+
+
+@query(
+    "window_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 30 MINUTE
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 30 MINUTE
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth,
+           s1.t1 AS view_ts, s2.t2 AS click_ts, s3.t3 AS purchase_ts
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def window_funnel(spark, sf_dir):
+    """Conversion funnel (view → click → purchase, each step within 30
+    minutes of the previous) — the product-analytics staple
+    (ClickHouse windowFunnel analog), with the standard GREEDY
+    anchoring: the funnel starts at the user's FIRST view; each next
+    step is the earliest qualifying event after the previous step.
+    Three stage aggregations chained by broadcastable user-level
+    anchors (|users| rows) — the fact table is scanned per stage but
+    never self-joined at row grain, and every stage's agg is map-side
+    partial. Deterministic: anchors are MINs of exact timestamps."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("interval 30 minutes"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("interval 30 minutes"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            depth.alias("funnel_depth"),
+            F.col("t1").alias("view_ts"),
+            F.col("t2").alias("click_ts"),
+            F.col("t3").alias("purchase_ts"),
+        )
+    )
