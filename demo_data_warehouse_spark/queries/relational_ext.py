@@ -2084,3 +2084,54 @@ def window_funnel(spark, sf_dir):
             F.col("t3").alias("purchase_ts"),
         )
     )
+
+
+@query(
+    "window_retention",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_num
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(day_num) AS cohort_day FROM d GROUP BY user_id
+    ), joined AS (
+      SELECT c.cohort_day, d.day_num - c.cohort_day AS day_offset
+      FROM d JOIN cohort c ON d.user_id = c.user_id
+      WHERE d.day_num - c.cohort_day <= 7
+    ), sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM cohort GROUP BY cohort_day
+    )
+    SELECT j.cohort_day, j.day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active, s.n_cohort
+    FROM joined j JOIN sizes s ON j.cohort_day = s.cohort_day
+    GROUP BY j.cohort_day, j.day_offset, s.n_cohort
+    """,
+)
+def window_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted active at each day offset 0-7 — the growth-analytics
+    staple beside window_funnel. Shape: distinct (user, day) →
+    per-user MIN (cohort) → one co-keyed join back → count per
+    (cohort, offset); every aggregate is map-side partial on integer
+    day numbers, cohort sizes broadcast onto the triangle. All-integer
+    output, bit-exact by construction."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("day_num"),
+    ).distinct()
+    cohort = d.groupBy("user_id").agg(F.min("day_num").alias("cohort_day"))
+    joined = (
+        d.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day_num") - F.col("cohort_day"))
+        .where(F.col("day_offset") <= 7)
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("n_cohort"))
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select("cohort_day", "day_offset", "n_active", "n_cohort")
+    )
