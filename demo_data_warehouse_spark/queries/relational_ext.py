@@ -2135,3 +2135,40 @@ def window_retention(spark, sf_dir):
         .join(F.broadcast(sizes), "cohort_day")
         .select("cohort_day", "day_offset", "n_active", "n_cohort")
     )
+
+
+@query(
+    "agg_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def agg_basket_pairs(spark, sf_dir):
+    """Market-basket affinity: the top co-purchased part pairs by
+    order-level support — the frequent-itemset primitive behind
+    recommendations. The pair join is an EQUI-join on the basket key
+    (order), so candidate volume is Σ k_i²/2 bounded by the largest
+    basket (13 items here), never corpus-quadratic — the same
+    bounded-bucket discipline as the LSH dedup family. Distinct
+    (order, part) first so duplicate order lines can't inflate
+    support; integer counts, pinned tie order."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
