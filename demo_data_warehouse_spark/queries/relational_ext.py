@@ -2172,3 +2172,54 @@ def agg_basket_pairs(spark, sf_dir):
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+             ) AS rk
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(cents) AS sx,
+             SUM(rk * cents) AS srx
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(2 * srx AS DOUBLE) - CAST((n + 1) * sx AS DOUBLE))
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of the per-group value distribution — the
+    concentration/inequality KPI (is 1% of events carrying 99% of
+    value?). Computed from the rank-weighted identity
+    G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) over ascending-sorted exact cents:
+    one window for ranks (ties broken by event_id so both engines rank
+    identically), exact integer sums (HUGEINT/DECIMAL range), and a
+    three-term float epilogue mirrored op-for-op in the oracle. The
+    sort is per-group (hash-partitioned window), not global."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    c = ev.select("event_id", "event_type", cents.alias("cents")).withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    )
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("rk") * F.col("cents")).cast("decimal(38,0)")).alias("srx"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    gini = (
+        (F.lit(2).cast("decimal(38,0)") * F.col("srx")).cast("double")
+        - ((n + 1) * F.col("sx")).cast("double")
+    ) / (n * F.col("sx")).cast("double")
+    return s.select("event_type", "n", gini.alias("gini"))
