@@ -514,3 +514,23 @@ def test_char_entropy_shuffles_counts_not_chars(spark, sf_dir, qs):
     assert plan.count("HashAggregate") >= 2, plan
     assert "array_distinct" not in plan, "per-char refilter form is back"
     assert_no_rowwise_python(df)
+
+
+def test_basket_pairs_equi_join_only(spark, sf_dir, qs):
+    # pair generation must ride the basket equi-key — a cartesian or
+    # nested-loop pair join is the O(n²) failure mode
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["agg_basket_pairs"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan, plan
+    assert_no_rowwise_python(df)
+
+
+def test_funnel_broadcasts_stage_anchors(spark, sf_dir, qs):
+    # each funnel stage joins the fact table to user-level anchors —
+    # those must broadcast, never shuffle the fact side
+    df = qs["window_funnel"](spark, sf_dir)
+    assert_broadcast_join(df, count=2)
+    assert_no_rowwise_python(df)
