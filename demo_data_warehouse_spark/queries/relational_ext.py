@@ -2223,3 +2223,54 @@ def agg_gini(spark, sf_dir):
         - ((n + 1) * F.col("sx")).cast("double")
     ) / (n * F.col("sx")).cast("double")
     return s.select("event_type", "n", gini.alias("gini"))
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MIN(CASE WHEN rk * 4 >= n THEN cents END) AS p25_cents,
+           MIN(CASE WHEN rk * 2 >= n THEN cents END) AS p50_cents,
+           MIN(CASE WHEN rk * 4 >= 3 * n THEN cents END) AS p75_cents,
+           MIN(CASE WHEN rk * 10 >= 9 * n THEN cents END) AS p90_cents
+    FROM c GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark, sf_dir):
+    """Exact DISCRETE percentiles (p25/p50/p75/p90) in one windowed
+    pass: the q-th percentile is the smallest element whose rank
+    crosses q·n, selected with integer-exact comparisons (rk·den ≥
+    num·n) — no interpolation, so unlike percentile_cont there is no
+    float formula for two engines to disagree on. One per-group sort
+    (the same shuffle an exact median needs), then a conditional-MIN
+    aggregation; at scale the sketch alternative is
+    agg_incremental_quantile's binned state."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    c = (
+        ev.select("event_id", "event_type", cents.alias("cents"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count("*").over(wn).cast("bigint"))
+    )
+    def pick(num, den, alias):
+        return F.min(
+            F.when(F.col("rk") * den >= num * F.col("n"), F.col("cents"))
+        ).alias(alias)
+
+    return c.groupBy("event_type").agg(
+        pick(1, 4, "p25_cents"),
+        pick(1, 2, "p50_cents"),
+        pick(3, 4, "p75_cents"),
+        pick(9, 10, "p90_cents"),
+    )

@@ -365,3 +365,35 @@ def agg_incremental_topk(spark, sf_dir):
             (F.col("sum_c").cast("double") / 100.0).alias("total_value"),
         )
     )
+
+
+@query(
+    "maintenance_compact",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def maintenance_compact(spark, sf_dir):
+    """OPTIMIZE as a registry verb: a deliberately fragmented table
+    (64-way repartition before a partition-replace publish — the
+    file-count shape every micro-batch MERGE sink produces) is
+    compacted to target-size files (io.py::compact — per-partition
+    staging+swap with crash healing), then read back. The oracle is
+    the source content: compaction must be byte-identical, only the
+    layout changes. The file-count drop is asserted here so a
+    compaction that silently does nothing fails the gate too."""
+    from ..io import Warehouse
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wh = Warehouse(spark, scratch_dir("compact_q"))
+    wh.write_partition_replace(ev.repartition(64), "silver", "ev_frag", "2024-01-01")
+    stats = wh.compact("silver", "ev_frag", target_file_bytes=512 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"], stats
+    return wh.read("silver", "ev_frag").select("event_id", "user_id", "cents")
