@@ -2274,3 +2274,89 @@ def agg_percentile_disc(spark, sf_dir):
         pick(3, 4, "p75_cents"),
         pick(9, 10, "p90_cents"),
     )
+
+
+@query(
+    "agg_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                         - epoch_us(MAX(ts))) / 86400000000) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_quartile
+    FROM base
+    """,
+)
+def agg_rfm(spark, sf_dir):
+    """RFM segmentation — the canonical customer-value artifact:
+    recency (days since last purchase, integer), frequency (purchase
+    count), monetary (exact cents), each quartiled with ntile over a
+    FULLY pinned order (metric, then user_id) so bucket boundaries are
+    engine-identical. The global ntile sort is the one single-partition
+    stage — fine at |users| scale; at billions of users swap ntile for
+    percentile thresholds computed per shard (agg_percentile_disc)."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    anchor = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    base = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_micros(anchor) - F.unix_micros(F.max("ts"))) / F.lit(86400000000)
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("monetary_cents"),
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), "user_id"))
+        .alias("m_quartile"),
+    )
+
+
+@query(
+    "scan_schema_merge",
+    oracle="""
+    SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+    FROM events
+    """,
+)
+def scan_schema_merge(spark, sf_dir):
+    """Scan-level schema evolution (mergeSchema): two partition
+    generations of the same table — the older written before an
+    `event_type` column existed, the newer carrying it — read as ONE
+    table with the union schema, absent columns null-filled. This is
+    the READ side of upstream field additions (the reference refetches
+    schemas per run, dags/ingestion/lark_to_gcs.py:110-125; MERGE-side
+    evolution is merge_schema_evolution). Footer-merge costs one
+    metadata pass over file footers — at 100 TB pin the schema in a
+    catalog instead; mergeSchema is the bootstrap/migration tool."""
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_type",
+    )
+    path = scratch_dir("schema_merge")
+    ev.where(F.col("event_id") % 2 == 0).drop("event_type").write.parquet(f"{path}/gen=0")
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(f"{path}/gen=1")
+    out = spark.read.option("mergeSchema", "true").parquet(path)
+    return out.select("event_id", "cents", "event_type")
