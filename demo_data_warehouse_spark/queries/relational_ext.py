@@ -2360,3 +2360,38 @@ def scan_schema_merge(spark, sf_dir):
     ev.where(F.col("event_id") % 2 == 1).write.parquet(f"{path}/gen=1")
     out = spark.read.option("mergeSchema", "true").parquet(path)
     return out.select("event_id", "cents", "event_type")
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0 AS k_mod10,
+           CAST(COUNT(*) OVER (PARTITION BY CAST(json_extract(props, '$.k') AS BIGINT) % 10)
+                AS BIGINT) AS cohort_size
+    FROM events
+    """,
+)
+def fn_variant_extract(spark, sf_dir):
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, then typed
+    variant_get path extraction — the lakehouse replacement for
+    per-query JSON string re-parsing (OPEN-VARIANT stores the parsed
+    form; get_json_object re-tokenizes the string on every reference).
+    Downstream relational ops (modulo cohorts, a window over the
+    extracted key) run on the typed value; the oracle uses plain JSON
+    extraction — the representations must agree exactly. Complements
+    fn_json_extract (schema-ful from_json) with the schema-flexible
+    path."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v")).select(
+        "event_id", F.expr("variant_get(v, '$.k', 'bigint')").alias("k")
+    )
+    w = Window.partitionBy(F.col("k") % 10)
+    return v.select(
+        "event_id",
+        "k",
+        (F.col("k") % 10 == 0).alias("k_mod10"),
+        F.count("*").over(w).cast("bigint").alias("cohort_size"),
+    )
