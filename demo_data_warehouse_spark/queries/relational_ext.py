@@ -2395,3 +2395,61 @@ def fn_variant_extract(spark, sf_dir):
         (F.col("k") % 10 == 0).alias("k_mod10"),
         F.count("*").over(w).cast("bigint").alias("cohort_size"),
     )
+
+
+@query(
+    "agg_dau_mau",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_num
+      FROM events
+    ), days AS (SELECT DISTINCT day_num FROM d),
+    dau AS (
+      SELECT day_num, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY day_num
+    ), mau AS (
+      SELECT days.day_num, CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS mau
+      FROM days JOIN d
+        ON d.day_num BETWEEN days.day_num - 27 AND days.day_num
+      GROUP BY days.day_num
+    )
+    SELECT dau.day_num, dau.dau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+    FROM dau JOIN mau ON dau.day_num = mau.day_num
+    """,
+)
+def agg_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness per day — the growth KPI: daily actives over
+    trailing-28-day actives. Distinct (user, day) first (the only
+    corpus-sized pass, map-side combinable), then the trailing window
+    is a bounded RANGE join on day numbers (each activity row lands in
+    ≤28 day buckets — |users·days|·28 is activity-scale, not raw-event
+    scale) feeding a distinct count per anchor day. Integer counts;
+    one float division mirrored in the oracle."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("day_num"),
+    ).distinct()
+    days = d.select("day_num").distinct().select(F.col("day_num").alias("anchor"))
+    dau = d.groupBy("day_num").agg(F.count("*").alias("dau"))
+    mau = (
+        days.join(
+            d,
+            (F.col("day_num") >= F.col("anchor") - 27)
+            & (F.col("day_num") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau["day_num"] == mau["anchor"])
+        .select(
+            "day_num",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
