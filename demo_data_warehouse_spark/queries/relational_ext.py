@@ -2453,3 +2453,97 @@ def agg_dau_mau(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "join_nearest_event",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS buy_ts, MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.click_id, c.user_id,
+           (SELECT p.purchase_id FROM p
+            WHERE p.user_id = c.user_id
+            ORDER BY abs(epoch_us(p.buy_ts) - epoch_us(c.click_ts)),
+                     p.buy_ts, p.purchase_id
+            LIMIT 1) AS nearest_purchase_id,
+           (SELECT abs(epoch_us(p.buy_ts) - epoch_us(c.click_ts)) FROM p
+            WHERE p.user_id = c.user_id
+            ORDER BY abs(epoch_us(p.buy_ts) - epoch_us(c.click_ts)),
+                     p.buy_ts, p.purchase_id
+            LIMIT 1) AS abs_gap_us
+    FROM c
+    """,
+)
+def join_nearest_event(spark, sf_dir):
+    """Nearest-in-time match in EITHER direction (each click to its
+    closest same-user purchase, before or after) — the generalization
+    of the as-of join (backward-only). One union + sort per user
+    carries the previous purchase forward (last ignorenulls) and the
+    next purchase backward (first ignorenulls) in a single window
+    pass; the winner is the smaller exact-µs gap, ties to the earlier
+    purchase. No range join, no per-key nested loop: one shuffle on
+    user, sort within partition — the asof_join cost profile exactly.
+    Right side pre-aggregated unique per (user, ts) with MIN id so the
+    tie order matches the oracle's."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("buy_ts"))
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    tagged_c = clicks.select(
+        "user_id",
+        F.col("click_ts").alias("ts"),
+        F.lit(1).alias("side"),
+        "click_id",
+        F.lit(None).cast("struct<buy_us:bigint,purchase_id:bigint>").alias("pv"),
+    )
+    tagged_p = buys.select(
+        "user_id",
+        F.col("buy_ts").alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.struct(
+            F.unix_micros("buy_ts").alias("buy_us"), F.col("purchase_id")
+        ).alias("pv"),
+    )
+    u = tagged_c.unionByName(tagged_p)
+    order = [F.col("ts"), F.col("side"), F.col("pv.purchase_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    got = (
+        u.withColumn("prev", F.last("pv", ignorenulls=True).over(w_prev))
+        .withColumn("next", F.first("pv", ignorenulls=True).over(w_next))
+        .where(F.col("side") == 1)
+    )
+    us = F.unix_micros("ts")
+    prev_gap = us - F.col("prev.buy_us")
+    next_gap = F.col("next.buy_us") - us
+    pick_prev = F.col("next").isNull() | (
+        F.col("prev").isNotNull() & (prev_gap <= next_gap)
+    )
+    return got.select(
+        "click_id",
+        "user_id",
+        F.when(pick_prev, F.col("prev.purchase_id"))
+        .otherwise(F.col("next.purchase_id"))
+        .alias("nearest_purchase_id"),
+        F.when(pick_prev, prev_gap).otherwise(next_gap).alias("abs_gap_us"),
+    )
