@@ -2547,3 +2547,43 @@ def join_nearest_event(spark, sf_dir):
         .alias("nearest_purchase_id"),
         F.when(pick_prev, prev_gap).otherwise(next_gap).alias("abs_gap_us"),
     )
+
+
+@query(
+    "agg_benford",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM c)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM c, t GROUP BY digit, t.total
+    """,
+)
+def agg_benford(spark, sf_dir):
+    """Benford first-digit profile of order totals — the forensic
+    anomaly screen (fabricated amounts flunk the log-curve). The first
+    digit comes from the DECIMAL STRING of exact cents, not
+    floor(x/10^floor(log10 x)): float log10 sits within 1 ulp of an
+    integer exactly at the power-of-ten boundaries, where engines can
+    disagree — string truncation cannot. Observed share is one exact
+    division; comparing to the expected log10(1+1/d) curve is left to
+    the caller (libm log10 is not bit-portable across engines)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = o.select(digit.alias("digit"))
+    total = c.agg(F.count("*").alias("total"))
+    return (
+        c.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+        )
+    )

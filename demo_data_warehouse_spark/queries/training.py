@@ -1055,3 +1055,65 @@ def text_scrub(spark, sf_dir):
         .alias("n_nums"),
         F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tokens)),
+                                   i -> tokens[i] || ' ' || tokens[i+1])) AS bigram,
+             unnest(list_transform(range(1, len(tokens)), i -> tokens[i])) AS w1
+      FROM toks WHERE len(tokens) >= 2
+    ), bf AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram),
+    lf AS (SELECT w1, COUNT(*) AS cl FROM bg GROUP BY w1),
+    g AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(CAST(ROUND(ln(CAST(bf.cb AS DOUBLE) / lf.cl) * 1000000.0) AS BIGINT))
+               AS logprob_micro
+      FROM bg JOIN bf USING (bigram) JOIN lf USING (w1)
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams, logprob_micro FROM g
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Self-trained BIGRAM LM score per document — the conditional
+    upgrade of text_unigram_logprob: each adjacent pair contributes
+    ln(c(w1,w2)/c_left(w1)) where c_left counts w1 in bigram-left
+    position, so per-w1 conditional probabilities sum to 1 and the
+    score is a true chain-rule log-likelihood. Same engine-portable
+    fixed-point discipline: per-pair log-probs freeze to integer
+    microunits before the (associative, merge-order-free) sum. Shape:
+    one explode of adjacent pairs, two broadcast count tables, one
+    shuffle by doc."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", tokens.alias("tokens")).where(F.size("tokens") >= 2)
+    pairs = F.zip_with(
+        F.slice("tokens", 1, F.size("tokens") - 1),
+        F.slice("tokens", 2, F.size("tokens") - 1),
+        lambda a, b: F.struct(
+            F.concat(a, F.lit(" "), b).alias("bigram"), a.alias("w1")
+        ),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.bigram").alias("bigram"), F.col("p.w1").alias("w1")
+    )
+    bf = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    lf = bg.groupBy("w1").agg(F.count("*").alias("cl"))
+    lp_micro = F.round(
+        F.log(F.col("cb").cast("double") / F.col("cl")) * F.lit(1000000.0), 0
+    ).cast("bigint")
+    return (
+        bg.join(F.broadcast(bf), "bigram")
+        .join(F.broadcast(lf), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(lp_micro).alias("logprob_micro"),
+        )
+    )
