@@ -2587,3 +2587,53 @@ def agg_benford(spark, sf_dir):
             (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
         )
     )
+
+
+@query(
+    "agg_abc_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem GROUP BY l_partkey
+    ), r AS (
+      SELECT l_partkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey) AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM p
+    )
+    SELECT l_partkey, rev_cents,
+           CASE WHEN cum_cents * 10 <= total_cents * 8 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def agg_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification: parts ranked by exact revenue
+    cents, classed A (first 80% of cumulative revenue), B (to 95%),
+    C (tail) — the inventory-prioritization staple. Every comparison
+    is integer-exact (cum·10 ≤ total·8, never a float share), and the
+    cumulative order is fully pinned (revenue desc, partkey), so class
+    boundaries cannot drift between engines. One aggregation + one
+    ordered window over |parts| rows — the fact table is touched once."""
+    li = table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    w_cum = Window.orderBy(F.desc("rev_cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    r = p.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    )
+    abc = (
+        F.when(F.col("cum_cents") * 10 <= F.col("total_cents") * 8, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+    )
+    return r.select("l_partkey", "rev_cents", abc.alias("abc_class"))
