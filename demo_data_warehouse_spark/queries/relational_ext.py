@@ -2637,3 +2637,92 @@ def agg_abc_pareto(spark, sf_dir):
         .otherwise("C")
     )
     return r.select("l_partkey", "rev_cents", abc.alias("abc_class"))
+
+
+@query(
+    "agg_seasonality",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour
+      FROM events
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM c)
+    SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM c, t GROUP BY dow, hour, t.total
+    """,
+)
+def agg_seasonality(spark, sf_dir):
+    """Activity seasonality heatmap: event counts by (day-of-week ×
+    hour-of-day) with global share — the load-profile matrix behind
+    capacity planning and anomaly baselines. Calendar extraction is
+    integer (UTC session pins both engines' EXTRACT; Sunday=0 on both
+    dayofweek-1/dow conventions aligned below), counts exact, one
+    division for the share."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    )
+    total = c.agg(F.count("*").alias("total"))
+    return (
+        c.groupBy("dow", "hour")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+        )
+    )
+
+
+@query(
+    "window_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), r AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total FROM t GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(r.row_total AS BIGINT) AS p
+    FROM t JOIN r ON t.from_type = r.from_type
+    """,
+)
+def window_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence: consecutive (from → to) event-type pairs (lead over a
+    fully pinned per-user order), counted and row-normalized — the
+    behavioral-model primitive (what do users do after a click?).
+    Integer counts; the row-conditional probability is one division
+    mirrored in the oracle. One window pass + two tiny aggregations —
+    the fact table is sorted once per user partition."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    r = t.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(F.broadcast(r), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total").cast("bigint")).alias("p"),
+        )
+    )
