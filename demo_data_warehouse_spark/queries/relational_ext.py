@@ -2726,3 +2726,46 @@ def window_transitions(spark, sf_dir):
             (F.col("n").cast("double") / F.col("row_total").cast("bigint")).alias("p"),
         )
     )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_num
+      FROM events
+    ), first_day AS (
+      SELECT user_id, MIN(day_num) AS d0 FROM d GROUP BY user_id
+    )
+    SELECT d.day_num,
+           CAST(COUNT(*) FILTER (WHERE d.day_num = f.d0) AS BIGINT) AS new_events,
+           CAST(COUNT(*) FILTER (WHERE d.day_num > f.d0) AS BIGINT) AS returning_events,
+           CAST(COUNT(DISTINCT CASE WHEN d.day_num = f.d0 THEN d.user_id END) AS BIGINT)
+             AS new_users,
+           CAST(COUNT(DISTINCT CASE WHEN d.day_num > f.d0 THEN d.user_id END) AS BIGINT)
+             AS returning_users
+    FROM d JOIN first_day f ON d.user_id = f.user_id
+    GROUP BY d.day_num
+    """,
+)
+def agg_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning split (events and distinct users) — the
+    acquisition-vs-retention lens on the activity stream: a user's
+    first-seen day classifies every later event as returning. One
+    per-user MIN (broadcastable |users| rows) joined back, conditional
+    counts per day — all integers, co-keyed join, map-side partials."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("day_num"),
+    )
+    first_day = d.groupBy("user_id").agg(F.min("day_num").alias("d0"))
+    j = d.join(F.broadcast(first_day), "user_id")
+    is_new = F.col("day_num") == F.col("d0")
+    return j.groupBy("day_num").agg(
+        F.count(F.when(is_new, 1)).alias("new_events"),
+        F.count(F.when(~is_new, 1)).alias("returning_events"),
+        F.countDistinct(F.when(is_new, F.col("user_id"))).alias("new_users"),
+        F.countDistinct(F.when(~is_new, F.col("user_id"))).alias("returning_users"),
+    )
