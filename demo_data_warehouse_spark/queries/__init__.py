@@ -46,4 +46,12 @@ def query(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import all query modules so their registrations run."""
-    from . import core, quality, relational_ext, streams, training, warehouse  # noqa: F401
+    from . import (  # noqa: F401
+        core,
+        quality,
+        relational_ext,
+        streams,
+        tpch_ext,
+        training,
+        warehouse,
+    )
