@@ -51,6 +51,7 @@ def load_all() -> None:
         quality,
         relational_ext,
         streams,
+        timeseries,
         tpch_ext,
         training,
         warehouse,

@@ -1,0 +1,351 @@
+"""Time-series query family over the events stream (SURVEY §2.4/§2.5
+generalizations, part 4).
+
+The reference's only time-series operation is a per-day gold report
+(dags/utils/dwh/gold/attendance_report.py: date bucketing + group
+aggregation); this module widens it to the standard warehouse
+time-series toolkit: OHLC bar resampling, bounded-window EWMA smoothing,
+median/MAD robust outlier flagging, and lagged cross-correlation of two
+daily series. Every query is oracle-backed with integer-exact
+arithmetic — medians are discrete (rank-crossing selection, no
+interpolation), EWMA numerator/denominator are exact bigints with one
+final double division, correlation is assembled from exact integer
+moments — so Spark's partial-aggregation order can never flip a value
+against DuckDB's serial order.
+
+Scale notes (100 TB posture):
+  - every per-key window sorts within (key) partitions after one hash
+    shuffle; keys here (event_type, user_id) are the natural partition
+    keys a production bar/smoothing job would use, and no window spans
+    the whole table unpartitioned;
+  - ts_ohlc_resample aggregates rank-tagged rows instead of exploding
+    per-bar arrays, so the shuffle carries one row per event, and the
+    output one row per (type, hour) bar;
+  - ts_ewma is O(K) lag taps per row (K=12 compile-time constant) —
+    whole-stage-codegen arithmetic, no UDF, no per-row state object;
+  - ts_lag_corr reduces each daily series to one row per day before the
+    spine join, then to a single moments row — the big scan happens
+    exactly once per series.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+from .core import _sql_cents, _sql_csum, cents, csum
+
+# ---------------------------------------------------------------------------
+# OHLC bar resampling — one row per (event_type, hour) bar
+
+
+@query(
+    "ts_ohlc_resample",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+             {_sql_cents("value")} AS v_c,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar_hour,
+           CAST(MIN(CASE WHEN rn_a = 1 THEN v_c END) AS DOUBLE) / 100.0 AS open,
+           CAST(MAX(v_c) AS DOUBLE) / 100.0 AS high,
+           CAST(MIN(v_c) AS DOUBLE) / 100.0 AS low,
+           CAST(MIN(CASE WHEN rn_d = 1 THEN v_c END) AS DOUBLE) / 100.0 AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           {_sql_csum("v_c", "vsum")}
+    FROM t GROUP BY event_type, bar_hour
+    """,
+)
+def ts_ohlc_resample(spark, sf_dir):
+    """Downsample the event stream to hourly OHLC bars per event type:
+    open/close are the first/last value in (ts, event_id) order —
+    event_id breaks timestamp ties deterministically — high/low/volume/
+    vsum are plain aggregates. Rank-tagging + conditional aggregation
+    needs one shuffle on the bar key and no collect_list
+    materialization of bar members."""
+    ev = table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    v_c = cents("value")
+    wa = Window.partitionBy("event_type", "bar_hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bar_hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    t = ev.select(
+        "event_type", bar, v_c.alias("v_c"), "ts", "event_id"
+    ).withColumns(
+        {"rn_a": F.row_number().over(wa), "rn_d": F.row_number().over(wd)}
+    )
+    return t.groupBy("event_type", "bar_hour").agg(
+        (F.min(F.when(F.col("rn_a") == 1, F.col("v_c"))).cast("double") / 100.0).alias("open"),
+        (F.max("v_c").cast("double") / 100.0).alias("high"),
+        (F.min("v_c").cast("double") / 100.0).alias("low"),
+        (F.min(F.when(F.col("rn_d") == 1, F.col("v_c"))).cast("double") / 100.0).alias("close"),
+        F.count("*").alias("volume"),
+        csum(F.col("v_c"), "vsum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-window EWMA — exact bigint accumulation, one final division
+
+_EWMA_K = 12  # taps; alpha = 1/4 → per-tap weight 3^j * 4^(K-1-j), exact ints
+_EWMA_W = [3**j * 4 ** (_EWMA_K - 1 - j) for j in range(_EWMA_K)]
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"CASE WHEN lag(v_c, {j}) OVER w IS NOT NULL"
+        f" THEN lag(v_c, {j}) OVER w * {w} ELSE 0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v_c, {j}) OVER w IS NOT NULL THEN {w} ELSE 0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, {_sql_cents("value")} AS v_c, ts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           (CAST({_EWMA_NUM} AS DOUBLE)
+            / CAST({_EWMA_DEN} AS DOUBLE)) / 100.0 AS ewma
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's event
+    values, alpha=1/4 over a bounded K=12-tap window. The weights
+    3^j·4^(K-1-j) are exact integers, so numerator and denominator
+    accumulate as bigints (max |num| ≈ 5e4·(4^12−3^12) ≈ 8e11, far
+    inside int64) and the ONLY float operation is one final division —
+    bit-identical across engines. Early rows renormalize over the taps
+    that exist (the CASE denominator), the standard adjusted-EWMA
+    convention."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select("user_id", "event_id", cents("value").alias("v_c"), "ts")
+    lags = [F.lag("v_c", j).over(w) for j in range(_EWMA_K)]
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lag.isNotNull(), lag * F.lit(wt)).otherwise(F.lit(0))
+            for lag, wt in zip(lags, _EWMA_W)
+        ],
+    )
+    den = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lag.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+            for lag, wt in zip(lags, _EWMA_W)
+        ],
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        ((num.cast("double") / den.cast("double")) / 100.0).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median + MAD robust outlier profile — discrete (rank-crossing) selection
+
+
+@query(
+    "ts_mad_outlier",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, event_id, {_sql_cents("value")} AS v_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {_sql_cents("value")}, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             MIN(CASE WHEN rk * 2 >= n THEN v_c END) AS med_c
+      FROM t GROUP BY event_type
+    ), dev AS (
+      SELECT t.event_type, abs(t.v_c - med.med_c) AS d_c,
+             row_number() OVER (PARTITION BY t.event_type
+                                ORDER BY abs(t.v_c - med.med_c), t.event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY t.event_type) AS n
+      FROM t JOIN med ON med.event_type = t.event_type
+    ), mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN rk * 2 >= n THEN d_c END) AS mad_c
+      FROM dev GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(MIN(med.med_c) AS DOUBLE) / 100.0 AS median,
+           CAST(MIN(mad.mad_c) AS DOUBLE) / 100.0 AS mad,
+           CAST(COUNT(CASE WHEN abs(t.v_c - med.med_c) > 3 * mad.mad_c
+                      THEN 1 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t
+    JOIN med ON med.event_type = t.event_type
+    JOIN mad ON mad.event_type = t.event_type
+    GROUP BY t.event_type
+    """,
+)
+def ts_mad_outlier(spark, sf_dir):
+    """Robust per-type outlier profile: exact discrete median, exact
+    median-absolute-deviation, and the count of events beyond the
+    3-MAD fence. Discrete selection (smallest element whose rank
+    crosses n/2, event_id tiebreak) keeps every intermediate an
+    integer — no percentile interpolation for two engines to disagree
+    on. Two rank passes per type (values, then deviations) are the
+    irreducible cost of an exact MAD; both reuse the same event_type
+    hash partitioning. The 5-row median/MAD tables broadcast back."""
+    ev = table(spark, sf_dir, "events")
+    v_c = cents("value")
+    wv = Window.partitionBy("event_type").orderBy(v_c, "event_id")
+    wn = Window.partitionBy("event_type")
+    t = ev.select("event_type", "event_id", v_c.alias("v_c")).withColumns(
+        {"rk": F.row_number().over(wv.orderBy("v_c", "event_id")), "n": F.count("*").over(wn)}
+    )
+    med = t.groupBy("event_type").agg(
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("v_c"))).alias("med_c")
+    )
+    dev = t.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "v_c", (F.abs(F.col("v_c") - F.col("med_c"))).alias("d_c")
+    )
+    wd = Window.partitionBy("event_type").orderBy("d_c", "event_id")
+    dev = dev.withColumns({"rk": F.row_number().over(wd), "n": F.count("*").over(wn)})
+    mad = dev.groupBy("event_type").agg(
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("d_c"))).alias("mad_c")
+    )
+    return (
+        t.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.min("med_c").cast("double") / 100.0).alias("median"),
+            (F.min("mad_c").cast("double") / 100.0).alias("mad"),
+            F.count(
+                F.when(F.abs(F.col("v_c") - F.col("med_c")) > 3 * F.col("mad_c"), 1)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation of two daily series, exact integer moments
+
+
+@query(
+    "ts_lag_corr",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(
+               (SELECT MIN(date_trunc('day', ts)) FROM events),
+               (SELECT MAX(date_trunc('day', ts)) FROM events),
+               INTERVAL 1 DAY)) AS d
+    ), vx AS (
+      SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), vy AS (
+      SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pairs AS (
+      SELECT COALESCE(vx.x, 0) AS x, COALESCE(vy.y, 0) AS y
+      FROM days
+      LEFT JOIN vx ON vx.d = days.d
+      LEFT JOIN vy ON vy.d = days.d + INTERVAL 1 DAY
+      WHERE days.d + INTERVAL 1 DAY
+            <= (SELECT MAX(date_trunc('day', ts)) FROM events)
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pairs
+    )
+    SELECT n, sx, sy, sxy, sxx, syy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_lag1
+    FROM m
+    """,
+)
+def ts_lag_corr(spark, sf_dir):
+    """Does today's view count predict tomorrow's purchase count?
+    Pearson correlation of the two daily series at lag 1, over a
+    gap-filled calendar spine (missing days count as 0 — dropping them
+    would silently bias the estimate). Each series reduces to one row
+    per day before the spine join; the correlation is assembled from
+    six exact integer moments with floats entering only in the final
+    expression, so the value is bit-stable across engines and
+    partitionings."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+        "d1",
+    )
+    vx = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(day.alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    vy = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(day.alias("d"))
+        .agg(F.count("*").alias("y"))
+    )
+    nxt = F.col("d") + F.expr("INTERVAL 1 DAY")
+    pairs = (
+        spine.where(nxt <= F.col("d1"))
+        .join(vx, "d", "left")
+        .join(vy.withColumnRenamed("d", "d_y"), nxt == F.col("d_y"), "left")
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        (cov.cast("double") / F.sqrt(varx.cast("double") * vary.cast("double"))).alias(
+            "corr_lag1"
+        ),
+    )
