@@ -374,3 +374,49 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.round(maxabs / 127.0, 6).alias("scale"),
         qvec.alias("qvec"),
     )
+
+
+def semantic_dup_flags(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+) -> DataFrame:
+    """SemDedup-style embedding dedup: quantize the corpus into coarse
+    cells (ivf_assign), compare pairs only WITHIN a cell, and flag every
+    vector that has a lower-id neighbor with cosine >= threshold.
+
+    The cell pre-partitioning is what makes this the scale path over
+    the O(n²) exact join (dedup.embedding_dups): candidate pairs are an
+    equi-join on `cell`, so the pair count is Σ m_c² over cell sizes,
+    not n² — with a trained quantizer the cells are balanced and the
+    per-cell block fits one task. Semantic near-dups land in the same
+    cell because assignment and the dup metric are the SAME cosine;
+    boundary pairs straddling two cells are the recall tradeoff every
+    cluster-pruned dedup (SemDedup) accepts — raise |cells| resolution
+    or run the exact join on the survivors when recall must be total.
+
+    Returns (id, cell, is_dup) for every input row; `is_dup` marks the
+    higher id of each qualifying pair, so keeping `is_dup = false`
+    retains exactly the lowest id per duplicate chain within a cell.
+    """
+    assign = ivf_assign(df, id_col, vec_col, centroids)
+    vecs = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    tagged = assign.join(vecs, "id")
+    left = tagged.select(F.col("id").alias("id_a"), "cell", F.col("v").alias("va"))
+    right = tagged.select(F.col("id").alias("id_b"), "cell", F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    dups = (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assign.join(dups, "id", "left").select(
+        "id", "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )

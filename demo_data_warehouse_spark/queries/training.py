@@ -1117,3 +1117,203 @@ def text_bigram_logprob(spark, sf_dir):
             F.sum(lp_micro).alias("logprob_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 pipeline additions: semantic dedup, domain quotas, containment,
+# hashed linear quality scoring
+
+
+_SEMDEDUP_ORACLE = """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.v, ct.cv)
+                          / (sqrt(list_dot_product(c.v, c.v))
+                             * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+                          ct.cell DESC
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ), dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN corpus ca ON ca.vec_id = a.vec_id
+      JOIN corpus cb ON cb.vec_id = b.vec_id
+      WHERE list_dot_product(ca.v, cb.v)
+            / (sqrt(list_dot_product(ca.v, ca.v))
+               * sqrt(list_dot_product(cb.v, cb.v))) >= 0.9
+    )
+    SELECT a.vec_id, a.cell, (dup.vec_id IS NOT NULL) AS is_dup
+    FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id
+    """
+
+
+@query("dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic(spark, sf_dir):
+    """SemDedup-style semantic dedup: coarse-quantize the corpus into
+    cells, compare cosines only within a cell, flag every vector with a
+    lower-id neighbor at cos >= 0.9. The pair join is an equi-join on
+    `cell` (Σ m_c², never n²) — the pruning that makes embedding dedup
+    tractable at corpus scale, at the cost of missing pairs that
+    straddle a cell boundary (the documented SemDedup tradeoff; the
+    exact O(n²) anchor dedup_embed_cosine stays in the registry as the
+    recall oracle). Same deterministic first-8 quantizer and
+    sequential-fold arithmetic as ann_cosine_ivf, so DuckDB replays
+    assignment and pair flags bit-for-bit."""
+    import math
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    cents = [[x / math.sqrt(_seq_dot(v, v)) for x in v] for v in seeds]
+    flags = similarity.semantic_dup_flags(emb, "vec_id", "embedding", cents, 0.9)
+    return flags.select(F.col("id").alias("vec_id"), "cell", "is_dup")
+
+
+@query(
+    "sample_domain_quota",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+             ) AS cum_tok
+      FROM documents
+    )
+    SELECT doc_id, source, n_tok, cum_tok FROM t WHERE cum_tok <= 600
+    """,
+)
+def sample_domain_quota(spark, sf_dir):
+    """Domain-mixing quota sampling: cap each source at a 600-token
+    budget, taking documents in deterministic doc_id order until the
+    running total crosses the cap — how a pretraining mix bounds any
+    one domain's contribution. One hash shuffle on source + one
+    in-partition running sum; no RNG to coordinate, so resampling after
+    a corpus refresh keeps all previously-selected prefixes stable."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = text.ws_token_count(F.col("text"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    t = docs.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "cum_tok", F.sum("n_tok").over(w)
+    )
+    return t.where(F.col("cum_tok") <= 600)
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text,
+             array_to_string((string_split(text, ' '))[1:8], ' ') AS pre
+      FROM documents
+    )
+    SELECT CASE WHEN len(a.text) > len(b.text) THEN a.doc_id
+                WHEN len(b.text) > len(a.text) THEN b.doc_id
+                ELSE a.doc_id END AS keep_id,
+           CASE WHEN len(a.text) > len(b.text) THEN b.doc_id
+                WHEN len(b.text) > len(a.text) THEN a.doc_id
+                ELSE b.doc_id END AS drop_id
+    FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+    WHERE starts_with(a.text, b.text) OR starts_with(b.text, a.text)
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Prefix-containment dedup: find document pairs where one text is
+    a truncation of the other (crawler re-fetches, cut-off mirrors) and
+    keep the longer (lower doc_id on exact ties). Candidates are an
+    equi-join on the first-8-token prefix key — a containment pair by
+    definition shares it — so the quadratic startswith check runs only
+    inside prefix buckets, the same blocking discipline as the LSH
+    dedups. Boilerplate-heavy corpora can inflate one bucket; the cap
+    treatment is dedup.py's bucket-guard pattern."""
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        "text",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("pre"),
+    )
+    a = p.select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), "pre"
+    )
+    b = p.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), "pre"
+    )
+    la, lb = F.length("a_text"), F.length("b_text")
+    return (
+        a.join(b, "pre")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.col("a_text").startswith(F.col("b_text"))
+            | F.col("b_text").startswith(F.col("a_text"))
+        )
+        .select(
+            F.when(la > lb, F.col("a_id"))
+            .when(lb > la, F.col("b_id"))
+            .otherwise(F.col("a_id"))
+            .alias("keep_id"),
+            F.when(la > lb, F.col("b_id"))
+            .when(lb > la, F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("drop_id"),
+        )
+    )
+
+
+@query(
+    "filter_quality_linear",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ((CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 64) % 7) - 3
+               AS w
+      FROM tok
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           SUM(w) AS score, SUM(w) > 0 AS keep
+    FROM h GROUP BY doc_id
+    """,
+)
+def filter_quality_linear(spark, sf_dir):
+    """Hashed-feature linear quality filter (fastText-style scoring
+    skeleton): tokenize, hash each token into D=64 buckets with the
+    engine-portable md5-60 hash, look the bucket's weight up by
+    arithmetic (here a deterministic placeholder table w = bucket%7-3;
+    production swaps in trained weights via a broadcast map), sum per
+    document, threshold at 0. Everything is integer accumulation after
+    the hash, so the score — and the keep/drop boundary — is exact in
+    both engines. Shape: one explode + one doc-keyed shuffle; the
+    'model' adds zero per-row Python."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("token"),
+    )
+    h = F.expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)")
+    w = ((h % 64) % 7 - 3).alias("w")
+    return (
+        tok.select("doc_id", w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("w").alias("score"),
+            (F.sum("w") > 0).alias("keep"),
+        )
+    )
