@@ -534,3 +534,84 @@ def test_funnel_broadcasts_stage_anchors(spark, sf_dir, qs):
     df = qs["window_funnel"](spark, sf_dir)
     assert_broadcast_join(df, count=2)
     assert_no_rowwise_python(df)
+
+
+def test_disjunctive_predicate_reaches_both_scans(spark, sf_dir, qs):
+    # Q19 shape: Catalyst must push the per-side unions of the OR-of-ANDs
+    # into BOTH parquet scans — the part scan gets the brand/size
+    # disjunction, the lineitem scan the quantity-band disjunction. If
+    # either PushedFilters goes empty the scan reads every row-group.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["filter_disjunctive"](spark, sf_dir)
+    plan = physical_plan(df)
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "p_brand" in pushed and "p_size" in pushed, plan
+    assert "l_quantity" in pushed, plan
+    assert_no_rowwise_python(df)
+
+
+def test_returned_topk_is_takeordered_with_broadcast_dim(spark, sf_dir, qs):
+    # Q10 shape: top-20 must compile to TakeOrderedAndProject (per-
+    # partition heap + single merge), never a global Sort; nation
+    # broadcasts.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["join_returned_topk"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrdered" in plan, plan
+    assert_broadcast_join(df, count=1)
+    assert_no_rowwise_python(df)
+
+
+def test_tpch_completion_no_cartesian_no_python(spark, sf_dir, qs):
+    # The scalar-subquery shapes (global total, segment average, view
+    # max) must plan their one-row sides as broadcasts — a
+    # CartesianProduct or row-wise Python node is the 100 TB failure.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in (
+        "agg_global_fraction",
+        "join_revenue_view_max",
+        "subquery_anti_scalar",
+        "subquery_avg_threshold",
+        "subquery_exists_chain",
+        "join_count_distribution",
+        "join_market_share",
+        "join_profit_rollup",
+    ):
+        df = qs[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_timeseries_stays_jvm_side(spark, sf_dir, qs):
+    # EWMA is 12 lag taps of codegen arithmetic; OHLC is rank-tag +
+    # conditional agg; lag-corr pushes the event_type filters into the
+    # scans. None may fall back to Python or a cartesian spine join.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in ("ts_ewma", "ts_ohlc_resample", "ts_mad_outlier", "ts_lag_corr"):
+        df = qs[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert_no_rowwise_python(df)
+    plan = physical_plan(qs["ts_lag_corr"](spark, sf_dir))
+    assert "EqualTo(event_type,view)" in plan, plan
+
+
+def test_semantic_and_containment_dedup_are_blocked_joins(spark, sf_dir, qs):
+    # dedup_semantic pairs ride the cell equi-key (Σ m_c², not n²);
+    # dedup_containment pairs ride the prefix equi-key. The centroid
+    # fan-out is an intentional broadcast nested-loop over 8 rows —
+    # only an unkeyed CartesianProduct is the failure mode.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in ("dedup_semantic", "dedup_containment", "filter_quality_linear"):
+        df = qs[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
