@@ -2769,3 +2769,66 @@ def agg_new_vs_returning(spark, sf_dir):
         F.countDistinct(F.when(is_new, F.col("user_id"))).alias("new_users"),
         F.countDistinct(F.when(~is_new, F.col("user_id"))).alias("returning_users"),
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0)) AS q
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS DOUBLE) AS s1,
+             CAST(SUM(q*q) AS DOUBLE) AS s2,
+             CAST(SUM(q*q*q) AS DOUBLE) AS s3,
+             CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, s1, s2, s3, s4,
+           ((s3/n) - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+             / pow((s2/n) - (s1/n)*(s1/n), 1.5) AS skewness,
+           ((s4/n) - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+             - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / pow((s2/n) - (s1/n)*(s1/n), 2.0) - 3 AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """Exact higher-moment statistics — skewness and excess kurtosis per
+    returnflag from EXACT power sums: quantity cents raised to the 2nd/
+    3rd/4th power accumulate in DECIMAL(38,0) (the 4th-power sum passes
+    int64 around sf0.05, so bigint cents — the engine's usual fast path
+    — is ruled out by arithmetic, the same precision-escalation rule
+    dsum documents). Floats appear only in the final closed-form
+    expression over six exact scalars, written token-identically in both
+    engines. One scan, one partial+final aggregate."""
+    from .core import cents
+
+    q = cents("l_quantity").cast("decimal(38,0)")
+    m = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q).cast("double").alias("s1"),
+            F.sum(q * q).cast("double").alias("s2"),
+            F.sum(q * q * q).cast("double").alias("s3"),
+            F.sum(q * q * q * q).cast("double").alias("s4"),
+        )
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    var = (s2 / n) - mean * mean
+    skew = ((s3 / n) - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(var, 1.5)
+    kurt = (
+        (s4 / n)
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    ) / F.pow(var, 2.0) - 3
+    return m.select(
+        "l_returnflag", "n", "s1", "s2", "s3", "s4",
+        skew.alias("skewness"), kurt.alias("excess_kurtosis"),
+    )

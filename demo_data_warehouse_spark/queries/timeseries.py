@@ -349,3 +349,50 @@ def ts_lag_corr(spark, sf_dir):
             "corr_lag1"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct count — first-occurrence flag + running sum
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS distinct_types
+    FROM flags
+    """,
+)
+def window_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) — how many distinct event types each
+    user has touched as of every event. A naive running-distinct needs
+    per-row set state; flagging only the FIRST occurrence of each
+    (user, type) and running-summing the flags turns it into two plain
+    windows — the first partitioned by (user, type), the second by
+    user, so the wider shuffle reuses the narrower one's ordering and
+    no membership set ever materializes."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flags.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types"),
+    )
