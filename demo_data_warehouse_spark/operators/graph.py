@@ -118,3 +118,59 @@ def cluster_keep_best(
             F.col(score_col).alias("keeper_score"),
         )
     )
+
+
+def pagerank_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """(id, pr) — PageRank in integer fixed-point arithmetic, a fixed
+    number of synchronous iterations.
+
+    Floating-point PageRank is NOT reproducible on a cluster: the
+    per-vertex Σ contribution is a float sum whose partial-aggregation
+    order changes run to run. Scaling ranks to integer micro-units
+    (pr starts at `scale`) makes every step exact: contribution is
+    floor(pr / out_degree) (all ranks positive, so floor == truncate in
+    every engine), the damped update is base + (Σ · damp_num) // damp_den
+    with base = scale − scale·damp_num//damp_den, and bigint sums are
+    order-independent. The result is bit-identical on any partitioning
+    and any engine — rank mass leaks ≤ out_degree µunits per vertex per
+    round to flooring, a bounded bias no ordering decision ever sees.
+
+    Each iteration: one equi-join of edges to current ranks (both keyed
+    by src — co-partitioned under AQE), one groupBy(dst) with map-side
+    partial sums, one left join back to the node set (vertices with no
+    in-edges keep the base rank). n_iter is fixed, not convergence-
+    driven: synchronous fixed-round PageRank is the form every bulk
+    system (Pregel) ships, and it keeps the plan finite for Catalyst.
+    """
+    id_col = nodes.columns[0]
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src")
+    base = scale - scale * damp_num // damp_den
+    pr = nodes.select(
+        F.col(id_col).alias("id"), F.lit(scale).cast("bigint").alias("pr")
+    )
+    for _ in range(n_iter):
+        summed = (
+            e.join(pr, e.src == pr.id)
+            .select(F.col("dst"), F.expr("pr DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.select("id")
+            .join(summed, pr.id == summed.dst, "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + (coalesce(s, 0) * {damp_num}) DIV {damp_den}"
+                ).alias("pr"),
+            )
+        )
+    return pr

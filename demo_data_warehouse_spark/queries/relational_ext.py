@@ -2832,3 +2832,122 @@ def agg_skew_kurtosis(spark, sf_dir):
         "l_returnflag", "n", "s1", "s2", "s3", "s4",
         skew.alias("skewness"), kurt.alias("excess_kurtosis"),
     )
+
+
+def _pagerank_oracle(n_iter: int = 3, scale: int = 1_000_000) -> str:
+    base = scale - scale * 85 // 100
+    txt = f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c_id,
+                      's:' || CAST(l.l_suppkey AS VARCHAR) AS s_id
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT c_id AS src, s_id AS dst FROM pairs
+      UNION ALL
+      SELECT s_id AS src, c_id AS dst FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT id, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    for i in range(n_iter):
+        txt += f""",
+    pr{i + 1} AS (
+      SELECT n.id, {base} + (COALESCE(agg.s, 0) * 85) // 100 AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.pr // d.deg) AS s
+        FROM edges e
+        JOIN pr{i} p ON p.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) agg ON agg.id = n.id)"""
+    txt += f"""
+    SELECT id, pr FROM pr{n_iter}
+    """
+    return txt
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the customer↔supplier trade graph (edge when a
+    customer's order contains a supplier's line), 3 synchronous rounds
+    in integer fixed-point — see operators/graph.py:pagerank_fixed for
+    why floats can't give a reproducible rank on a cluster. The graph
+    builds with one distinct over (custkey, suppkey) pairs; each round
+    is equi-joins + one grouped bigint sum, so the iteration cost is
+    3× a join-agg, never a driver-side loop over collected vertices."""
+    from ..operators.graph import pagerank_fixed
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c_id"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s_id"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_id").alias("src"), F.col("s_id").alias("dst")).unionAll(
+        pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst"))
+    )
+    nodes = edges.select("src").distinct()
+    return pagerank_fixed(nodes, edges, n_iter=3)
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL join — each customer's two priciest orders,
+    the SQL-standard form of per-key top-n. Catalyst decorrelates the
+    lateral subquery into a ranked window over one orders shuffle (the
+    same physical plan window_latest hand-writes), so the correlated
+    form costs no per-customer rescan; orderkey tiebreak makes the
+    LIMIT cut deterministic."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_v c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k FROM orders
+    ), r AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k, CAST(COUNT(*) AS BIGINT) AS n_status
+      FROM orders GROUP BY NULLIF(o_orderstatus, 'P')
+    )
+    SELECT l.o_orderkey, l.k, r.n_status
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the pending
+    status is masked to NULL on both sides, and the null-safe
+    comparison still pairs those rows — a plain '=' would silently drop
+    every NULL-keyed row, the classic bug when dimension keys carry
+    'unknown' sentinels. Spark plans <=> as a hash-joinable equality on
+    the null-wrapped key, so this stays a shuffled hash join, not a
+    nested loop."""
+    o = table(spark, sf_dir, "orders")
+    k = F.expr("NULLIF(o_orderstatus, 'P')")
+    left = o.select("o_orderkey", k.alias("k"))
+    right = o.groupBy(k.alias("k")).agg(F.count("*").alias("n_status"))
+    return left.join(right, left.k.eqNullSafe(right.k)).select(
+        left.o_orderkey, left.k, right.n_status
+    )

@@ -628,3 +628,50 @@ def stream_stream_outer_join(spark, sf_dir):
     sink = fresh_name("stream_ssoj")
     run_available_now(out, memory_table=sink, output_mode="append")
     return spark.table(sink)
+
+
+@query(
+    "stream_topk_windowed",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY date_trunc('hour', ts), event_type
+    ), ranked AS (
+      SELECT win_start, event_type, n,
+             CAST(row_number() OVER (
+               PARTITION BY win_start ORDER BY n DESC, event_type) AS BIGINT) AS rk
+      FROM counts
+    )
+    SELECT win_start, event_type, n, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_topk_windowed(spark, sf_dir):
+    """Trending-items query: top-3 event types per hourly window, the
+    stream half computed as a REAL watermarked streaming aggregation
+    (readStream → window count → availableNow drain). Ranking is not
+    expressible inside an incremental streaming plan (a late row can
+    demote an already-emitted rank), so the rank runs as a tiny batch
+    window over the drained per-window counts — the
+    stream-aggregates / batch-serves split every production leaderboard
+    uses (foreachBatch would do the same per micro-batch). The heavy
+    data only ever flows through the streaming count; the ranked set is
+    |windows|×|types|."""
+    from pyspark.sql import Window
+
+    ev = _events_stream(spark, sf_dir)
+    counts = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    sink = fresh_name("stream_topk")
+    run_available_now(counts, memory_table=sink, output_mode="complete")
+    w = Window.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    return (
+        spark.table(sink)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("win_start", "event_type", "n", "rk")
+    )
