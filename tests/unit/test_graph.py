@@ -51,3 +51,35 @@ def test_keep_best_deterministic_tiebreak(spark):
     }
     # tie on score=30 → lower id (2) wins
     assert out == {1: (2, 3, 30), 9: (9, 1, 5)}
+
+
+def _pr(spark, edge_pairs, n_iter=3):
+    edges = spark.createDataFrame(edge_pairs, "src string, dst string")
+    nodes = edges.select("src").union(edges.select("dst")).distinct()
+    out = graph.pagerank_fixed(nodes, edges, n_iter=n_iter)
+    return {r["id"]: r["pr"] for r in out.collect()}
+
+
+def test_pagerank_symmetric_pair_is_fixed_point(spark):
+    # two vertices exchanging their whole rank: 150000 + 85% of 1e6
+    # is 1e6 again — the uniform rank must be an exact fixed point
+    got = _pr(spark, [("a", "b"), ("b", "a")])
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_pagerank_star_exact_values_and_order(spark):
+    # 3-leaf star, symmetrized; hand-computed integer sequence
+    edges = []
+    for leaf in ("x", "y", "z"):
+        edges += [("c", leaf), (leaf, "c")]
+    got = _pr(spark, edges)
+    assert got["c"] == 2_483_250  # hand-derived 3-round fixed-point value
+    assert got["x"] == got["y"] == got["z"] == 505_583
+    # determinism: a second run must be bit-identical
+    assert _pr(spark, edges) == got
+
+
+def test_pagerank_source_only_vertex_keeps_base_rank(spark):
+    # a → b, no edge into a: a's rank is the undamped base every round
+    got = _pr(spark, [("a", "b")], n_iter=2)
+    assert got["a"] == 150_000

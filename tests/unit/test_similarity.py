@@ -133,3 +133,29 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     for orig, q in zip([1.0, -0.5, 0.25], got[1].qvec):
         assert abs(q * step - orig) <= step / 2 + 1e-9
     assert got[2].scale == 0.0 and got[2].qvec == [0, 0, 0]
+
+
+def test_semantic_dup_flags_within_cell_only(spark):
+    # axis-aligned centroids; v1/v2 share cell 0 at cos≈1 → higher id
+    # flagged; v3 alone in cell 1; v4 joins cell 1 but is ~orthogonal
+    # to v3 so it survives
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01]),
+            (2, [2.0, 0.02]),
+            (3, [0.01, 1.0]),
+            (4, [-1.0, 0.05]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    got = {
+        r["id"]: (r["cell"], r["is_dup"])
+        for r in similarity.semantic_dup_flags(
+            df, "vec_id", "embedding", cents, 0.9
+        ).collect()
+    }
+    assert got[1] == (0, False)
+    assert got[2] == (0, True)  # lower-id twin exists in its cell
+    assert got[3][1] is False
+    assert got[4][1] is False  # same cell as 3, but far below threshold
