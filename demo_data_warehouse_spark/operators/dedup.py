@@ -502,3 +502,89 @@ def levenshtein_pairs(
         )
         .where(F.col("edit_dist") <= max_dist)
     )
+
+
+def setsim_join_prefix(
+    tokens: DataFrame,
+    id_col: str,
+    token_col: str,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """Exact all-pairs set-similarity join with PREFIX FILTERING (the
+    ppjoin/AllPairs family, Bayardo et al. WWW'07): every document pair
+    with token-set Jaccard >= tau_num/tau_den, without enumerating n²
+    pairs and WITHOUT the LSH family's false-negative risk — prefix
+    filtering is lossless.
+
+    The pruning theorem: order all tokens by a global total order
+    (rarest first); if Jaccard(A,B) >= τ then A and B must share at
+    least one token among each one's first |X| - ceil(τ·|X|) + 1
+    ordered tokens. So candidates are an equi-join on PREFIX tokens
+    only — rare tokens generate tiny buckets, and the frequent tokens
+    that would explode a full token inverted index never enter the
+    prefix. Verification then computes exact intersection counts for
+    candidates alone, and the τ test cross-multiplies to integers
+    (den·∩ >= num·(|A|+|B|−∩)) so the boundary is exact.
+
+    Scale notes: the global token order needs a vocabulary-sized rank —
+    computed with a single-partition window over the DISTINCT vocab
+    (bounded by vocabulary, not corpus; swap in a zipWithIndex-style
+    two-phase rank if the vocabulary itself outgrows one task). All
+    other steps are doc- or token-keyed equi-joins and aggregations.
+
+    `tokens`: (id, token) pairs, pre-deduplicated per document (set
+    semantics). Returns (id_a, id_b, inter, union_sz) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("token"))
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    # global total order: rarest first, token string as the tiebreak
+    vocab_rank = freq.withColumn(
+        "trank", F.row_number().over(Window.orderBy("tf", "token"))
+    ).select("token", "trank")
+    ranked = (
+        tok.join(vocab_rank, "token")
+        .join(sizes, "id")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("id").orderBy("trank"))
+        )
+    )
+    # prefix_len = sz - ceil(τ·sz) + 1;  ceil(num·sz/den) = (num·sz+den−1) DIV den
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"({tau_num} * sz + {tau_den} - 1) DIV {tau_den}")
+        + 1
+    ).select("id", "token")
+    cands = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "token")
+        .where(F.col("pa.id") < F.col("pb.id"))
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cands.join(tok.select(F.col("id").alias("id_a"), "token"), "id_a")
+        .join(tok.select(F.col("id").alias("id_b"), "token"), ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.lit(tau_den) * F.col("inter")
+            >= F.lit(tau_num) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("union_sz"),
+        )
+    )

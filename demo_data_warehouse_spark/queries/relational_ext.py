@@ -2951,3 +2951,44 @@ def join_null_safe(spark, sf_dir):
     return left.join(right, left.k.eqNullSafe(right.k)).select(
         left.o_orderkey, left.k, right.n_status
     )
+
+
+@query(
+    "fn_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS custkey, c_custkey AS node, CAST(0 AS BIGINT) AS depth
+      FROM customer WHERE c_custkey < 256
+      UNION ALL
+      SELECT custkey, node // 2 AS node, depth + 1 AS depth
+      FROM chain WHERE node > 1
+    )
+    SELECT custkey, MAX(depth) AS depth,
+           CAST(SUM(node) AS BIGINT) AS path_sum
+    FROM chain GROUP BY custkey
+    """,
+)
+def fn_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each low-numbered
+    customer up the implicit binary-tree hierarchy (parent = key / 2)
+    to the root, reporting depth and path sum — the org-chart/BOM
+    traversal shape. Recursion depth is data-bounded (log2 of the key
+    domain, ≤8 here), so the iterative union Spark unrolls stays small;
+    unbounded recursion on a 100 TB fact table is an anti-pattern —
+    hierarchies belong in a dimension with a bounded level count, which
+    is exactly what the WHERE bound expresses."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rv")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS custkey, c_custkey AS node, CAST(0 AS BIGINT) AS depth
+          FROM customer_rv WHERE c_custkey < 256
+          UNION ALL
+          SELECT custkey, node DIV 2 AS node, depth + 1 AS depth
+          FROM chain WHERE node > 1
+        )
+        SELECT custkey, MAX(depth) AS depth,
+               CAST(SUM(node) AS BIGINT) AS path_sum
+        FROM chain GROUP BY custkey
+        """
+    )

@@ -1317,3 +1317,61 @@ def filter_quality_linear(spark, sf_dir):
             (F.sum("w") > 0).alias("keep"),
         )
     )
+
+
+@query(
+    "dedup_setsim_prefix",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), idx AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words
+    ), tok AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS token
+      FROM idx
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter, (sa.n + sb.n - inter) AS union_sz
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
+    """,
+)
+def dedup_setsim_prefix(spark, sf_dir):
+    """Exact all-pairs 3-shingle Jaccard >= 0.6 via lossless prefix
+    filtering (operators/dedup.py:setsim_join_prefix) — the
+    deterministic complement to minhash: no banding false negatives,
+    yet candidates still come from an equi-join on rare prefix
+    shingles, never n². Shingles, not unigrams: on a small shared
+    vocabulary every document pair looks alike as a word SET (measured
+    τ=0.6 admits 57% of all pairs), while 3-gram shingle sets isolate
+    exactly the planted near-duplicates. The oracle is the brute-force
+    pairwise Jaccard, which must agree EXACTLY — any divergence means
+    the prefix pruning dropped a true pair, so correctness of the
+    optimization itself is what this query gates."""
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    sh = (
+        docs.select("doc_id", tokens.alias("ws"))
+        .where(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 2),"
+                        " i -> concat_ws(' ', slice(ws, i, 3)))"
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    return dedup.setsim_join_prefix(sh, "doc_id", "token", tau_num=3, tau_den=5)
