@@ -2992,3 +2992,81 @@ def fn_recursive_cte(spark, sf_dir):
         FROM chain GROUP BY custkey
         """
     )
+
+
+@query(
+    "agg_percentile_cont",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), sel AS (
+      SELECT event_type, n,
+             MIN(CASE WHEN rk = ((n-1) // 4) + 1 THEN v_c END) AS lo25,
+             MIN(CASE WHEN rk = ((n-1) // 4) + 2 THEN v_c END) AS hi25,
+             MIN(CASE WHEN rk = ((n-1) // 2) + 1 THEN v_c END) AS lo50,
+             MIN(CASE WHEN rk = ((n-1) // 2) + 2 THEN v_c END) AS hi50,
+             MIN(CASE WHEN rk = ((3*(n-1)) // 4) + 1 THEN v_c END) AS lo75,
+             MIN(CASE WHEN rk = ((3*(n-1)) // 4) + 2 THEN v_c END) AS hi75
+      FROM c GROUP BY event_type, n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      CAST(lo25 * (4 - ((n-1) % 4)) + COALESCE(hi25, lo25) * ((n-1) % 4) AS BIGINT)
+        AS p25_u,
+      CAST(lo50 * (2 - ((n-1) % 2)) * 2 + COALESCE(hi50, lo50) * ((n-1) % 2) * 2
+        AS BIGINT) AS p50_u,
+      CAST(lo75 * (4 - ((3*(n-1)) % 4)) + COALESCE(hi75, lo75) * ((3*(n-1)) % 4)
+        AS BIGINT) AS p75_u
+    FROM sel
+    """,
+)
+def agg_percentile_cont(spark, sf_dir):
+    """Exact INTERPOLATED percentiles (percentile_cont semantics) with
+    no float formula: the p-quantile position (n−1)·p splits into an
+    integer rank and a rational fraction with denominator 4 (or 2), so
+    the interpolated value lo·(den−rem) + hi·rem is an exact integer in
+    quarter-cent units — both engines compute identical bigints, where
+    the textbook lo + (hi−lo)·frac in doubles is one rounding away from
+    a hash mismatch. Same single windowed pass as agg_percentile_disc;
+    the adjacent-rank element rides the same conditional-MIN trick."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    v_c = F.round(F.col("value") * 100).cast("bigint")
+    wv = Window.partitionBy("event_type").orderBy("v_c", "event_id")
+    wn = Window.partitionBy("event_type")
+    c = ev.select("event_type", "event_id", v_c.alias("v_c")).withColumns(
+        {"rk": F.row_number().over(wv), "n": F.count("*").over(wn)}
+    )
+    n1 = F.col("n") - 1
+
+    def pick(pos):
+        return F.min(F.when(F.col("rk") == pos, F.col("v_c")))
+
+    sel = c.groupBy("event_type", "n").agg(
+        pick((n1 / 4).cast("bigint") + 1).alias("lo25"),
+        pick((n1 / 4).cast("bigint") + 2).alias("hi25"),
+        pick((n1 / 2).cast("bigint") + 1).alias("lo50"),
+        pick((n1 / 2).cast("bigint") + 2).alias("hi50"),
+        pick((3 * n1 / 4).cast("bigint") + 1).alias("lo75"),
+        pick((3 * n1 / 4).cast("bigint") + 2).alias("hi75"),
+    )
+    n1 = F.col("n") - 1
+    rem25, rem50, rem75 = n1 % 4, n1 % 2, (3 * n1) % 4
+    return sel.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("lo25") * (4 - rem25) + F.coalesce("hi25", "lo25") * rem25)
+        .cast("bigint")
+        .alias("p25_u"),
+        (F.col("lo50") * (2 - rem50) * 2 + F.coalesce("hi50", "lo50") * rem50 * 2)
+        .cast("bigint")
+        .alias("p50_u"),
+        (F.col("lo75") * (4 - rem75) + F.coalesce("hi75", "lo75") * rem75)
+        .cast("bigint")
+        .alias("p75_u"),
+    )

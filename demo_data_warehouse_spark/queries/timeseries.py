@@ -396,3 +396,49 @@ def window_running_distinct(spark, sf_dir):
         "event_id",
         F.sum("first_seen").over(w_run).alias("distinct_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event-sequence pattern count — MATCH_RECOGNIZE-lite
+
+
+@query(
+    "window_pattern_seq",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS BIGINT)
+             AS n_vcp
+    FROM s
+    """,
+)
+def window_pattern_seq(spark, sf_dir):
+    """Sequential-pattern counting (MATCH_RECOGNIZE-lite): collapse each
+    user's event history to an initial-letter string in strict
+    (ts, event_id) order and count view→click→purchase runs with
+    length arithmetic — replace() is engine-portable where regex
+    engines differ on overlap rules. The per-user string is bounded by
+    the user's event count (the same per-key regime as sessionization);
+    building it with array_sort over (ts, event_id, initial) structs
+    keeps ordering deterministic without relying on collect_list's
+    undefined order."""
+    ev = table(spark, sf_dir, "events")
+    init = F.substring("event_type", 1, 1)
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", init.alias("c")))
+        ).alias("arr")
+    )
+    seq = F.array_join(F.transform("arr", lambda s: s["c"]), "")
+    return g.select(
+        "user_id",
+        F.length(seq).cast("bigint").alias("seq_len"),
+        ((F.length(seq) - F.length(F.replace(seq, F.lit("vcp"), F.lit("")))) / 3)
+        .cast("bigint")
+        .alias("n_vcp"),
+    )
