@@ -2780,19 +2780,26 @@ def agg_new_vs_returning(spark, sf_dir):
       FROM lineitem
     ), m AS (
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(q) AS DOUBLE) AS s1,
-             CAST(SUM(q*q) AS DOUBLE) AS s2,
-             CAST(SUM(q*q*q) AS DOUBLE) AS s3,
-             CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q*q) AS BIGINT) AS s2,
+             CAST(SUM(q*q*q) AS BIGINT) AS s3,
+             CAST(CAST(SUM(q*q*q*q) AS HUGEINT) // 1000000000 AS BIGINT) AS s4_hi,
+             CAST(CAST(SUM(q*q*q*q) AS HUGEINT) % 1000000000 AS BIGINT) AS s4_lo
       FROM c GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n, s1, s2, s3, s4_hi, s4_lo,
+             CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+             CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4_hi AS DOUBLE) * 1000000000 + CAST(s4_lo AS DOUBLE) AS s4d
+      FROM m
     )
-    SELECT l_returnflag, n, s1, s2, s3, s4,
-           ((s3/n) - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
-             / pow((s2/n) - (s1/n)*(s1/n), 1.5) AS skewness,
-           ((s4/n) - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
-             - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
-             / pow((s2/n) - (s1/n)*(s1/n), 2.0) - 3 AS excess_kurtosis
-    FROM m
+    SELECT l_returnflag, n, s1, s2, s3, s4_hi, s4_lo,
+           ((s3d/n) - 3*(s1d/n)*(s2d/n) + 2*(s1d/n)*(s1d/n)*(s1d/n))
+             / pow((s2d/n) - (s1d/n)*(s1d/n), 1.5) AS skewness,
+           ((s4d/n) - 4*(s1d/n)*(s3d/n) + 6*(s1d/n)*(s1d/n)*(s2d/n)
+             - 3*(s1d/n)*(s1d/n)*(s1d/n)*(s1d/n))
+             / pow((s2d/n) - (s1d/n)*(s1d/n), 2.0) - 3 AS excess_kurtosis
+    FROM d
     """,
 )
 def agg_skew_kurtosis(spark, sf_dir):
@@ -2801,9 +2808,14 @@ def agg_skew_kurtosis(spark, sf_dir):
     3rd/4th power accumulate in DECIMAL(38,0) (the 4th-power sum passes
     int64 around sf0.05, so bigint cents — the engine's usual fast path
     — is ruled out by arithmetic, the same precision-escalation rule
-    dsum documents). Floats appear only in the final closed-form
-    expression over six exact scalars, written token-identically in both
-    engines. One scan, one partial+final aggregate."""
+    dsum documents). The 4th-power sum is REPORTED as an exact
+    (hi, lo) bigint pair split at 10^9 rather than one double:
+    DECIMAL(38,0)→DOUBLE conversion differs by 1 ulp between engines
+    past 2^63 (observed at sf0.1), while bigint→double is correctly
+    rounded everywhere — the float s4 both engines use downstream is
+    rebuilt as hi·1e9 + lo, token-identically. Floats appear only in
+    that rebuild and the final closed form. One scan, one
+    partial+final aggregate."""
     from .core import cents
 
     q = cents("l_quantity").cast("decimal(38,0)")
@@ -2812,24 +2824,35 @@ def agg_skew_kurtosis(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(q).cast("double").alias("s1"),
-            F.sum(q * q).cast("double").alias("s2"),
-            F.sum(q * q * q).cast("double").alias("s3"),
-            F.sum(q * q * q * q).cast("double").alias("s4"),
+            F.sum(q).cast("bigint").alias("s1"),
+            F.sum(q * q).cast("bigint").alias("s2"),
+            F.sum(q * q * q).cast("bigint").alias("s3"),
+            F.sum(q * q * q * q).alias("s4_dec"),
         )
+        .withColumns(
+            {
+                "s4_hi": F.expr("CAST(s4_dec div 1000000000 AS BIGINT)"),
+                "s4_lo": F.expr("CAST(s4_dec % 1000000000 AS BIGINT)"),
+            }
+        )
+        .drop("s4_dec")
     )
-    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
-    mean = s1 / n
-    var = (s2 / n) - mean * mean
-    skew = ((s3 / n) - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(var, 1.5)
+    n = F.col("n")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3").cast("double")
+    s4d = F.col("s4_hi").cast("double") * 1_000_000_000 + F.col("s4_lo").cast("double")
+    mean = s1d / n
+    var = (s2d / n) - mean * mean
+    skew = ((s3d / n) - 3 * mean * (s2d / n) + 2 * mean * mean * mean) / F.pow(var, 1.5)
     kurt = (
-        (s4 / n)
-        - 4 * mean * (s3 / n)
-        + 6 * mean * mean * (s2 / n)
+        (s4d / n)
+        - 4 * mean * (s3d / n)
+        + 6 * mean * mean * (s2d / n)
         - 3 * mean * mean * mean * mean
     ) / F.pow(var, 2.0) - 3
     return m.select(
-        "l_returnflag", "n", "s1", "s2", "s3", "s4",
+        "l_returnflag", "n", "s1", "s2", "s3", "s4_hi", "s4_lo",
         skew.alias("skewness"), kurt.alias("excess_kurtosis"),
     )
 
