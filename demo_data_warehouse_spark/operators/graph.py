@@ -127,6 +127,7 @@ def pagerank_fixed(
     scale: int = 1_000_000,
     damp_num: int = 85,
     damp_den: int = 100,
+    materialize_edges: bool = False,
 ) -> DataFrame:
     """(id, pr) — PageRank in integer fixed-point arithmetic, a fixed
     number of synchronous iterations.
@@ -152,6 +153,15 @@ def pagerank_fixed(
     id_col = nodes.columns[0]
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(deg, "src")
+    if materialize_edges:
+        # lineage truncation for deep iteration counts: round k's plan
+        # embeds k copies of the edge derivation, and past a handful of
+        # rounds planning cost grows quadratically. At n_iter ≤ ~4
+        # Spark's ReusedExchange already dedups the physical work, so
+        # the checkpoint only pays off (and is worth its serialization
+        # cost) for deep runs — caller-controlled, like the dedup
+        # family's cache flag. On a real cluster prefer checkpoint().
+        e = e.localCheckpoint(eager=False)
     base = scale - scale * damp_num // damp_den
     pr = nodes.select(
         F.col(id_col).alias("id"), F.lit(scale).cast("bigint").alias("pr")
