@@ -185,3 +185,90 @@ def frame_sample(media: DataFrame, n_frames: int, fake: bool = True) -> DataFram
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame, n_pixels: int = 60, fake: bool = True) -> DataFrame:
+    """(media_id, phash) — average-hash perceptual fingerprint of the
+    decoded payload, Arrow-batched.
+
+    Real path (stubbed — no codec libs in this environment): decode,
+    resize to a tiny grid, hash = bits 'pixel above grid mean'. Fake
+    path: the first `n_pixels` payload BYTES are the grid, so the hash
+    pipeline — mean threshold, bit packing, downstream hamming
+    bucketing — runs bit-for-bit real. n_pixels defaults to 60 so the
+    packed hash stays a non-negative bigint (the same 60-bit register
+    convention as dedup.hash60). The mean is an integer floor; payloads
+    shorter than the grid hash to NULL (callers filter) rather than a
+    padded pretend-image.
+    """
+
+    def _decode_real(payload):
+        raise NotImplementedError(
+            "real image decode requires codec libraries not present in "
+            "this environment; use fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                pdf["content"].map(_decode_real)  # raises — clearly-marked stub
+
+            def _hash(b):
+                if b is None or len(b) < n_pixels:
+                    return None
+                px = b[:n_pixels]
+                mean = sum(px) // n_pixels
+                h = 0
+                for i, v in enumerate(px):
+                    if v > mean:
+                        h |= 1 << i
+                return h
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pdf["content"].map(_hash).astype("Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_dup_pairs(hashes: DataFrame, max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate media pairs by perceptual
+    hash, candidates from BLOCK BUCKETING (pigeonhole: hamming ≤ k over
+    n_blocks ≥ k+1 blocks forces ≥1 identical block), the same
+    discipline as the simhash dedup: candidates are an equi-join on
+    (block_idx, block_value), never all pairs; the exact popcount of
+    the XOR verifies."""
+    bits_per = 60 // n_blocks
+    mask = (1 << bits_per) - 1
+    h = hashes.where(F.col("phash").isNotNull())
+    blocks = h.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("j"),
+    ).withColumn(
+        "bkey", F.expr(f"shiftright(phash, j * {bits_per}) & {mask}")
+    )
+    a = blocks.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ha"), "j", "bkey"
+    )
+    b = blocks.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("hb"), "j", "bkey"
+    )
+    return (
+        a.join(b, ["j", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(ha ^ hb)").cast("bigint").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

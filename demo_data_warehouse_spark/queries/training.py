@@ -1375,3 +1375,43 @@ def dedup_setsim_prefix(spark, sf_dir):
         )
     )
     return dedup.setsim_join_prefix(sh, "doc_id", "token", tau_num=3, tau_den=5)
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+      WHERE length(text) >= 60
+    ), px AS (
+      SELECT doc_id, i, CAST(ascii(substr(s, CAST(i AS INT), 1)) AS BIGINT) AS b
+      FROM d, unnest(range(1, 61)) AS t(i)
+    ), m AS (
+      SELECT doc_id, CAST(SUM(b) // 60 AS BIGINT) AS mean FROM px GROUP BY doc_id
+    ), h AS (
+      SELECT px.doc_id,
+             SUM(CASE WHEN px.b > m.mean
+                      THEN (1::BIGINT << CAST(px.i - 1 AS INT)) ELSE 0 END) AS phash
+      FROM px JOIN m ON m.doc_id = px.doc_id
+      GROUP BY px.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection for media payloads —
+    the first ORACLE-BACKED member of the multimodal family: the
+    average-hash runs inside the Arrow fake-decode path (the real
+    pipeline shape: decode is Python, and the hash must ride the same
+    batch pass), and because the fake grid is the payload's leading
+    bytes — here ASCII text — DuckDB replays the identical 60-bit hash
+    from character codes and verifies every hamming-≤3 pair. Candidates
+    come from 4-block pigeonhole bucketing (operators/multimodal.py:
+    phash_dup_pairs), never the n² join the oracle is allowed to use."""
+    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 60)
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    hashes = multimodal.perceptual_hash(media, n_pixels=60, fake=True)
+    return multimodal.phash_dup_pairs(hashes, max_hamming=3, n_blocks=4)
