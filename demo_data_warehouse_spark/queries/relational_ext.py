@@ -3093,3 +3093,35 @@ def agg_percentile_cont(spark, sf_dir):
         .cast("bigint")
         .alias("p75_u"),
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           l_shipdate
+    FROM lineitem
+    """,
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """Columnar-format breadth beyond parquet: write typed rows to ORC
+    (the other first-class columnar source Spark ships with predicate
+    pushdown and stats-based skipping), read them back, and match the
+    originals exactly. Money travels as integer cents and the timestamp
+    column exercises ORC's distinct epoch/timezone encoding — the two
+    classic places a format hop silently corrupts a warehouse. At scale
+    the engine treats parquet/ORC symmetrically: same scan operator,
+    same PushedFilters surface."""
+    from ..streaming.pipeline import scratch_dir
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        "l_shipdate",
+    )
+    path = scratch_dir("orc_landing")
+    li.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
