@@ -442,3 +442,74 @@ def window_pattern_seq(spark, sf_dir):
         .cast("bigint")
         .alias("n_vcp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — purchases credited to the preceding touchpoint
+
+
+@query(
+    "window_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS prev_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 7 DAY
+                THEN prev_type ELSE 'direct' END AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(v_c) AS DOUBLE) / 100.0 AS attributed_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 7 DAY
+                  THEN prev_type ELSE 'direct' END
+    """,
+)
+def window_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: credit each purchase to the
+    user's most recent non-purchase touchpoint within a 7-day lookback,
+    else 'direct'. The preceding touchpoint comes from
+    last_value(... IGNORE NULLS) over a 1-preceding frame — one sorted
+    pass per user, the same idiom as join_nearest_event, with no
+    per-purchase rescan of history. Two parallel last_values (type and
+    ts) stay consistent because the same CASE masks both."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        cents("value").alias("v_c"),
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prev_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("prev_ts"),
+    )
+    in_window = F.col("prev_ts").isNotNull() & (
+        F.col("ts") - F.col("prev_ts") <= F.expr("INTERVAL 7 DAY")
+    )
+    touch = F.when(in_window, F.col("prev_type")).otherwise(F.lit("direct"))
+    return (
+        t.where(F.col("event_type") == "purchase")
+        .groupBy(touch.alias("touch_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            csum(F.col("v_c"), "attributed_value"),
+        )
+    )
