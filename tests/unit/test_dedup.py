@@ -222,3 +222,29 @@ def test_embed_cosine_pairs_refuses_large_corpus(spark):
         big, "vec_id", "embedding", threshold=0.5, max_rows=None
     )
     assert out.count() == 50 * 49 / 2
+
+
+def test_setsim_prefix_matches_brute_force(spark):
+    # lossless pruning: the prefix-filtered join must return EXACTLY
+    # the brute-force τ-threshold pairs on a handmade corpus
+    import itertools
+
+    docs = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c", "d", "f"},   # J(1,2)=4/6=0.667 ≥ 0.6
+        3: {"a", "b", "c", "d", "e"},   # J(1,3)=1.0, J(2,3)=0.667
+        4: {"x", "y", "z"},             # disjoint
+        5: {"a", "x"},                  # low overlap with everything
+    }
+    rows = [(i, t) for i, ts in docs.items() for t in ts]
+    tok = spark.createDataFrame(rows, "doc_id bigint, token string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.setsim_join_prefix(tok, "doc_id", "token", 3, 5).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = len(docs[a] & docs[b])
+        if 5 * inter >= 3 * (len(docs[a]) + len(docs[b]) - inter):
+            want.add((a, b))
+    assert got == want and (1, 3) in got and (4, 5) not in got

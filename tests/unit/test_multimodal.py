@@ -67,3 +67,24 @@ def test_resize_real_is_stubbed(spark, media):
     with pytest.raises(Exception) as ei:
         multimodal.resize(media, 8, 4, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "real image resize" in str(ei.value)
+
+
+def test_perceptual_hash_and_pairs_exact(spark):
+    from demo_data_warehouse_spark.operators import multimodal
+
+    # 60-byte payloads: p1 == p2, p3 differs in one high byte (hamming
+    # 1 vs p1), p4 unrelated, p5 too short → NULL hash, excluded
+    base = ("a" * 30 + "z" * 30).encode()
+    p3 = ("a" * 29 + "z" * 31).encode()
+    rows = [(1, base), (2, base), (3, p3), (4, (b"az" * 30)), (5, b"short")]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    hashes = multimodal.perceptual_hash(df, n_pixels=60, fake=True)
+    got = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert got[1] == got[2] and got[5] is None
+    assert bin(got[1] ^ got[3]).count("1") == 1
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert all(a != 4 and b != 4 for a, b in pairs)

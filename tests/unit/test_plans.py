@@ -615,3 +615,24 @@ def test_semantic_and_containment_dedup_are_blocked_joins(spark, sf_dir, qs):
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_round4_additions_blocked_joins_no_python(spark, sf_dir, qs):
+    # setsim pairs ride prefix-token buckets, phash pairs ride
+    # (block, value) buckets, pagerank rounds are keyed joins —
+    # none may plan a cartesian; only the sanctioned Arrow batch
+    # (phash decode) may run Python, never row-wise BatchEvalPython.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in (
+        "dedup_setsim_prefix",
+        "multimodal_phash_dedup",
+        "graph_pagerank",
+        "window_attribution",
+        "agg_percentile_cont",
+        "window_pattern_seq",
+    ):
+        df = qs[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
