@@ -3125,3 +3125,46 @@ def scan_orc_roundtrip(spark, sf_dir):
     path = scratch_dir("orc_landing")
     li.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "scan_dpp_prune",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+      WHERE dayofweek(CAST(ts AS DATE)) = 6
+    )
+    SELECT CAST(e.ts AS DATE) AS event_date, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.d
+    GROUP BY CAST(e.ts AS DATE), e.event_type
+    """,
+)
+def scan_dpp_prune(spark, sf_dir):
+    """DYNAMIC partition pruning — the join-driven complement of
+    scan_partition_prune's static literal: the fact table is
+    date-partitioned, the filter lives only on the DIM side (Saturdays
+    of a date dimension), and Spark injects the dim's qualifying keys
+    into the fact scan as a runtime PartitionFilter
+    (dynamicpruningexpression, plan-asserted) — so a star-schema query
+    at 100 TB opens only the partitions the dimension selects, without
+    anyone hand-copying the filter onto the fact. Dim broadcast; fact
+    never fully scanned."""
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("ts").cast("date").alias("event_date")
+    )
+    path = scratch_dir("dpp_events")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select(F.col("event_date").alias("d"))
+        .distinct()
+        .where(F.dayofweek("d") == 7)  # Spark: 7=Saturday; DuckDB dayofweek: 6
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("event_date", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

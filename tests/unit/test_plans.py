@@ -636,3 +636,15 @@ def test_round4_additions_blocked_joins_no_python(spark, sf_dir, qs):
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_dpp_runtime_partition_filter(spark, sf_dir, qs):
+    # the fact scan must carry a dynamicpruningexpression partition
+    # filter injected from the dim side — static literal pruning is
+    # already pinned by test_partition_prune_reads_one_partition
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["scan_dpp_prune"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert_no_rowwise_python(df)
