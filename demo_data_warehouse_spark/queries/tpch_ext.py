@@ -520,3 +520,40 @@ def subquery_exists_chain(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — the forecast-revenue-change scan: pure filter + single aggregate
+
+
+@query(
+    "agg_selective_revenue",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_sql_csum(
+               f"{_sql_cents('l_extendedprice')} * {_sql_cents('l_discount')}",
+               "revenue_delta", dp=4)}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24.0
+    """,
+)
+def agg_selective_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the what-if revenue scan — three stacked
+    selective predicates (date year, discount band, quantity cap) and
+    one exact product-sum, no join, no group. The entire query should
+    compile to scan-with-pushed-filters → partial agg → one-row final:
+    the canonical test that predicates actually reach the parquet
+    reader instead of filtering post-scan. With this, the registry
+    covers every TPC-H query shape expressible on the synthetic schema
+    (Q2/Q16/Q20 need partsupp, which the testdata omits)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24.0)
+    )
+    delta = cents("l_extendedprice") * cents("l_discount")
+    return li.agg(F.count("*").alias("n_lines"), csum(delta, "revenue_delta", dp=4))
