@@ -1415,3 +1415,131 @@ def multimodal_phash_dedup(spark, sf_dir):
     media = multimodal.to_media_table(docs, "doc_id", "text")
     hashes = multimodal.perceptual_hash(media, n_pixels=60, fake=True)
     return multimodal.phash_dup_pairs(hashes, max_hamming=3, n_blocks=4)
+
+
+
+@query(
+    "ann_pq_codes",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id <> 0
+    ), px AS (
+      SELECT vec_id, CAST((t.i - 1) // 8 AS BIGINT) AS s,
+             CAST((t.i - 1) % 8 AS BIGINT) AS k,
+             CAST(floor(v[CAST(t.i AS INT)] * 1000000) AS BIGINT) AS xi
+      FROM corpus, unnest(range(1, 65)) AS t(i)
+    ), cx AS (
+      SELECT row_number() OVER (PARTITION BY s, k ORDER BY vec_id) - 1 AS j,
+             s, k, xi AS ci
+      FROM px WHERE vec_id IN (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 4)
+    ), dist AS (
+      SELECT px.vec_id, px.s, cx.j,
+             SUM((px.xi - cx.ci) * (px.xi - cx.ci)) AS d2
+      FROM px JOIN cx ON cx.s = px.s AND cx.k = px.k
+      GROUP BY px.vec_id, px.s, cx.j
+    ), code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), qx AS (
+      SELECT CAST((t.i - 1) // 8 AS BIGINT) AS s,
+             CAST((t.i - 1) % 8 AS BIGINT) AS k,
+             CAST(floor(v[CAST(t.i AS INT)] * 1000000) AS BIGINT) AS qi
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE vec_id = 0) q, unnest(range(1, 65)) AS t(i)
+    ), adc AS (
+      SELECT code.vec_id, SUM(qx.qi * cx.ci) AS adc_u
+      FROM code
+      JOIN cx ON cx.s = code.s AND cx.j = code.j
+      JOIN qx ON qx.s = cx.s AND qx.k = cx.k
+      GROUP BY code.vec_id
+    ), codes AS (
+      SELECT vec_id,
+             string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS pq_code
+      FROM code GROUP BY vec_id
+    )
+    SELECT codes.vec_id, codes.pq_code, adc.adc_u
+    FROM codes JOIN adc ON adc.vec_id = codes.vec_id
+    """,
+)
+def ann_pq_codes(spark, sf_dir):
+    """Product quantization (the IVF-PQ compression half of a modern
+    vector index): split each 64-dim embedding into 8 subvectors, code
+    each against a 4-centroid per-subspace codebook, and score the
+    whole corpus against the query by ASYMMETRIC DISTANCE — looking the
+    query·centroid dot products up per code instead of touching raw
+    vectors. Everything runs in micro-unit FIXED POINT (floor(x·1e6)):
+    subspace distances, argmin codes, and ADC scores are bigint-exact
+    and order-free, so a 16×-compressed index has reproducible,
+    oracle-verifiable scores — no float-summation ordering anywhere.
+    The codebook is the deterministic first-4 rule (production trains
+    per-subspace k-means driver-side like ivf_train_centroids; the
+    oracle pins the machinery). Shape: one posexplode of the corpus,
+    one broadcast codebook join, one argmin window, one grouped bigint
+    sum — the scan never materializes pairwise vector math."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.where("vec_id <> 0")
+    px = corpus.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "vec_id",
+        (F.col("i") / 8).cast("bigint").alias("s"),
+        (F.col("i") % 8).cast("bigint").alias("k"),
+        F.floor(F.col("x") * 1_000_000).cast("bigint").alias("xi"),
+    )
+    first4 = corpus.select("vec_id").orderBy("vec_id").limit(4)
+    from pyspark.sql import Window
+
+    cx = (
+        px.join(F.broadcast(first4), "vec_id")
+        .withColumn(
+            "j",
+            F.row_number().over(Window.partitionBy("s", "k").orderBy("vec_id")) - 1,
+        )
+        .select("j", "s", "k", F.col("xi").alias("ci"))
+    )
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        px.join(F.broadcast(cx), ["s", "k"])
+        .groupBy("vec_id", "s", "j")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    code = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy("d2", "j")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "j")
+    )
+    qx = (
+        emb.where("vec_id = 0")
+        .select(F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"))
+        .select(
+            (F.col("i") / 8).cast("bigint").alias("s"),
+            (F.col("i") % 8).cast("bigint").alias("k"),
+            F.floor(F.col("x") * 1_000_000).cast("bigint").alias("qi"),
+        )
+    )
+    adc = (
+        code.join(F.broadcast(cx), ["s", "j"])
+        .join(F.broadcast(qx), ["s", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qi") * F.col("ci")).alias("adc_u"))
+    )
+    codes = code.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "j"))),
+                lambda r: r["j"].cast("string"),
+            ),
+            ",",
+        ).alias("pq_code")
+    )
+    return codes.join(adc, "vec_id")
