@@ -200,3 +200,78 @@ def scan_csv_permissive(spark, sf_dir):
         .option("columnNameOfCorruptRecord", "corrupt_record")
         .csv(path)
     )
+
+
+@query(
+    "dq_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+               AS early
+      FROM events
+    ), per_value AS (
+      SELECT event_type, v_c,
+             SUM(early) AS c1, SUM(1 - early) AS c2
+      FROM tagged GROUP BY event_type, v_c
+    ), cum AS (
+      SELECT event_type, v_c,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY v_c) AS cum1,
+             SUM(c2) OVER (PARTITION BY event_type ORDER BY v_c) AS cum2,
+             SUM(c1) OVER (PARTITION BY event_type) AS n1,
+             SUM(c2) OVER (PARTITION BY event_type) AS n2
+      FROM per_value
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)) AS ks
+    FROM cum GROUP BY event_type
+    """,
+)
+def dq_ks_drift(spark, sf_dir):
+    """Distribution-drift detection: the exact two-sample
+    Kolmogorov-Smirnov statistic between the first and second half of
+    the month, per event type. The CDF comparison is cross-multiplied
+    to integers (|cum1·n2 − cum2·n1|, exact at any scale), so the drift
+    score's argmax — the thing an alert thresholds on — cannot flip
+    under partial-aggregation order; one float division at the end
+    reports the conventional [0,1] statistic. Shape: one (type, value)
+    aggregate, one cumulative window per type, one grouped max — the
+    same cost as an exact percentile, and the natural pre-training gate
+    ('did this source's quality distribution move since the last
+    snapshot?')."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    early = (
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ).cast("bigint")
+    tagged = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        early.alias("early"),
+    )
+    per_value = tagged.groupBy("event_type", "v_c").agg(
+        F.sum("early").alias("c1"), F.sum(1 - F.col("early")).alias("c2")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("v_c")
+    w_all = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    diff = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return cum.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(diff).alias("ks_num"),
+        (
+            F.max(diff).cast("double")
+            / (F.max("n1").cast("double") * F.max("n2").cast("double"))
+        ).alias("ks"),
+    )
