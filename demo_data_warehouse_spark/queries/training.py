@@ -1543,3 +1543,146 @@ def ann_pq_codes(spark, sf_dir):
         ).alias("pq_code")
     )
     return codes.join(adc, "vec_id")
+
+
+@query(
+    "ann_ivf_pq",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id <> 0
+    ), cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.v, ct.cv)
+                          / (sqrt(list_dot_product(c.v, c.v))
+                             * sqrt(list_dot_product(ct.cv, ct.cv))) DESC,
+                          ct.cell DESC
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT cell FROM cents, q
+      ORDER BY list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+               cell DESC
+      LIMIT 3
+    ), cand AS (
+      SELECT vec_id FROM assign WHERE cell IN (SELECT cell FROM probe)
+    ), px AS (
+      SELECT c.vec_id, CAST((t.i - 1) // 8 AS BIGINT) AS s,
+             CAST((t.i - 1) % 8 AS BIGINT) AS k,
+             CAST(floor(c.v[CAST(t.i AS INT)] * 1000000) AS BIGINT) AS xi
+      FROM corpus c, unnest(range(1, 65)) AS t(i)
+    ), cx AS (
+      SELECT row_number() OVER (PARTITION BY s, k ORDER BY vec_id) - 1 AS j,
+             s, k, xi AS ci
+      FROM px WHERE vec_id IN (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT 4)
+    ), dist AS (
+      SELECT px.vec_id, px.s, cx.j,
+             SUM((px.xi - cx.ci) * (px.xi - cx.ci)) AS d2
+      FROM px JOIN cand ON cand.vec_id = px.vec_id
+      JOIN cx ON cx.s = px.s AND cx.k = px.k
+      GROUP BY px.vec_id, px.s, cx.j
+    ), code AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), qx AS (
+      SELECT CAST((t.i - 1) // 8 AS BIGINT) AS s,
+             CAST((t.i - 1) % 8 AS BIGINT) AS k,
+             CAST(floor(qv[CAST(t.i AS INT)] * 1000000) AS BIGINT) AS qi
+      FROM q, unnest(range(1, 65)) AS t(i)
+    ), adc AS (
+      SELECT code.vec_id, SUM(qx.qi * cx.ci) AS adc_u
+      FROM code
+      JOIN cx ON cx.s = code.s AND cx.j = code.j
+      JOIN qx ON qx.s = cx.s AND qx.k = cx.k
+      GROUP BY code.vec_id
+    )
+    SELECT vec_id, adc_u FROM adc
+    ORDER BY adc_u DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_pq(spark, sf_dir):
+    """The full modern ANN index shape, end to end: IVF coarse probe
+    (3 of 8 cells, partition pruning at scale) feeding a PQ/ADC rerank
+    over only the probed candidates — raw vectors are never touched
+    after indexing, just 8 code lookups per candidate. The integer ADC
+    score makes the top-10 cut deterministic (vec_id tiebreak), so the
+    whole two-stage pipeline — assignment, probing, codes, scores,
+    ranking — is oracle-pinned. Same deterministic first-8/first-4
+    quantizers as ann_cosine_ivf and ann_pq_codes; production trains
+    both with sampled k-means."""
+    import math
+
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.where("vec_id = 0").select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    corpus = emb.where("vec_id <> 0")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in corpus.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    coarse = [[x / math.sqrt(_seq_dot(v, v)) for x in v] for v in seeds]
+    assign = similarity.ivf_assign(corpus, "vec_id", "embedding", coarse)
+    probe = similarity.probe_cells(qv, coarse, n_probe=3)
+    cand = assign.where(F.col("cell").isin(probe)).select(F.col("id").alias("vec_id"))
+
+    px = corpus.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "vec_id",
+        (F.col("i") / 8).cast("bigint").alias("s"),
+        (F.col("i") % 8).cast("bigint").alias("k"),
+        F.floor(F.col("x") * 1_000_000).cast("bigint").alias("xi"),
+    )
+    first4 = corpus.select("vec_id").orderBy("vec_id").limit(4)
+    cx = (
+        px.join(F.broadcast(first4), "vec_id")
+        .withColumn(
+            "j",
+            F.row_number().over(Window.partitionBy("s", "k").orderBy("vec_id")) - 1,
+        )
+        .select("j", "s", "k", F.col("xi").alias("ci"))
+    )
+    diff = F.col("xi") - F.col("ci")
+    dist = (
+        px.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(cx), ["s", "k"])
+        .groupBy("vec_id", "s", "j")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    code = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id", "s").orderBy("d2", "j")),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "j")
+    )
+    qx_rows = [
+        (i // 8, i % 8, math.floor(x * 1_000_000)) for i, x in enumerate(qv)
+    ]
+    qx = spark.createDataFrame(qx_rows, "s bigint, k bigint, qi bigint")
+    return (
+        code.join(F.broadcast(cx), ["s", "j"])
+        .join(F.broadcast(qx), ["s", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qi") * F.col("ci")).alias("adc_u"))
+        .orderBy(F.desc("adc_u"), "vec_id")
+        .limit(10)
+    )
