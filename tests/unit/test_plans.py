@@ -648,3 +648,20 @@ def test_dpp_runtime_partition_filter(spark, sf_dir, qs):
     plan = physical_plan(df)
     assert "dynamicpruning" in plan.lower(), plan
     assert_no_rowwise_python(df)
+
+
+def test_pq_and_ks_queries_keyed_joins_only(spark, sf_dir, qs):
+    # PQ codebook joins ride (s,k)/(s,j) keys and the KS windows ride
+    # event_type partitions — no cartesian, no row-wise Python; the
+    # coarse-probe centroid fan-out in ann_ivf_pq is the sanctioned
+    # 8-row broadcast nested loop, same as ivf_assign
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in ("ann_pq_codes", "dq_ks_drift", "agg_selective_revenue"):
+        df = qs[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+    # Q6: the stacked predicates must reach the scan
+    plan = physical_plan(qs["agg_selective_revenue"](spark, sf_dir))
+    assert "l_shipdate" in plan and "PushedFilters" in plan, plan
