@@ -513,3 +513,61 @@ def window_attribution(spark, sf_dir):
             csum(F.col("v_c"), "attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown — running peak vs running balance, all integer
+
+
+@query(
+    "window_drawdown",
+    oracle="""
+    WITH bal AS (
+      SELECT user_id, ts, event_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END
+                 * CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS cum_c
+      FROM events
+    ), peak AS (
+      SELECT user_id,
+             cum_c,
+             MAX(cum_c) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS peak_c
+      FROM bal
+    )
+    SELECT user_id,
+           CAST(MAX(peak_c - cum_c) AS BIGINT) AS max_drawdown_c,
+           CAST(MAX(peak_c) AS BIGINT) AS peak_c
+    FROM peak GROUP BY user_id
+    """,
+)
+def window_drawdown(spark, sf_dir):
+    """Maximum drawdown per user: the deepest drop of the running
+    signed balance (purchases are outflows, everything else inflows)
+    below its own running peak — the risk metric every portfolio/
+    treasury dashboard carries, and without the sign split it is
+    degenerate here (all-positive flows make the balance its own peak).
+    Two stacked windows over the SAME (user, ts, event_id) sort —
+    Spark computes both in one shuffle+sort pass — and every quantity
+    stays integer cents, so the max is exact under any partitioning."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flow = (
+        F.when(F.col("event_type") == "purchase", -1).otherwise(1)
+        * cents("value")
+    )
+    bal = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(flow).over(w).alias("cum_c"),
+    )
+    peak = bal.select(
+        "user_id", "cum_c", F.max("cum_c").over(w).alias("peak_c")
+    )
+    return peak.groupBy("user_id").agg(
+        F.max(F.col("peak_c") - F.col("cum_c")).alias("max_drawdown_c"),
+        F.max("peak_c").alias("peak_c"),
+    )
