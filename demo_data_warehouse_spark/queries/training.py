@@ -1686,3 +1686,73 @@ def ann_ivf_pq(spark, sf_dir):
         .orderBy(F.desc("adc_u"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ), pts AS (
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY f DESC, token))
+                        * 1000000) AS BIGINT) AS x_u,
+             CAST(round(ln(f) * 1000000) AS BIGINT) AS y_u
+      FROM freq
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x_u) AS sx, SUM(y_u) AS sy,
+             SUM(x_u * y_u) AS sxy, SUM(x_u * x_u) AS sxx
+      FROM pts
+    )
+    SELECT n, sx, sy, sxy, sxx,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0 AS ln_c
+    FROM m
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law diagnostic for a corpus vocabulary: OLS slope of
+    ln(freq) against ln(rank) — a healthy natural-language corpus fits
+    slope ≈ −1, and a pipeline bug (dedup gone wrong, boilerplate
+    flooding) shows up as a broken slope before a human ever reads a
+    sample. The log points freeze to integer micro-units and the fit
+    runs on exact integer moments (the agg_linear_fit discipline), so
+    only the two final divisions are float. The rank window is
+    vocabulary-sized, the same bounded-total-order note as
+    setsim_join_prefix."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+    )
+    rank = F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+    pts = freq.select(
+        F.round(F.log(rank.cast("double")) * 1_000_000).cast("bigint").alias("x_u"),
+        F.round(F.log(F.col("f").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("y_u"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x_u").alias("sx"),
+        F.sum("y_u").alias("sy"),
+        F.sum(F.col("x_u") * F.col("y_u")).alias("sxy"),
+        F.sum(F.col("x_u") * F.col("x_u")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    ln_c = (
+        (sy.cast("double") - slope * sx.cast("double")) / n.cast("double") / 1_000_000.0
+    )
+    return m.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        slope.alias("zipf_slope"), ln_c.alias("ln_c"),
+    )
