@@ -36,6 +36,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators import joins
 from . import query
 from .core import _sql_cents, _sql_csum, cents, csum
 
@@ -570,4 +571,67 @@ def window_drawdown(spark, sf_dir):
     return peak.groupBy("user_id").agg(
         F.max(F.col("peak_c") - F.col("cum_c")).alias("max_drawdown_c"),
         F.max("peak_c").alias("peak_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance — nearest prior touch, but only if fresh enough
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), views AS (
+      SELECT user_id, ts AS v_ts, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events WHERE event_type = 'view'
+    ), matched AS (
+      SELECT p.user_id, p.event_id, p.ts,
+             (SELECT MAX(v.v_ts) FROM views v
+              WHERE v.user_id = p.user_id AND v.v_ts <= p.ts) AS v_ts
+      FROM purchases p
+    )
+    SELECT m.user_id, m.event_id,
+           CASE WHEN m.v_ts IS NOT NULL AND m.ts - m.v_ts <= INTERVAL 1 HOUR
+                THEN v.v_c END AS view_c,
+           CASE WHEN m.v_ts IS NOT NULL AND m.ts - m.v_ts <= INTERVAL 1 HOUR
+                THEN epoch_us(m.ts) - epoch_us(m.v_ts) END AS gap_us
+    FROM matched m
+    LEFT JOIN views v ON v.user_id = m.user_id AND v.v_ts = m.v_ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, kdb
+    wj's window bound): each purchase matches the newest prior view,
+    but only if it is at most an hour old — staler matches null out
+    rather than silently attributing to ancient history. Implemented on
+    the native union+window as-of (operators/joins.py:asof_join) by
+    carrying the matched right timestamp through the atomic row struct
+    and post-filtering: the tolerance is a projection over the as-of
+    output, not a second join. Gap reported in exact integer
+    microseconds."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        cents("value").alias("v_c"),
+    )
+    out = joins.asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="v_ts",
+        right_cols=["v_ts", "v_c"],
+    )
+    fresh = F.col("v_ts").isNotNull() & (
+        F.col("ts") - F.col("v_ts") <= F.expr("INTERVAL 1 HOUR")
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.when(fresh, F.col("v_c")).alias("view_c"),
+        F.when(
+            fresh, F.unix_micros("ts") - F.unix_micros("v_ts")
+        ).alias("gap_us"),
     )
