@@ -433,6 +433,37 @@ class Warehouse:
         return {"files_before": files_before, "files_after": files_after}
 
 
+    def vacuum_partitions(self, db: str, table: str, keep_from: str) -> dict[str, int]:
+        """Retention VACUUM — the deletion half of warehouse maintenance
+        (compact() is the layout half): drop every partition_value
+        directory strictly older than `keep_from` (a 'YYYY-MM-DD'
+        cutoff). Partition-dir removal is metadata-scale work — no
+        surviving row is read or rewritten, the same reason MERGE is
+        partition-scoped — and crash-safety is per-directory: a partial
+        vacuum leaves whole partitions either present or absent, never
+        torn files (Delta/Iceberg VACUUM + retention policy is the
+        production analog). Returns partition counts for audit logging,
+        the number every retention job is asked to report.
+        """
+        import datetime
+        import shutil
+
+        cutoff = datetime.date.fromisoformat(keep_from)
+        root = self.path(db, table)
+        dropped = kept = 0
+        for entry in sorted(os.listdir(root)):
+            if not entry.startswith("partition_value="):
+                continue
+            part_date = datetime.date.fromisoformat(entry.split("=", 1)[1])
+            if part_date < cutoff:
+                shutil.rmtree(os.path.join(root, entry))
+                dropped += 1
+            else:
+                kept += 1
+        return {"partitions_dropped": dropped, "partitions_kept": kept}
+
+
+
 def _hive_part(value) -> str:
     """Render a partition value the way Spark names its directory."""
     if value is None:

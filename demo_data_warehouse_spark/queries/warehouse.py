@@ -397,3 +397,46 @@ def maintenance_compact(spark, sf_dir):
     stats = wh.compact("silver", "ev_frag", target_file_bytes=512 * 1024 * 1024)
     assert stats["files_after"] < stats["files_before"], stats
     return wh.read("silver", "ev_frag").select("event_id", "user_id", "cents")
+
+
+@query(
+    "maintenance_vacuum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS DATE) AS partition_value,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+    """,
+)
+def maintenance_vacuum(spark, sf_dir):
+    """Retention VACUUM as a registry verb (the deletion half of
+    maintenance, pairing maintenance_compact's layout half): publish a
+    date-partitioned table, drop every partition older than the
+    retention cutoff via io.py::vacuum_partitions — metadata-scale
+    directory removal, no surviving row read or rewritten — and read
+    the table back. The oracle is the source filtered to the retention
+    window: vacuum must equal a clean cutoff filter, and the dropped/
+    kept partition counts are asserted in-query so a vacuum that
+    silently deletes nothing (or everything) fails the gate."""
+    from ..io import Warehouse
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("date").alias("pday"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wh = Warehouse(spark, scratch_dir("vacuum_q"))
+    path = wh.path("silver", "ev_retain")
+    # one hive partition dir per day, partition_value derived from data
+    ev.withColumnRenamed("pday", "partition_value").write.mode(
+        "overwrite"
+    ).partitionBy("partition_value").parquet(path)
+    stats = wh.vacuum_partitions("silver", "ev_retain", keep_from="2024-01-16")
+    assert stats["partitions_dropped"] > 0 < stats["partitions_kept"], stats
+    return (
+        spark.read.parquet(path)
+        .select("event_id", "user_id", "partition_value", "cents")
+    )
