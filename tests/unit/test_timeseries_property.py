@@ -57,3 +57,40 @@ def test_ewma_matches_python_reference(spark, cents_series):
                 n += cents_series[t - j] * wt
                 d += wt
         assert got[t] == n / d, (t, cents_series)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=30
+    )
+)
+def test_percentile_cont_matches_numpy_linear(spark, cents_series):
+    # the quarter-cent integer interpolation must equal numpy's
+    # 'linear' percentile (the percentile_cont definition) exactly
+    # when both are expressed in quarter-cent units
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, c) for i, c in enumerate(cents_series)]
+    df = spark.createDataFrame(rows, "event_id bigint, v_c bigint")
+    wv = Window.orderBy("v_c", "event_id")
+    c = df.withColumns(
+        {"rk": F.row_number().over(wv), "n": F.count("*").over(Window.partitionBy())}
+    )
+    n1 = F.col("n") - 1
+
+    def pick(pos):
+        return F.min(F.when(F.col("rk") == pos, F.col("v_c")))
+
+    sel = c.groupBy("n").agg(
+        pick((n1 / 4).cast("bigint") + 1).alias("lo"),
+        pick((n1 / 4).cast("bigint") + 2).alias("hi"),
+    )
+    rem = (F.col("n") - 1) % 4
+    got = sel.select(
+        (F.col("lo") * (4 - rem) + F.coalesce("hi", "lo") * rem).alias("p25_u")
+    ).head()["p25_u"]
+    want = round(float(np.percentile(np.array(cents_series, dtype=np.float64), 25)) * 4)
+    assert got == want, (cents_series, got, want)
