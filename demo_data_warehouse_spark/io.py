@@ -464,6 +464,133 @@ class Warehouse:
 
 
 
+class SnapshotLog:
+    """Commit-log table format: snapshot isolation + time travel over
+    plain parquet — the Delta/Iceberg transaction-log pattern reduced to
+    its load-bearing core, completing the maintenance family (compact =
+    layout, vacuum_partitions = retention, SnapshotLog = versioning).
+
+    Layout:   root/v00000007/…parquet   immutable per-commit data dirs
+              root/_log/00000007.json   one manifest per commit
+
+    Each manifest records the commit's FULL file list (its own new files
+    plus, for append commits, every file carried over from the parent
+    version). Readers resolve version → files through the manifest only.
+
+    Commit protocol: write the data dir FIRST, then publish with an
+    atomic same-directory rename of the manifest temp file. A crash
+    between the two leaves an orphan data dir no manifest references —
+    invisible to every reader, reclaimed by vacuum(). Single-writer by
+    design (the reference's publish path is a single Airflow task,
+    dags/utils/common/data_helper.py:48-106); multi-writer needs the
+    conditional-put primitive object stores expose, same as Delta.
+
+    100 TB posture: a commit is one O(#files) manifest — never a table
+    rewrite; append commits write only the delta's files (unchanged data
+    is carried by reference); any historical version stays readable
+    until vacuumed, which is what makes a training run reproducible —
+    pin the snapshot id, not "whatever the table held that day".
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- manifest plumbing ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(n[:-5])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".json") and not n.startswith(".")
+        )
+
+    def _manifest(self, version: int) -> dict:
+        import json
+
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict) -> int:
+        import json
+
+        version = manifest["version"]
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        return version
+
+    @staticmethod
+    def _data_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(dd, n)
+            for dd, _s, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        )
+
+    # -- write path -------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "replace") -> int:
+        """Write `df` as the next version. mode='replace' makes it the
+        whole table; mode='append' adds its files to the parent
+        version's file list (the delta-only write path — parent data is
+        carried by reference, never rewritten)."""
+        if mode not in ("replace", "append"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        existing = self.versions()
+        version = (existing[-1] + 1) if existing else 0
+        data_dir = os.path.join(self.root, f"v{version:08d}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = [os.path.relpath(p, self.root) for p in self._data_files(data_dir)]
+        if mode == "append" and existing:
+            files = self._manifest(existing[-1])["files"] + files
+        return self._publish({"version": version, "mode": mode, "files": files})
+
+    # -- read path --------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: latest committed version, or AS OF `version`."""
+        existing = self.versions()
+        if not existing:
+            raise FileNotFoundError(f"no commits under {self.root}")
+        if version is None:
+            version = existing[-1]
+        if version not in existing:
+            raise FileNotFoundError(f"version {version} not in {existing}")
+        files = self._manifest(version)["files"]
+        return self.spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+        """Drop manifests older than the newest `keep_last`, then delete
+        every data dir no surviving manifest references (this is also
+        what reclaims crash-orphaned dirs). Directory-level work only —
+        no surviving row is read or rewritten."""
+        existing = self.versions()
+        keep = set(existing[-keep_last:]) if keep_last > 0 else set()
+        dropped_manifests = 0
+        for v in existing:
+            if v not in keep:
+                os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
+                dropped_manifests += 1
+        referenced_dirs = {
+            f.split(os.sep, 1)[0] for v in keep for f in self._manifest(v)["files"]
+        }
+        dropped_dirs = 0
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("v") or name == "_log":
+                continue
+            if os.path.isdir(os.path.join(self.root, name)) and name not in referenced_dirs:
+                shutil.rmtree(os.path.join(self.root, name))
+                dropped_dirs += 1
+        return {"manifests_dropped": dropped_manifests, "data_dirs_dropped": dropped_dirs}
+
+
 def _hive_part(value) -> str:
     """Render a partition value the way Spark names its directory."""
     if value is None:

@@ -440,3 +440,68 @@ def maintenance_vacuum(spark, sf_dir):
         spark.read.parquet(path)
         .select("event_id", "user_id", "partition_value", "cents")
     )
+
+
+@query(
+    "maintenance_time_travel",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), delta AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS cents
+        FROM orders WHERE o_orderkey % 6 = 0
+    ), v1 AS (
+        SELECT * FROM v0 WHERE o_orderkey % 6 <> 0
+        UNION ALL SELECT * FROM delta
+    )
+    SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents FROM v0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT) FROM v1
+    """,
+)
+def maintenance_time_travel(spark, sf_dir):
+    """Snapshot isolation + time travel as a registry verb
+    (io.py::SnapshotLog — the commit-log/versioning leg of maintenance,
+    beside compact and vacuum): commit a base snapshot, MERGE a
+    re-priced delta (operators/merge.py semantics, delta wins) and
+    commit the result as version 1, then read BOTH versions back
+    through the log and aggregate each. The oracle recomputes the two
+    table states from the source — a log that let the new commit bleed
+    into the old snapshot (or vice versa) changes a version's row count
+    or exact cents sum and fails the hash. At 100 TB the read path is
+    what matters: a training run pins `read(version=k)` and is
+    reproducible against any later commits; a commit is one manifest
+    write, never a table rewrite."""
+    from ..io import SnapshotLog
+    from ..operators.merge import merge_upsert
+    from ..streaming.pipeline import scratch_dir
+
+    o = table(spark, sf_dir, "orders")
+    v0 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    delta = o.where(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") + 100).alias("cents"),
+    )
+    log = SnapshotLog(spark, scratch_dir("timetravel_q"))
+    log.commit(v0)
+    log.commit(merge_upsert(log.read(), delta, keys=["o_orderkey"]))
+    assert log.versions() == [0, 1], log.versions()
+
+    def state(version):
+        return log.read(version=version).agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    return state(0).unionAll(state(1))

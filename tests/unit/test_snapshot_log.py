@@ -1,0 +1,95 @@
+"""SnapshotLog (io.py): commit-log snapshot isolation + time travel.
+
+Pins the four contracts the registry query can't see from two
+aggregated rows: append commits carry parent files by reference, a
+crash-orphaned data dir is invisible to readers, vacuum drops exactly
+the unreferenced dirs while every surviving version still reads, and
+historical reads are stable across later commits.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from demo_data_warehouse_spark.io import SnapshotLog
+from demo_data_warehouse_spark.streaming.pipeline import scratch_dir
+
+
+@pytest.fixture()
+def log(spark):
+    d = scratch_dir("snaplog_t")
+    yield SnapshotLog(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def test_time_travel_reads_are_stable(spark, log):
+    log.commit(_df(spark, 0, 10))
+    log.commit(_df(spark, 0, 3))
+    assert log.versions() == [0, 1]
+    assert log.read().count() == 3
+    assert log.read(version=0).count() == 10
+    # a third commit must not disturb either historical snapshot
+    log.commit(_df(spark, 0, 100))
+    assert log.read(version=0).count() == 10
+    assert log.read(version=1).count() == 3
+
+
+def test_append_carries_parent_files_by_reference(spark, log):
+    log.commit(_df(spark, 0, 10))
+    v0_files = set(log._manifest(0)["files"])
+    v1 = log.commit(_df(spark, 10, 15), mode="append")
+    m1 = log._manifest(v1)
+    # delta-only write: every v0 file is referenced verbatim, not copied
+    assert v0_files < set(m1["files"])
+    assert all(
+        f.startswith("v00000000") for f in v0_files
+    ), "parent files live in the parent's dir"
+    assert log.read().count() == 15
+    assert sorted(r.k for r in log.read().collect()) == list(range(15))
+
+
+def test_crash_orphan_dir_is_invisible(spark, log):
+    log.commit(_df(spark, 0, 10))
+    # simulate a commit that crashed between data write and manifest
+    # publish: a data dir exists but no manifest references it
+    _df(spark, 0, 999).write.parquet(os.path.join(log.root, "v00000001"))
+    assert log.versions() == [0]
+    assert log.read().count() == 10
+    # vacuum reclaims the orphan
+    stats = log.vacuum(keep_last=1)
+    assert stats["data_dirs_dropped"] == 1
+    assert log.read().count() == 10
+
+
+def test_vacuum_keeps_referenced_dirs(spark, log):
+    log.commit(_df(spark, 0, 10))
+    log.commit(_df(spark, 10, 12), mode="append")  # v1 references v0's dir
+    log.commit(_df(spark, 0, 5))  # v2: replace
+    stats = log.vacuum(keep_last=2)
+    # v0's dir survives (v1 references it) even though v0's manifest dropped
+    assert stats["manifests_dropped"] == 1
+    assert stats["data_dirs_dropped"] == 0
+    assert log.versions() == [1, 2]
+    assert log.read(version=1).count() == 12
+    assert log.read(version=2).count() == 5
+    # drop to one version: v0+v1 dirs now unreferenced
+    stats = log.vacuum(keep_last=1)
+    assert stats["data_dirs_dropped"] == 2
+    assert log.read().count() == 5
+
+
+def test_commit_modes_validated(spark, log):
+    with pytest.raises(ValueError):
+        log.commit(_df(spark, 0, 1), mode="merge")
+    with pytest.raises(FileNotFoundError):
+        log.read()
+    log.commit(_df(spark, 0, 1))
+    with pytest.raises(FileNotFoundError):
+        log.read(version=7)
