@@ -3168,3 +3168,58 @@ def scan_dpp_prune(spark, sf_dir):
         .groupBy("event_date", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5: runtime-filtered shuffle join (the 100 TB big⋈selective shape)
+
+
+@query(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_runtime(spark, sf_dir):
+    """Runtime Bloom-filter join pruning — the shape that carries a
+    big-fact ⋈ selective-dim join once BOTH sides outgrow broadcast
+    (Spark injects `might_contain(bloom_filter_agg(dim keys))` into the
+    fact scan, so fact rows that cannot match are dropped BEFORE the
+    shuffle; at 100 TB that converts an all-rows fact shuffle into a
+    match-candidates-only shuffle, the same IO class as DPP but keyed
+    on join values instead of partition columns — scan_dpp_prune's
+    sibling). Locally the optimizer's size thresholds (10 GB probe-side
+    scan) would suppress the filter, so the query lowers them and
+    disables broadcast to pin the at-scale plan; session.tune restores
+    the defaults at the next query's entry. The injected filter is
+    semantics-free — the oracle is the plain join — and the plan shape
+    (bloom_filter_agg + might_contain, no broadcast) is asserted in
+    tests/unit/test_plans.py."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+    )

@@ -36,6 +36,14 @@ _RUNTIME_CONFS = {
     # testdata events.parquet stores TIMESTAMP(NANOS) which Spark rejects
     # by default; read as long ns and convert in catalog.table
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # pin the join-strategy defaults some queries override in-session
+    # (join_bloom_runtime lowers the bloom thresholds and disables
+    # broadcast to demonstrate the 100 TB shuffle-join shape): tune()
+    # runs at the top of every query wrapper, so an override can never
+    # leak into the NEXT query's plan
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
 }
 
 

@@ -665,3 +665,24 @@ def test_pq_and_ks_queries_keyed_joins_only(spark, sf_dir, qs):
     # Q6: the stacked predicates must reach the scan
     plan = physical_plan(qs["agg_selective_revenue"](spark, sf_dir))
     assert "l_shipdate" in plan and "PushedFilters" in plan, plan
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir, qs):
+    # the probe-side (lineitem) scan must carry a
+    # might_contain(bloom_filter_agg(dim keys)) semi-filter and the
+    # join must be a shuffle join — this is the plan that carries
+    # big⋈selective once the dim outgrows broadcast; scan_dpp_prune
+    # pins the partition-column sibling
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["join_bloom_runtime"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "bloom_filter_agg" in opt, opt
+    assert "might_contain" in opt, opt
+    plan = physical_plan(df)
+    assert "broadcasthashjoin" not in plan.lower(), plan
+    assert_no_rowwise_python(df)
+    # and the override must not leak: the next query's wrapper re-pins
+    # the broadcast threshold via session.tune
+    qs["join_multihop"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760"
