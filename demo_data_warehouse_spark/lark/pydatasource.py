@@ -1,0 +1,63 @@
+"""Pluggable paginated-API source via the Python DataSource API
+(SURVEY §2.1 S5 upgraded from a driver-side shim to a real Spark source).
+
+`lark/source.py::PaginatedSource` mirrors the reference's cursor loop
+(reference dags/utils/lark.py:39-69) on the DRIVER — correct, but the
+fetch is a single sequential process, exactly like the reference. This
+module re-expresses the same source as a Spark 4 Python DataSource
+(`spark.dataSource.register` + `spark.read.format("paged_api")`), which
+is the 100 TB shape: one InputPartition per page, so page fetches run
+ON EXECUTORS in parallel, scale with the cluster, retry per-partition
+under Spark's task retry (the reference retries whole DAG tasks,
+dags/etl/run_etl.py:22), and feed downstream operators without a
+driver-side materialization.
+
+The page "fetch" here is a deterministic arithmetic stand-in (no HTTP
+egress from the sandbox; same stance as the multimodal decode stubs) —
+the source plumbing (registration, schema, partition planning, per-page
+iteration, option passing) is the real, tested artifact. A production
+deployment replaces `_fetch_page` with the HTTP GET + cursor-token call
+and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = "record_id bigint, page_id bigint, status string, amount_cents bigint"
+_STATUSES = ("active", "inactive", "pending")
+# Knuth multiplicative-hash constant: spreads amounts deterministically
+_MIX = 2654435761
+
+
+def _fetch_page(page_id: int, page_size: int):
+    """Deterministic stand-in for one cursor-paginated API page."""
+    for i in range(page_size):
+        rid = page_id * page_size + i
+        yield (rid, page_id, _STATUSES[rid % 3], (rid * _MIX) % 100000)
+
+
+class PagedApiReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_pages = int(options.get("n_pages", 50))
+        self.page_size = int(options.get("page_size", 20))
+
+    def partitions(self):
+        # one partition per API page: fetch parallelism == page count,
+        # bounded by executor slots — the cursor loop, distributed
+        return [InputPartition(p) for p in range(self.n_pages)]
+
+    def read(self, partition):
+        yield from _fetch_page(partition.value, self.page_size)
+
+
+class PagedApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> PagedApiReader:
+        return PagedApiReader(self.options)

@@ -3223,3 +3223,36 @@ def join_bloom_runtime(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT record_id,
+           CAST(record_id // 20 AS BIGINT) AS page_id,
+           CASE record_id % 3 WHEN 0 THEN 'active' WHEN 1 THEN 'inactive'
+                ELSE 'pending' END AS status,
+           CAST((record_id * 2654435761) % 100000 AS BIGINT) AS amount_cents
+    FROM range(0, 1000) t(record_id)
+    """,
+)
+def scan_python_datasource(spark, sf_dir):
+    """S5 as a pluggable source: the reference's cursor-paginated API
+    pull (reference dags/utils/lark.py:39-69) re-expressed through the
+    Python DataSource API — one InputPartition per page, so fetches run
+    on executors in parallel with per-partition task retry, instead of
+    the reference's (and lark/source.py's) sequential driver loop. The
+    page payload is a deterministic arithmetic stand-in (no sandbox
+    egress — lark/pydatasource.py docstring); the oracle replays the
+    same arithmetic over range(1000), so registration, option passing,
+    partition planning, schema, and per-page iteration are all under
+    the hash gate."""
+    from ..lark.pydatasource import PagedApiDataSource
+
+    spark.dataSource.register(PagedApiDataSource)
+    return (
+        spark.read.format("paged_api")
+        .option("n_pages", 50)
+        .option("page_size", 20)
+        .load()
+    )
