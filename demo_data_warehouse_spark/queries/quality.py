@@ -275,3 +275,49 @@ def dq_ks_drift(spark, sf_dir):
             / (F.max("n1").cast("double") * F.max("n2").cast("double"))
         ).alias("ks"),
     )
+
+
+@query(
+    "dq_skew_keys",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT key, n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+           CAST(SUM(n) OVER (ORDER BY n DESC, key ROWS UNBOUNDED PRECEDING)
+                * 1000000 // total AS BIGINT) AS cum_share_micro
+    FROM c, t
+    ORDER BY n DESC, key LIMIT 10
+    """,
+)
+def dq_skew_keys(spark, sf_dir):
+    """Heavy-hitter key census — the diagnostic that DECIDES skew
+    handling (join_salted applies it; AQE's skew-join split reacts to
+    it at runtime): top-10 join keys by row count with exact integer
+    micro-unit share and cumulative share. One map-side partial
+    aggregation collapses the fact table to |distinct keys| rows, the
+    top-k is a TakeOrdered over those — at 100 TB nothing but the key
+    census ever moves, and the window runs on 10 rows post-limit...
+    here on the census pre-limit, which is |keys|-bounded, never
+    |rows|-bounded. Ties are totally ordered by (n DESC, key) so the
+    oracle's LIMIT picks identical rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    census = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        census.withColumn("total", F.sum("n").over(Window.partitionBy()))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("share_micro", F.expr("CAST(n * 1000000 DIV total AS BIGINT)"))
+        .withColumn(
+            "cum_share_micro", F.expr("CAST(cum_n * 1000000 DIV total AS BIGINT)")
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(10)
+        .select("key", "n", "share_micro", "cum_share_micro")
+    )

@@ -3256,3 +3256,71 @@ def scan_python_datasource(spark, sf_dir):
         .option("page_size", 20)
         .load()
     )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et,
+             event_id
+      FROM events
+    )
+    SELECT lower(et) AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_id
+    FROM m GROUP BY lower(et)
+    """,
+)
+def fn_collation_group(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 collated strings): a feed with
+    drifting key casing (half the rows upper-cased here) groups under
+    UTF8_LCASE so case variants land in ONE group — collation is a
+    property of the comparison, carried by the type, not a lower()
+    rewrite at every use site. The hash/shuffle key is the collation
+    sort key, so grouping cost is identical to binary strings at any
+    scale. Output keys are re-anchored to lower() + default collation
+    so the oracle (which has no collation types) compares exactly."""
+    ev = table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        "event_id",
+    )
+    return (
+        mixed.groupBy(F.collate("et", "UTF8_LCASE").alias("key"))
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_id"))
+        .select(
+            F.lower("key").cast("string").alias("event_type"), "n", "first_id"
+        )
+    )
+
+
+@query(
+    "fn_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority HAVING COUNT(*) > 10
+    """,
+)
+def fn_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4): the same logical plan as the ANSI
+    oracle, declared as a linear |> pipeline (FROM |> WHERE |>
+    AGGREGATE |> WHERE) — the composable-SQL surface for users who
+    build queries incrementally. Semantically pure sugar: Catalyst
+    sees the identical filter→partial-agg→final-agg plan, so every
+    pushdown/partial-agg property pinned elsewhere applies verbatim."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )
