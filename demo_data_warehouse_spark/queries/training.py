@@ -1756,3 +1756,83 @@ def text_zipf_fit(spark, sf_dir):
         "n", "sx", "sy", "sxy", "sxx",
         slope.alias("zipf_slope"), ln_c.alias("ln_c"),
     )
+
+
+@query(
+    "dedup_span_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 7, 0) + 1),
+               i -> {_DUCK_H60.format(x="array_to_string(toks[i:i+7], ' ')")}
+             )) AS h
+      FROM t
+    ), census AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COUNT(*) FILTER (WHERE g.h IN (SELECT h FROM census))
+                  AS BIGINT) AS n_dup_spans
+      FROM g GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           CAST(n_dup_spans * 1000000 // greatest(n_spans, 1) AS BIGINT)
+             AS dup_ratio_micro
+    FROM per_doc
+    """,
+)
+def dedup_span_coverage(spark, sf_dir):
+    """Substring-level duplication coverage (the Lee-et-al.
+    'Deduplicating Training Data' diagnostic, span-granular where
+    dedup_exact/minhash are document-granular): every 8-token span
+    position is hashed, a census keeps spans seen in ≥2 distinct
+    documents, and each document reports what fraction of its span
+    positions is cross-document boilerplate — the number that decides
+    between dropping whole docs and cutting spans. Scale shape: spans
+    ride as portable 60-bit ints (operators/dedup.py::hash60_sql), so
+    the census shuffle moves 8-byte keys, never text; the verdict join
+    is a bucket-key semi-join back onto the span stream; per-doc
+    aggregation reuses the doc_id partitioning. All counts and the
+    final micro-unit ratio are exact integers."""
+    from ..operators.dedup import hash60_sql
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    h60 = hash60_sql("concat_ws(' ', slice(toks, i, 8))")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 7, 0)), i -> " + h60 + ")"
+            )
+        ).alias("h"),
+    )
+    census = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where("nd >= 2")
+        .select("h")
+    )
+    # no broadcast hint: the census is corpus-dependent (could be huge on
+    # a boilerplate-heavy crawl) — AQE broadcasts it when small, else
+    # both sides are already keyed on h for a co-partitioned join
+    flagged = grams.join(census.withColumn("dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce("dup", F.lit(0))).cast("bigint").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr(
+                "CAST(n_dup_spans * 1000000 DIV greatest(n_spans, 1) AS BIGINT)"
+            ).alias("dup_ratio_micro"),
+        )
+    )
