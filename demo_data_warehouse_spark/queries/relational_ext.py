@@ -3324,3 +3324,73 @@ def fn_pipe_syntax(spark, sf_dir):
         |> WHERE n_orders > 10
         """
     )
+
+
+@query(
+    "fn_xml_extract",
+    oracle="""
+    SELECT event_id, event_type AS xml_type,
+           CAST(round(value * 100) AS BIGINT) AS xml_cents
+    FROM events
+    """,
+)
+def fn_xml_extract(spark, sf_dir):
+    """XML ingestion surface (F2's other wire format): rows arrive as
+    XML fragments and are parsed with from_xml into typed columns —
+    the third semi-structured decoder beside from_json (fn_json_extract)
+    and VARIANT (fn_variant_extract). The fragment is built in-flight
+    from escape-free columns (event_type is a closed token set), so the
+    oracle is the identity projection: any parser drift in tags, types,
+    or nesting breaks the hash. from_xml is a JVM-side expression —
+    whole-stage codegen, no Python — so the decode cost class matches
+    from_json at any scale."""
+    ev = table(spark, sf_dir, "events")
+    xml = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<r><t>"),
+            F.col("event_type"),
+            F.lit("</t><c>"),
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            F.lit("</c></r>"),
+        ).alias("frag"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml("frag", "t STRING, c BIGINT").alias("x"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("x.t").alias("xml_type"),
+        F.col("x.c").alias("xml_cents"),
+    )
+
+
+@query("agg_sketch_rollup")  # rows-only: DuckDB has no DataSketches HLL
+def agg_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch pre-aggregation — THE 100 TB distinct-count
+    architecture: per-day HLL sketches of the user population are built
+    once (map-side partial sketch per partition, one binary blob per
+    day after the shuffle), then any rollup — here the whole-range
+    total — is a sketch MERGE over blobs, never a fact re-read. Spark's
+    hll_sketch_agg/hll_union_agg are Apache DataSketches HLL: hash-
+    deterministic (no RNG), so merge-of-parts equals sketch-of-whole
+    EXACTLY — pinned in tests/unit/test_sketch.py together with a 2%
+    accuracy envelope vs the exact count; rows-only here because DuckDB
+    carries a different HLL implementation."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return per_day.unionByName(total)
