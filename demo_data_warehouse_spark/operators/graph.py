@@ -184,3 +184,62 @@ def pagerank_fixed(
             )
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    `edges` must be canonical and distinct (a < b, one row per edge).
+    Output: (node, n_triangles) for every node in ≥1 triangle.
+
+    Algorithm: degree-oriented wedge counting (the MapReduce-era
+    standard for power-law graphs): each edge is directed from its
+    lower-(degree, id) endpoint to the higher one, wedges are built
+    only at each triangle's LOWEST-rank vertex, and closed against the
+    canonical edge set. Why this matters at 100 TB: naive wedge
+    enumeration at a hub vertex of degree d materializes d² candidate
+    pairs — a single celebrity node in a social graph generates 10¹²
+    wedges. Orientation caps every vertex's out-degree near √|E|, so
+    the wedge stage is bounded by Σ out_deg(v)² ≈ |E|^1.5 — the same
+    result set, orders of magnitude less shuffle. Every step is an
+    equi-join (node or edge keys); nothing is ever collected.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    deg = (
+        edges.select(a.alias("node"))
+        .unionAll(edges.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # rank = (deg, node): a total order, so orientation is acyclic
+    e = (
+        edges.join(deg.withColumnRenamed("node", a_col), a_col)
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("node", b_col), b_col)
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (a < b)),
+                F.struct(a.alias("src"), b.alias("dst")),
+            )
+            .otherwise(F.struct(b.alias("src"), a.alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "u").where(F.col("v") < F.col("w"))
+    closed = wedges.join(
+        edges.select(
+            F.col(a_col).alias("_ca"), F.col(b_col).alias("_cb")
+        ),
+        (F.least("v", "w") == F.col("_ca")) & (F.greatest("v", "w") == F.col("_cb")),
+    ).select("u", "v", "w")
+    nodes = (
+        closed.select(F.col("u").alias("node"))
+        .unionAll(closed.select(F.col("v").alias("node")))
+        .unionAll(closed.select(F.col("w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

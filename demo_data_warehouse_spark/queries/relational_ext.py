@@ -3394,3 +3394,53 @@ def agg_sketch_rollup(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
     )
     return per_day.unionByName(total)
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT o1.l_suppkey AS a, o2.l_suppkey AS b
+      FROM os o1 JOIN os o2
+        ON o1.l_orderkey = o2.l_orderkey AND o1.l_suppkey < o2.l_suppkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle counting over the supplier co-occurrence graph (edge =
+    two suppliers sharing ≥2 orders) — the graph family's clustering/
+    cohesion primitive beside connected components and PageRank.
+    The Spark path is degree-oriented wedge counting
+    (operators/graph.py::triangle_counts): orientation caps per-vertex
+    wedge fan-out near √|E| so a hub vertex cannot explode the shuffle
+    — the oracle enumerates ordered triples directly, proving the
+    oriented plan finds the identical triangle set. Edge building
+    dedups (order, supplier) first so multi-lineitem orders can't
+    inflate co-occurrence weights."""
+    from ..operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    o1 = os_.select("l_orderkey", F.col("l_suppkey").alias("a"))
+    o2 = os_.select("l_orderkey", F.col("l_suppkey").alias("b"))
+    edges = (
+        o1.join(o2, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where("n_shared >= 2")
+        .select("a", "b")
+    )
+    return triangle_counts(edges)

@@ -505,3 +505,63 @@ def maintenance_time_travel(spark, sf_dir):
         )
 
     return state(0).unionAll(state(1))
+
+
+@query(
+    "maintenance_snapshot_cdf",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), delta AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) + 100 AS cents
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), v1 AS (
+        SELECT * FROM v0 WHERE o_orderkey % 5 <> 0
+        UNION ALL SELECT * FROM delta
+    ), v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey % 9 <> 0
+    ), j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    WHEN NOT (o.cents IS NOT DISTINCT FROM n.cents)
+                         THEN 'updated' END AS change_type,
+               o.cents AS old_cents, n.cents AS new_cents
+        FROM v0 o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, change_type, old_cents, new_cents
+    FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def maintenance_snapshot_cdf(spark, sf_dir):
+    """Change data feed between committed snapshots — SnapshotLog (S41)
+    composed with snapshot_diff (table_diff's operator): commit a base
+    version, MERGE a re-priced delta (insert+update), MERGE a key-feed
+    delete, then derive inserted/updated/deleted rows BETWEEN version 0
+    and version 2 by reading both through the log. This is
+    Delta/Iceberg's table_changes() re-expressed: the feed is computed
+    from immutable snapshots, so it is replayable for any version pair
+    forever (until vacuum) — at 100 TB the diff is one co-partitioned
+    full-outer join on the key, and unchanged rows never leave their
+    executors. The oracle recomputes all three states from source."""
+    from ..io import SnapshotLog
+    from ..streaming.pipeline import scratch_dir
+
+    o = table(spark, sf_dir, "orders")
+    v0 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    delta = o.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") + 100).alias("cents"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 9 == 0).select("o_orderkey")
+    log = SnapshotLog(spark, scratch_dir("cdf_q"))
+    log.commit(v0)
+    log.commit(merge_upsert(log.read(), delta, keys=["o_orderkey"]))
+    log.commit(merge_delete(log.read(), deletes, keys=["o_orderkey"]))
+    return snapshot_diff(
+        log.read(version=0), log.read(version=2), keys=["o_orderkey"], compare_cols=["cents"]
+    )

@@ -83,3 +83,28 @@ def test_pagerank_source_only_vertex_keeps_base_rank(spark):
     # a → b, no edge into a: a's rank is the undamped base every round
     got = _pr(spark, [("a", "b")], n_iter=2)
     assert got["a"] == 150_000
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4} — node 1,2 in
+    # two each, nodes 3,4 in one
+    from demo_data_warehouse_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["a", "b"]
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_hub_graph(spark):
+    # star graph (hub 0 to 1..9) has no triangles at all; adding one
+    # rim edge (1,2) makes exactly one
+    from demo_data_warehouse_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 10)]
+    edges = spark.createDataFrame(star, ["a", "b"])
+    assert triangle_counts(edges).count() == 0
+    edges2 = spark.createDataFrame(star + [(1, 2)], ["a", "b"])
+    got = {r.node: r.n_triangles for r in triangle_counts(edges2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
