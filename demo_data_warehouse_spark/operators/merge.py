@@ -89,3 +89,47 @@ def merge_delete(
     if missing:
         raise ValueError(f"delete keys missing from inputs: {missing}")
     return target.join(deletes.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def apply_changes(
+    target: DataFrame,
+    feed: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """APPLY CHANGES INTO — apply a CDC feed (insert/update/delete rows
+    with a per-key ordering column) to a table: for each key only the
+    highest-`seq_col` feed row acts; a delete removes the key, anything
+    else upserts the row's payload (the Delta Live Tables verb; plain
+    MERGE can't express per-key ordering or inline deletes).
+
+    Plan: per-key latest is ONE aggregate — max over a (seq, row)
+    struct, so partial aggregation collapses the feed map-side and no
+    window sort runs; survivors are a key anti-join. Out-of-order and
+    replayed feeds converge to the same table (max is idempotent and
+    order-free) — the exactly-once property CDC pipelines need, pinned
+    by tests/unit/test_merge_property.py::test_cdc_*.
+    """
+    keys = list(keys)
+    payload = [c for c in feed.columns if c not in (*keys, seq_col, op_col)]
+    missing = [k for k in keys if k not in target.columns]
+    if missing:
+        raise ValueError(f"CDC keys missing from target: {missing}")
+    latest = (
+        feed.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload])
+            ).alias("__last")
+        )
+        .select(
+            *keys,
+            F.col(f"__last.{op_col}").alias(op_col),
+            *[F.col(f"__last.{c}").alias(c) for c in payload],
+        )
+    )
+    survivors = target.join(latest.select(*keys), on=keys, how="left_anti")
+    upserts = latest.where(F.col(op_col) != delete_op).select(*target.columns)
+    return survivors.unionByName(upserts)

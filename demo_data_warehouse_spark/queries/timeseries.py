@@ -635,3 +635,69 @@ def join_asof_tolerance(spark, sf_dir):
             fresh, F.unix_micros("ts") - F.unix_micros("v_ts")
         ).alias("gap_us"),
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH ver0 AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC)
+               AS rn
+      FROM events WHERE event_id % 2 = 0
+    ), ver AS (
+      SELECT user_id, ts AS dim_valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS dim_cents
+      FROM ver0 WHERE rn = 1
+    ), f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1
+    )
+    SELECT f.event_id, f.user_id, f.ts, v.dim_valid_from, v.dim_cents
+    FROM f LEFT JOIN ver v
+      ON f.user_id = v.user_id AND v.dim_valid_from <= f.ts
+         AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    """Feature-store point-in-time join — each training fact is paired
+    with the dim version VALID AT ITS OWN TIMESTAMP (valid_from <= ts <
+    valid_to over the SCD2 version chain), never a later one: the
+    label-leakage guard every feature pipeline needs. Tombstone
+    versions ('error' events play the delete) match the interval but
+    carry NULL attributes, so "deleted at fact time" (valid_from set,
+    cents NULL) is distinct from "no version yet" (both NULL). Because
+    versions chain contiguously, the interval match IS the newest-prior
+    match — so the plan is operators/joins.py::asof_join (union + one
+    keyed window, single shuffle), never a range-join blowup; the
+    oracle proves the equivalence by joining on the explicit BETWEEN
+    intervals. Same-(user, ts) version collisions dedup to the highest
+    event_id — exactly the row whose interval is non-empty."""
+    from pyspark.sql import Window
+
+    from ..operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    ver = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            F.col("ts").alias("dim_valid_from"),
+            F.when(F.col("event_type") == "error", F.lit(None).cast("bigint"))
+            .otherwise(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("dim_cents"),
+        )
+    )
+    facts = ev.where(F.col("event_id") % 2 == 1).select("event_id", "user_id", "ts")
+    return asof_join(
+        facts,
+        ver,
+        key="user_id",
+        left_ts="ts",
+        right_ts="dim_valid_from",
+        right_cols=["dim_valid_from", "dim_cents"],
+    ).select("event_id", "user_id", "ts", "dim_valid_from", "dim_cents")

@@ -565,3 +565,57 @@ def maintenance_snapshot_cdf(spark, sf_dir):
     return snapshot_diff(
         log.read(version=0), log.read(version=2), keys=["o_orderkey"], compare_cols=["cents"]
     )
+
+
+@query(
+    "merge_cdc_apply",
+    oracle="""
+    WITH target AS (
+      SELECT user_id, cents FROM (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 3 = 0
+      ) t WHERE rn = 1
+    ), feed AS (
+      SELECT user_id, event_id AS seq,
+             CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 <> 0
+    ), latest AS (
+      SELECT user_id, op, cents FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM feed f
+      ) x WHERE rn = 1
+    )
+    SELECT user_id, cents FROM target
+    WHERE user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, cents FROM latest WHERE op <> 'D'
+    """,
+)
+def merge_cdc_apply(spark, sf_dir):
+    """APPLY CHANGES INTO (operators/merge.py::apply_changes): a CDC
+    feed keyed by user with a sequence column is applied to a base
+    snapshot — per key only the highest-seq row acts, 'D' deletes the
+    key, anything else upserts. The per-key latest is a single
+    max-over-struct aggregate (map-side combinable — no window sort
+    over the feed), so at 100 TB the feed collapses before it shuffles;
+    replay/out-of-order convergence is property-tested. The oracle
+    replays the same resolution with a window."""
+    from ..operators.merge import apply_changes
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    target = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    )
+    feed = ev.where(F.col("event_id") % 3 != 0).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return apply_changes(target, feed, keys=["user_id"], seq_col="seq", op_col="op")

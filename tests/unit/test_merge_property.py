@@ -103,3 +103,67 @@ def test_scd2_delta_invariants(spark, dim_vals, batch_vals):
         assert r.valid_to == t_new and r.value == dim_vals[r.user_id]
     for r in current:
         assert r.valid_from == t_new and r.value == batch_vals[r.user_id]
+
+
+# CDC feed: list of (key, seq, op, value); seqs made unique by enumeration
+cdc_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # keys collide on purpose
+        st.sampled_from(["U", "I", "D"]),
+        st.integers(min_value=-5, max_value=5),
+    ),
+    max_size=12,
+)
+
+
+def _apply_dict(target: dict, feed_rows):
+    """Reference semantics: per key, the highest-seq row acts."""
+    out = dict(target)
+    last = {}
+    for seq, (k, op, v) in enumerate(feed_rows):
+        if k not in last or seq > last[k][0]:
+            last[k] = (seq, op, v)
+    for k, (_seq, op, v) in last.items():
+        if op == "D":
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+def _cdc_dfs(spark, target, feed_rows):
+    t = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [(None, None)], "k int, v int"
+    ).where("k is not null")
+    f = spark.createDataFrame(
+        [(k, seq, op, v) for seq, (k, op, v) in enumerate(feed_rows)]
+        or [(None, None, None, None)],
+        "k int, seq int, op string, v int",
+    ).where("k is not null")
+    return t, f
+
+
+@settings(max_examples=12, deadline=None)
+@given(kv_st, cdc_st)
+def test_cdc_apply_matches_dict_semantics(spark, target, feed_rows):
+    from demo_data_warehouse_spark.operators.merge import apply_changes
+
+    t, f = _cdc_dfs(spark, target, feed_rows)
+    got = {r.k: r.v for r in apply_changes(t, f, ["k"], "seq", "op").collect()}
+    assert got == _apply_dict(target, feed_rows)
+
+
+@settings(max_examples=12, deadline=None)
+@given(kv_st, cdc_st, st.integers(min_value=0, max_value=12))
+def test_cdc_apply_split_batch_convergence(spark, target, feed_rows, split):
+    # exactly-once/replay invariant: applying the feed in two seq-ordered
+    # batches equals applying it at once
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.operators.merge import apply_changes
+
+    t, f = _cdc_dfs(spark, target, feed_rows)
+    whole = {r.k: r.v for r in apply_changes(t, f, ["k"], "seq", "op").collect()}
+    first = apply_changes(t, f.where(F.col("seq") < split), ["k"], "seq", "op")
+    both = apply_changes(first, f.where(F.col("seq") >= split), ["k"], "seq", "op")
+    assert {r.k: r.v for r in both.collect()} == whole
