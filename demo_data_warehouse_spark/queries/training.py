@@ -1836,3 +1836,156 @@ def dedup_span_coverage(spark, sf_dir):
             ).alias("dup_ratio_micro"),
         )
     )
+
+
+@query(
+    "fn_quantile_bucketize",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    e AS (
+      SELECT MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN cents END) AS e25,
+             MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN cents END) AS e50,
+             MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN cents END) AS e75
+      FROM r, n
+    )
+    SELECT o_orderkey, cents,
+           CAST(1 + CAST(cents > e25 AS BIGINT) + CAST(cents > e50 AS BIGINT)
+                  + CAST(cents > e75 AS BIGINT) AS BIGINT) AS bin
+    FROM c, e
+    """,
+)
+def fn_quantile_bucketize(spark, sf_dir):
+    """Equal-frequency feature binning (QuantileDiscretizer semantics,
+    exact): FIT selects the three quartile edges exactly (value at rank
+    ceil(q·n), integer cents, no float interpolation) from a VALUE
+    CENSUS — the fact column collapses map-side to (value, count)
+    pairs, and the cumulative walk + rank pick run over |distinct
+    values| rows, so the fact table is never globally sorted (a
+    row-level row_number fit would funnel 100 TB through one reducer;
+    the ORACLE uses exactly that row-level formulation, proving the
+    census selects the same edges). TRANSFORM assigns
+    bin = 1 + Σ(value > edge) via a one-row broadcast — a scan-local
+    projection."""
+    import math
+
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    census = o.groupBy("cents").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = census.withColumn("cum", F.sum("cnt").over(wc))
+    n = o.count()
+    ranks = {q: math.ceil(q * n) for q in (0.25, 0.50, 0.75)}
+    edges = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= rk, F.col("cents"))).alias(f"e{int(q*100)}")
+            for q, rk in ranks.items()
+        ]
+    )
+    return o.crossJoin(F.broadcast(edges)).select(
+        "o_orderkey",
+        "cents",
+        (
+            F.lit(1)
+            + (F.col("cents") > F.col("e25")).cast("bigint")
+            + (F.col("cents") > F.col("e50")).cast("bigint")
+            + (F.col("cents") > F.col("e75")).cast("bigint")
+        ).cast("bigint").alias("bin"),
+    )
+
+
+@query(
+    "sample_negatives",
+    oracle="""
+    WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+    cand AS (
+      SELECT o_orderkey,
+             j,
+             CAST((o_orderkey * 2654435761 + j * 7919) % n_parts + 1 AS BIGINT)
+               AS cand_partkey
+      FROM orders, np, (SELECT unnest([1, 2]) AS j)
+    )
+    SELECT c.o_orderkey, c.j, c.cand_partkey,
+           (l.l_orderkey IS NOT NULL) AS is_collision
+    FROM cand c
+    LEFT JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+      ON l.l_orderkey = c.o_orderkey AND l.l_partkey = c.cand_partkey
+    """,
+)
+def sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    order draws 2 candidate parts via hash arithmetic over the item
+    catalog; candidates that collide with the order's true items are
+    flagged (downstream drops them, accepting tiny per-key variance —
+    the standard trade over rejection-resampling, which would need an
+    unbounded retry loop). No RNG: the same order always draws the same
+    negatives on any cluster. Collision check is one equi-join against
+    deduped (order, part) pairs — never a per-row membership probe;
+    the catalog size rides in as a one-row broadcast."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    n_parts = table(spark, sf_dir, "part").count()
+    cand = o.select(
+        "o_orderkey", F.explode(F.array(F.lit(1), F.lit(2))).alias("j")
+    ).select(
+        "o_orderkey",
+        "j",
+        (
+            (F.col("o_orderkey") * 2654435761 + F.col("j") * 7919) % n_parts + 1
+        ).cast("bigint").alias("cand_partkey"),
+    )
+    pos = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return cand.join(
+        pos,
+        (cand.o_orderkey == pos.l_orderkey) & (cand.cand_partkey == pos.l_partkey),
+        "left",
+    ).select(
+        "o_orderkey", "j", "cand_partkey", F.coalesce("hit", F.lit(False)).alias("is_collision")
+    )
+
+
+@query(
+    "window_debounce",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, event_type, ts,
+             epoch_us(ts - lag(ts) OVER
+               (PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM g WHERE gap_us IS NULL OR gap_us > 3600000000
+    """,
+)
+def window_debounce(spark, sf_dir):
+    """Telemetry debounce: drop an event when the SAME (user, type)
+    fired within the last hour — the retry/double-click suppressor that
+    runs ahead of sessionization (keyed lag, exact integer µs gap, one
+    shuffle on the debounce key). Distinct from stream_dedup (exact-key
+    dedup, unbounded) and window_sessionize (labels, doesn't filter):
+    debounce keeps the FIRST event of every burst and is
+    watermark-friendly because the decision needs only the previous
+    row."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .where(F.col("gap_us").isNull() | (F.col("gap_us") > 3600000000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
