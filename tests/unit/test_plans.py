@@ -686,3 +686,41 @@ def test_bloom_runtime_filter_injected(spark, sf_dir, qs):
     # the broadcast threshold via session.tune
     qs["join_multihop"](spark, sf_dir)
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760"
+
+
+def test_round5_additions_plan_shapes(spark, sf_dir, qs):
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    # triangle counting: every step an equi-join — no cartesian, no python
+    df = qs["graph_triangles"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert_no_rowwise_python(df)
+
+    # span coverage: census + verdict joins are keyed — no cartesian
+    df = qs["dedup_span_coverage"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+    # CDC apply: per-key latest is an aggregate with a map-side partial
+    # (no window sort over the feed)
+    # (the query's TARGET prep uses a window legitimately; the feed
+    # resolution itself must be aggregate-shaped: partial + final)
+    df = qs["merge_cdc_apply"](spark, sf_dir)
+    plan = physical_plan(df)
+    import re
+
+    assert len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)) >= 2, plan
+
+    # PIT join: the as-of carry-forward — never a range/nested-loop join
+    df = qs["join_point_in_time"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # quantile bucketizer: the window runs over the value census (child
+    # of the Window is an aggregate), and the transform side is a
+    # broadcast of one row — the fact table is never globally sorted
+    df = qs["fn_quantile_bucketize"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row edge broadcast
