@@ -133,3 +133,53 @@ def apply_changes(
     survivors = target.join(latest.select(*keys), on=keys, how="left_anti")
     upserts = latest.where(F.col(op_col) != delete_op).select(*target.columns)
     return survivors.unionByName(upserts)
+
+
+def apply_changes_versioned(
+    state: DataFrame,
+    feed: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC apply with TOMBSTONE RETENTION — the state-table form of
+    apply_changes that converges under ARBITRARY batching (out-of-order
+    deliveries split across micro-batches), where apply_changes needs
+    seq-ordered batches.
+
+    `state` and `feed` share one shape: keys + seq + op + payload. The
+    new state is simply the per-key max-seq row across state ∪ feed —
+    a commutative, associative, idempotent reduction, so ANY partition
+    of the feed into batches, in ANY order, reaches the same state.
+    Deletes are kept as tombstone rows (op = delete_op): dropping them
+    would let a late stale row resurrect a deleted key. Readers see
+    `cdc_current(state)`; tombstones older than the feed's max-lateness
+    horizon are vacuumable. At 100 TB each micro-batch touches one
+    keyed aggregate over state ∪ delta — and with state stored
+    partitioned by key range, only partitions holding feed keys need
+    rewriting (the same scoping io.py::merge_write applies).
+    """
+    keys = list(keys)
+    payload = [c for c in feed.columns if c not in (*keys, seq_col, op_col)]
+    cols = [*keys, seq_col, op_col, *payload]
+    both = state.select(*cols).unionByName(feed.select(*cols))
+    return (
+        both.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload])
+            ).alias("__last")
+        )
+        .select(
+            *keys,
+            F.col(f"__last.{seq_col}").alias(seq_col),
+            F.col(f"__last.{op_col}").alias(op_col),
+            *[F.col(f"__last.{c}").alias(c) for c in payload],
+        )
+    )
+
+
+def cdc_current(state: DataFrame, op_col: str, delete_op: str = "D") -> DataFrame:
+    """The reader's view of a versioned CDC state: live rows only."""
+    return state.where(F.col(op_col) != delete_op).drop(op_col)

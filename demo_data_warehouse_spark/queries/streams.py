@@ -675,3 +675,83 @@ def stream_topk_windowed(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select("win_start", "event_type", "n", "rk")
     )
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH target AS (
+      SELECT user_id, CAST(event_id AS BIGINT) AS seq, 'U' AS op, cents FROM (
+        SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 3 = 0
+      ) t WHERE rn = 1
+    ), feed AS (
+      SELECT user_id, CAST(event_id AS BIGINT) AS seq,
+             CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 <> 0
+    ), resolved AS (
+      SELECT user_id, seq, op, cents FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM (SELECT * FROM target UNION ALL SELECT * FROM feed) u
+      ) x WHERE rn = 1
+    )
+    SELECT user_id, seq, cents FROM resolved WHERE op <> 'D'
+    """,
+)
+def stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC with tombstones — the convergent form of
+    merge_cdc_apply: the feed arrives as micro-batches that are NOT
+    seq-ordered (batched by event_id % 3 here, deliberately), and each
+    batch folds into a tombstone-retaining state table via
+    operators/merge.py::apply_changes_versioned — a commutative
+    idempotent per-key max, so any batching reaches the same state
+    (property-tested over random batchings). Every micro-batch commits
+    the new state as a SnapshotLog version: a crash between batches
+    leaves the previous committed snapshot readable (exactly-once
+    publish), and the state history is time-travelable. The result is
+    the live view (tombstones filtered); the oracle resolves the whole
+    feed at once."""
+    from pyspark.sql import Window
+
+    from ..io import SnapshotLog
+    from ..operators.merge import apply_changes_versioned, cdc_current
+    from ..streaming.pipeline import run_available_now, scratch_dir
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    target = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("seq"),
+            F.lit("U").alias("op"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    log = SnapshotLog(spark, scratch_dir("stream_cdc"))
+    log.commit(target)
+
+    feed = ev.where(F.col("event_id") % 3 != 0).select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("seq"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_id") % 3).alias("batch"),
+    )
+    landing = _write_batched_landing(feed.where("batch > 0").withColumn("batch", F.col("batch") - 1), "cdc_feed", n_batches=2)
+    stream = spark.readStream.schema(
+        "user_id bigint, seq bigint, op string, cents bigint"
+    ).option("maxFilesPerTrigger", 1).parquet(landing)
+
+    def fold(batch_df, batch_id):
+        new_state = apply_changes_versioned(
+            log.read(), batch_df, keys=["user_id"], seq_col="seq", op_col="op"
+        )
+        log.commit(new_state)
+
+    run_available_now(stream, batch_fn=fold, output_mode="update")
+    return cdc_current(log.read(), op_col="op").select("user_id", "seq", "cents")

@@ -167,3 +167,39 @@ def test_cdc_apply_split_batch_convergence(spark, target, feed_rows, split):
     first = apply_changes(t, f.where(F.col("seq") < split), ["k"], "seq", "op")
     both = apply_changes(first, f.where(F.col("seq") >= split), ["k"], "seq", "op")
     assert {r.k: r.v for r in both.collect()} == whole
+
+
+@settings(max_examples=10, deadline=None)
+@given(cdc_st, st.randoms(use_true_random=False))
+def test_cdc_versioned_converges_under_any_batching(spark, feed_rows, rng):
+    # tombstone-retaining CDC state: ANY partition of the feed into
+    # batches, applied in ANY order, reaches the same state — the
+    # invariant streaming micro-batching relies on (stream_cdc_apply)
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.operators.merge import (
+        apply_changes_versioned,
+        cdc_current,
+    )
+
+    rows = [(k, seq, op, v) for seq, (k, op, v) in enumerate(feed_rows)]
+    schema = "k int, seq int, op string, v int"
+    empty = spark.createDataFrame([], schema)
+    whole = apply_changes_versioned(
+        empty, spark.createDataFrame(rows, schema) if rows else empty,
+        ["k"], "seq", "op",
+    )
+    want_state = {(r.k, r.seq, r.op, r.v) for r in whole.collect()}
+    want_live = {(r.k, r.seq, r.v) for r in cdc_current(whole, "op").collect()}
+
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    n_batches = rng.randint(1, 4)
+    state = empty
+    for i in range(n_batches):
+        batch = shuffled[i::n_batches]
+        bdf = spark.createDataFrame(batch, schema) if batch else empty
+        state = apply_changes_versioned(state, bdf, ["k"], "seq", "op")
+    got_state = {(r.k, r.seq, r.op, r.v) for r in state.collect()}
+    assert got_state == want_state
+    assert {(r.k, r.seq, r.v) for r in cdc_current(state, "op").collect()} == want_live
