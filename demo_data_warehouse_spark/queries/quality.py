@@ -321,3 +321,48 @@ def dq_skew_keys(spark, sf_dir):
         .limit(10)
         .select("key", "n", "share_micro", "cum_share_micro")
     )
+
+
+@query(
+    "fn_column_mask",
+    oracle="""
+    SELECT c_custkey,
+           substr(md5(concat('pii-v1:', c_name)), 1, 16) AS name_pseudonym,
+           concat(substr(c_name, 1, 9), repeat('*', greatest(length(c_name) - 9, 0)))
+             AS name_partial,
+           CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000) * 1000
+                AS BIGINT) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def fn_column_mask(spark, sf_dir):
+    """Column-level masking for governed exports — the three standard
+    de-identification transforms, all deterministic and engine-portable:
+    a salted-md5 PSEUDONYM (stable token: joins and group-bys still
+    work across masked datasets, but the value is unrecoverable without
+    the salt), PARTIAL masking (fixed-length prefix kept, rest
+    starred), and numeric GENERALIZATION (account balance coarsened to
+    $1000 bands through the exact cents lift — no float floor drift at
+    band edges). Pure scan-local projections: masking adds zero shuffle
+    at any scale, which is why it belongs in the engine rather than a
+    post-export script."""
+    c = table(spark, sf_dir, "customer")
+    name_len = F.length("c_name")
+    return c.select(
+        "c_custkey",
+        F.substring(F.md5(F.concat(F.lit("pii-v1:"), F.col("c_name"))), 1, 16).alias(
+            "name_pseudonym"
+        ),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.repeat(F.lit("*"), F.greatest(name_len - 9, F.lit(0))),
+        ).alias("name_partial"),
+        (
+            F.floor(
+                F.round(F.col("c_acctbal") * 100).cast("bigint") / F.lit(100000)
+            ).cast("bigint")
+            * 1000
+        ).cast("bigint").alias("acctbal_band"),
+        "c_mktsegment",
+    )

@@ -619,3 +619,55 @@ def merge_cdc_apply(spark, sf_dir):
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     return apply_changes(target, feed, keys=["user_id"], seq_col="seq", op_col="op")
+
+
+@query(
+    "agg_incremental_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_incremental_join(spark, sf_dir):
+    """Incremental maintenance of a JOIN view (SPJ+aggregate IVM — the
+    materialized-view algebra: Δ(fact ⋈ dims) = Δfact ⋈ dims when dims
+    are stable): per-nation revenue is maintained as stored partials
+    from the historical fact slice plus a delta computed by joining
+    ONLY the new lineitems (shipdate past the cutoff) through
+    orders→customer→nation; the two partial sets merge by key
+    (operators/incremental.py::merge_partials). At 100 TB the
+    historical fact is never re-scanned and never re-joined — each
+    refresh costs Δfact ⋈ broadcast-dims + a |nations|-sized merge.
+    The oracle is the full recompute over all facts, proving
+    partial+merge equals batch semantics exactly (integer cents)."""
+    from ..operators.incremental import merge_partials, rollup_partials
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cutoff = F.lit("1995-06-01").cast("timestamp")
+
+    def partials(fact):
+        joined = (
+            fact.join(F.broadcast(o), fact.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        )
+        return rollup_partials(joined, ["n_name"], "l_extendedprice")
+
+    stored = partials(li.where(F.col("l_shipdate") <= cutoff))
+    delta = partials(li.where(F.col("l_shipdate") > cutoff))
+    merged = merge_partials(stored, delta, ["n_name"])
+    return merged.select(
+        "n_name",
+        F.col("n_rows").cast("bigint").alias("n_items"),
+        F.col("sum_c").cast("bigint").alias("revenue_cents"),
+    )
