@@ -355,3 +355,66 @@ def chunk_tokens(
             F.concat_ws(" ", "__chunk").alias("chunk_text"),
         )
     )
+
+
+def bpe_merge_steps(docs, text_col: str, n_merges: int = 3):
+    """Exact BPE tokenizer-training steps (the Sennrich et al. merge
+    loop, distributed): repeatedly (1) count adjacent symbol pairs over
+    the word census, (2) take the globally most frequent pair (ties:
+    count DESC, left ASC, right ASC), (3) greedily merge it left-to-
+    right in every word. Returns the merge table — the artifact a
+    tokenizer ships.
+
+    Scale shape: everything runs over the DISTINCT-WORD census (freq-
+    weighted), never the corpus — for natural text that is orders of
+    magnitude smaller than the token stream. Each step is one map-side-
+    combined pair count + a one-ROW argmax collected to the driver (the
+    sequential dependency is inherent to BPE: step k+1's counts depend
+    on step k's merge) + a scan-local fold merge (SQL `aggregate`,
+    greedy left-to-right — bit-identical to the serial algorithm,
+    proven by the DuckDB oracle replaying all steps). Driver traffic
+    per step: one (pair, count) row.
+    """
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).where("w <> ''")
+    census = words.groupBy("w").agg(F.count("*").alias("freq"))
+    seqs = census.select(
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
+        "freq",
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = seqs.where(F.size("s") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        counts = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+        best = counts.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        merges.append((step, best[0].a, best[0].b, best[0].cnt))
+        bdf = spark.createDataFrame([(best[0].a, best[0].b)], "ba string, bb string")
+        seqs = seqs.crossJoin(F.broadcast(bdf)).select(
+            F.expr(
+                """
+                aggregate(s, CAST(array() AS array<string>), (acc, x) ->
+                  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ba AND x = bb
+                       THEN concat(slice(acc, 1, size(acc) - 1),
+                                   array(concat(ba, bb)))
+                       ELSE concat(acc, array(x)) END)
+                """
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, "step bigint, left_sym string, right_sym string, pair_count bigint"
+    )

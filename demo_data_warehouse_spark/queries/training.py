@@ -1989,3 +1989,76 @@ def window_debounce(spark, sf_dir):
         .where(F.col("gap_us").isNull() | (F.col("gap_us") > 3600000000))
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@query(
+    "text_bpe_merges",
+    oracle="""
+    WITH w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), s0 AS (
+      SELECT list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS s,
+             freq
+      FROM w0
+    ), p1 AS (
+  SELECT unnest(list_transform(range(1, len(s)), i -> {'a': s[i], 'b': s[i+1]})) AS p,
+         freq
+  FROM s0
+), c1 AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p1 GROUP BY 1, 2
+), b1 AS (SELECT a, b, cnt FROM c1 ORDER BY cnt DESC, a, b LIMIT 1), s1 AS (
+  SELECT list_filter(string_split(
+    list_reduce(list_prepend('|', s),
+      (acc, x) -> CASE
+        WHEN list_extract(string_split(acc, '|'), -1) = b1.a AND x = b1.b
+        THEN substr(acc, 1, length(acc) - length(b1.a)) || b1.a || b1.b
+        ELSE acc || '|' || x END), '|'), t -> t <> '') AS s, freq
+  FROM s0 CROSS JOIN b1
+), p2 AS (
+  SELECT unnest(list_transform(range(1, len(s)), i -> {'a': s[i], 'b': s[i+1]})) AS p,
+         freq
+  FROM s1
+), c2 AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p2 GROUP BY 1, 2
+), b2 AS (SELECT a, b, cnt FROM c2 ORDER BY cnt DESC, a, b LIMIT 1), s2 AS (
+  SELECT list_filter(string_split(
+    list_reduce(list_prepend('|', s),
+      (acc, x) -> CASE
+        WHEN list_extract(string_split(acc, '|'), -1) = b2.a AND x = b2.b
+        THEN substr(acc, 1, length(acc) - length(b2.a)) || b2.a || b2.b
+        ELSE acc || '|' || x END), '|'), t -> t <> '') AS s, freq
+  FROM s1 CROSS JOIN b2
+), p3 AS (
+  SELECT unnest(list_transform(range(1, len(s)), i -> {'a': s[i], 'b': s[i+1]})) AS p,
+         freq
+  FROM s2
+), c3 AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p3 GROUP BY 1, 2
+), b3 AS (SELECT a, b, cnt FROM c3 ORDER BY cnt DESC, a, b LIMIT 1), s3 AS (
+  SELECT list_filter(string_split(
+    list_reduce(list_prepend('|', s),
+      (acc, x) -> CASE
+        WHEN list_extract(string_split(acc, '|'), -1) = b3.a AND x = b3.b
+        THEN substr(acc, 1, length(acc) - length(b3.a)) || b3.a || b3.b
+        ELSE acc || '|' || x END), '|'), t -> t <> '') AS s, freq
+  FROM s2 CROSS JOIN b3
+)
+    SELECT CAST(1 AS BIGINT) AS step, a AS left_sym, b AS right_sym,
+           cnt AS pair_count FROM b1
+    UNION ALL SELECT CAST(2 AS BIGINT), a, b, cnt FROM b2
+    UNION ALL SELECT CAST(3 AS BIGINT), a, b, cnt FROM b3
+    """,
+)
+def text_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training, first 3 merge steps, exact
+    (operators/text.py::bpe_merge_steps): pair counting + global argmax
+    + greedy left-to-right merge over the distinct-word census — the
+    merge table a tokenizer ships, bit-for-bit replayed by a DuckDB
+    oracle that unrolls all three stages (fold-merge included). The
+    corpus token stream is never re-scanned after the census; each
+    step's driver barrier moves exactly one (pair, count) row."""
+    from ..operators.text import bpe_merge_steps
+
+    return bpe_merge_steps(table(spark, sf_dir, "documents"), "text", n_merges=3)

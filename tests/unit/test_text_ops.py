@@ -90,3 +90,30 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     out = text.decontaminate(corpus, evals, "id", "text")
     # the eval shingle set must broadcast — the corpus side never shuffles
     assert_broadcast_join(out, count=1)
+
+
+def test_bpe_merge_steps_hand_computed(spark):
+    # Sennrich-style toy corpus: 'low' x5, 'lower' x2, 'newest' x6,
+    # 'widest' x3 — hand-run BPE, per-step expectations derived below
+    from demo_data_warehouse_spark.operators.text import bpe_merge_steps
+
+    docs = spark.createDataFrame(
+        [(" ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),)],
+        ["text"],
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_steps(docs, "text", n_merges=3)
+        .orderBy("step")
+        .collect()
+    ]
+    # census is DISTINCT words (freq-weighted): low:5 lower:2 newest:6 widest:3
+    # step 1 pair counts: (e,s)=6+3=9, (s,t)=9, (w,e)=2+6=8, (l,o)=7, (o,w)=7,
+    #   (n,e)=6, (e,w)=6, (w,i)=3, (i,d)=3, (d,e)=3, (e,r)=2
+    # tie (e,s)/(s,t) at 9 -> (e,s) by left asc
+    assert got[0] == (1, "e", "s", 9)
+    # step 2: 'es' exists; (es,t)=9 now the max
+    assert got[1] == (2, "es", "t", 9)
+    # step 3: after 'est' formed, (w,e) survives only in 'lower' (2);
+    # (l,o)=(o,w)=7 tie -> (l,o) by left asc
+    assert got[2] == (3, "l", "o", 7)
