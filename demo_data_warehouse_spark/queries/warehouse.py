@@ -671,3 +671,44 @@ def agg_incremental_join(spark, sf_dir):
         F.col("n_rows").cast("bigint").alias("n_items"),
         F.col("sum_c").cast("bigint").alias("revenue_cents"),
     )
+
+
+@query(
+    "maintenance_file_stats",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY 1
+    """,
+)
+def maintenance_file_stats(spark, sf_dir):
+    """File-skipping statistics as a registry verb
+    (io.py::parquet_footer_stats): events publish date-partitioned with
+    one file per partition, then per-file row counts and cents min/max
+    are collected FROM FOOTERS ONLY (distributed metadata job — no data
+    page read) and keyed back to the partition. The oracle recomputes
+    the same numbers from the data: footer statistics that drift from
+    the data they describe would silently break every skipping
+    optimization downstream, which is exactly what this hash gate would
+    catch."""
+    from .. import io as _io
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("date").alias("partition_value"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    root = scratch_dir("file_stats_q")
+    ev.repartition("partition_value").write.mode("overwrite").partitionBy(
+        "partition_value"
+    ).parquet(root)
+    stats = _io.parquet_footer_stats(spark, root, "cents")
+    return stats.select(
+        F.regexp_extract("path", r"partition_value=([^/]+)", 1).alias("partition_value"),
+        "n_rows",
+        F.col("min_v").alias("min_cents"),
+        F.col("max_v").alias("max_cents"),
+    )
