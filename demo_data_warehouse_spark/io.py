@@ -552,8 +552,14 @@ class SnapshotLog:
 
     # -- read path --------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read: latest committed version, or AS OF `version`."""
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
+        """Snapshot read: latest committed version, or AS OF `version`.
+
+        merge_schema=True unions the footer schemas across the
+        version's files — required after an append commit whose delta
+        ADDED columns (carried parent files keep the old schema on
+        disk; a sampled-file schema would randomly lose the new
+        columns — same contract as Warehouse.read)."""
         existing = self.versions()
         if not existing:
             raise FileNotFoundError(f"no commits under {self.root}")
@@ -562,7 +568,10 @@ class SnapshotLog:
         if version not in existing:
             raise FileNotFoundError(f"version {version} not in {existing}")
         files = self._manifest(version)["files"]
-        return self.spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*[os.path.join(self.root, f) for f in files])
 
     # -- maintenance ------------------------------------------------------
 

@@ -366,3 +366,51 @@ def fn_column_mask(spark, sf_dir):
         ).cast("bigint").alias("acctbal_band"),
         "c_mktsegment",
     )
+
+
+@query(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS dd, CAST(SUM(n_rows) AS BIGINT) AS ss,
+             CAST(SUM(n_rows * n_rows) AS BIGINT) AS qq
+      FROM d
+    )
+    SELECT day, n_rows,
+           (n_rows * dd - ss) * (n_rows * dd - ss) > 4 * (dd * qq - ss * ss)
+             AS is_anomaly
+    FROM d, s
+    """,
+)
+def dq_volume_anomaly(spark, sf_dir):
+    """Ingestion-volume anomaly monitor: flag days whose row count sits
+    more than 2σ from the mean — the alarm that catches a dropped feed
+    or a duplicate replay before it reaches consumers. The 2σ test is
+    evaluated WITHOUT division or sqrt: (n·D − S)² > 4·(D·Q − S²) in
+    pure integers (S=Σn, Q=Σn²), so both engines flag identical days —
+    a float z-score would disagree on boundary days. Integer regime:
+    terms stay under int64 through ~10⁹ rows/day × 3 yr; past that,
+    lift the squared terms with the hi/lo split agg_skew_kurtosis uses.
+    One map-side-combined day census (|days| rows), a one-row moment
+    broadcast, and a census-local flag — nothing else moves."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_rows")
+    )
+    s = d.agg(
+        F.count("*").alias("dd"),
+        F.sum("n_rows").alias("ss"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).alias("qq"),
+    )
+    j = d.crossJoin(F.broadcast(s))
+    dev = F.col("n_rows") * F.col("dd") - F.col("ss")
+    return j.select(
+        "day",
+        "n_rows",
+        (dev * dev > 4 * (F.col("dd") * F.col("qq") - F.col("ss") * F.col("ss"))).alias(
+            "is_anomaly"
+        ),
+    )

@@ -3444,3 +3444,49 @@ def graph_triangles(spark, sf_dir):
         .select("a", "b")
     )
     return triangle_counts(edges)
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN cents > 100 THEN NULL
+                ELSE cents + 9223372036854775707 END AS try_sum,
+           CASE WHEN user_id % 50 = 0 THEN NULL
+                ELSE cents // (user_id % 50) END AS try_div,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS try_num
+    FROM c
+    """,
+)
+def fn_try_arithmetic(spark, sf_dir):
+    """ANSI-safe arithmetic surface (try_add / try_divide / try_cast):
+    overflow, division by zero, and unparseable casts yield NULL
+    instead of a job-killing exception — the semantics a pipeline needs
+    when one poison row must not fail a 100 TB job (the non-try ANSI
+    forms would; the legacy silent-wraparound forms corrupt). Overflow
+    is exercised for real: cents + (int64max − 100) overflows exactly
+    when cents > 100, which the oracle mirrors arithmetically since
+    DuckDB's own bigint addition would raise."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    big = F.lit(9223372036854775707).cast("bigint")  # int64max - 100
+    return ev.select(
+        "event_id",
+        # cents ranges [0,10000]: the add overflows int64 iff cents >
+        # 100, so the oracle's closed form is CASE WHEN cents > 100
+        # THEN NULL — DuckDB itself would raise on the hot branch,
+        # which is rather the point
+        F.try_add(cents, big).alias("try_sum"),
+        F.try_divide(cents, (F.col("user_id") % 50)).cast("bigint").alias("try_div"),
+        F.try_to_number(
+            F.when(F.col("event_id") % 3 == 0, F.lit("not-a-number")).otherwise(
+                F.col("event_id").cast("string")
+            ),
+            F.lit("999999999999"),
+        ).cast("bigint").alias("try_num"),
+    )

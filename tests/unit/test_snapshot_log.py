@@ -93,3 +93,16 @@ def test_commit_modes_validated(spark, log):
     log.commit(_df(spark, 0, 1))
     with pytest.raises(FileNotFoundError):
         log.read(version=7)
+
+
+def test_append_with_added_column_merge_schema(spark, log):
+    import pyspark.sql.functions as F
+
+    log.commit(_df(spark, 0, 5))
+    delta = _df(spark, 5, 8).withColumn("extra", F.col("k") * 10)
+    log.commit(delta, mode="append")
+    got = log.read(merge_schema=True)
+    assert set(got.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in got.collect()}
+    assert len(rows) == 8
+    assert rows[6] == 60 and rows[0] is None  # old files surface NULLs
