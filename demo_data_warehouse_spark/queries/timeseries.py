@@ -701,3 +701,48 @@ def join_point_in_time(spark, sf_dir):
         right_ts="dim_valid_from",
         right_cols=["dim_valid_from", "dim_cents"],
     ).select("event_id", "user_id", "ts", "dim_valid_from", "dim_cents")
+
+
+@query(
+    "ts_vwap",
+    oracle="""
+    WITH x AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qhun
+      FROM lineitem
+    )
+    SELECT month,
+           CAST(SUM(cents * qhun) AS BIGINT) AS sum_pq,
+           CAST(SUM(qhun) AS BIGINT) AS sum_q,
+           CAST(SUM(cents * qhun) * 100 // SUM(qhun) AS BIGINT) AS vwap_micro
+    FROM x GROUP BY month
+    """,
+)
+def ts_vwap(spark, sf_dir):
+    """Volume-weighted average price per ship month — the weighted-mean
+    shape (VWAP / blended unit economics) done exactly: price rides in
+    cents, quantity in hundredths, the weighted numerator Σ(price·qty)
+    accumulates as bigint products (≤5·10¹⁰ per row — int64 holds
+    through ~10⁸ rows/group; past that, DECIMAL(38,0) the two sums),
+    and the final ratio is ONE integer floor division to micro-dollar
+    units. A float-weighted mean would drift by partial-agg order;
+    this cannot. Map-side partial sums only — one |months|-row shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qhun = F.round(F.col("l_quantity") * 100).cast("bigint")
+    return (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+            (cents * qhun).alias("pq"),
+            qhun.alias("q"),
+        )
+        .groupBy("month")
+        .agg(F.sum("pq").alias("sum_pq"), F.sum("q").alias("sum_q"))
+        .select(
+            "month",
+            "sum_pq",
+            "sum_q",
+            F.expr("CAST(sum_pq * 100 DIV sum_q AS BIGINT)").alias("vwap_micro"),
+        )
+    )

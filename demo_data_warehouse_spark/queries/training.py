@@ -2062,3 +2062,97 @@ def text_bpe_merges(spark, sf_dir):
     from ..operators.text import bpe_merge_steps
 
     return bpe_merge_steps(table(spark, sf_dir, "documents"), "text", n_merges=3)
+
+
+@query(
+    "corpus_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT event_id,
+             'https://WWW.Example.COM/' || event_type
+               || CASE WHEN event_id % 3 = 0
+                       THEN '?utm_source=feed&id=' || user_id || '&ref=abc'
+                       WHEN event_id % 3 = 1
+                       THEN '?id=' || user_id || '&utm_campaign=x'
+                       ELSE '?b=2&id=' || user_id || '&a=1#frag' END AS url
+      FROM events
+    ), parts AS (
+      SELECT event_id, url,
+             lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+             regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u
+    ), canon AS (
+      SELECT event_id,
+             host || path ||
+             CASE WHEN kept = '' THEN ''
+                  ELSE '?' || kept END AS canonical
+      FROM (
+        SELECT event_id, host, path,
+               array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'ref=%')
+               )), '&') AS kept
+        FROM parts)
+    )
+    SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM canon GROUP BY canonical
+    """,
+)
+def corpus_url_canonical(spark, sf_dir):
+    """Crawl-frontier URL canonicalization — the dedup that runs BEFORE
+    fetching (a URL seen three ways is one document): lowercase the
+    host, drop the fragment, strip tracking parameters (utm_*, ref),
+    and SORT the surviving query params so param order can't split a
+    group. Three synthetic variants per event exercise each rule. All
+    string/array ops are scan-local (regexp + split + array_sort +
+    join); the only shuffle is the final canonical-key census — at
+    crawl scale the census shuffles canonical keys, never raw URLs
+    seen-counts ride map-side. Group output is anchored by
+    (count, min event_id) so the hash gate pins membership, not just
+    key strings."""
+    ev = table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://WWW.Example.COM/"),
+        F.col("event_type"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("user_id"), F.lit("&ref=abc")),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit("?id="), F.col("user_id"), F.lit("&utm_campaign=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("?b=2&id="), F.col("user_id"), F.lit("&a=1#frag"))
+        ),
+    )
+    parts = ev.select(
+        "event_id",
+        F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1)).alias("host"),
+        F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract(url, r"\?([^#]*)", 1).alias("query"),
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda p: (p != "")
+                & ~p.startswith("utm_")
+                & ~p.startswith("ref="),
+            )
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "event_id",
+        F.concat(
+            F.col("host"),
+            F.col("path"),
+            F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+        ).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.count("*").alias("n_urls"), F.min("event_id").alias("first_event")
+    )
