@@ -3508,3 +3508,79 @@ def fn_try_arithmetic(spark, sf_dir):
             F.lit("999999999999"),
         ).cast("bigint").alias("try_num"),
     )
+
+
+@query(
+    "fn_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+             AS keys_csv,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 997 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_listagg(spark, sf_dir):
+    """LISTAGG / string_agg with a deterministic ORDER BY — the
+    reporting surface every SQL user expects. Spark has no ordered
+    string_agg aggregate, so the portable form is
+    array_join(array_sort(collect_list(struct(key)))) — the sort key
+    rides inside the collected struct, making the concatenation order
+    explicit rather than shuffle-dependent (a bare collect_list
+    concatenation would hash-mismatch between any two runs). Guarded
+    to a sampled key set: LISTAGG over unbounded groups is an
+    anti-pattern at any scale — the group payload must fit a row."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 997 == 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k")))),
+                lambda s: s["k"].cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "window_median_moving",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, cents,
+           CAST(list_extract(
+             list_sort(list(cents) OVER
+               (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+             CAST(ceil(CAST(least(
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT), 7) AS DOUBLE)
+               / 2) AS BIGINT)) AS BIGINT) AS med7_cents
+    FROM d
+    """,
+)
+def window_median_moving(spark, sf_dir):
+    """Trailing 7-day moving MEDIAN of daily revenue — the robust
+    smoother dashboards want where a moving average chases outliers.
+    Exact and engine-portable: the window's values are collected,
+    sorted, and the lower median picked by rank (discrete — no
+    interpolation formula to drift); integer cents end to end. The
+    window is bounded (7 rows), so the collected array is O(1) per row
+    — this pattern is safe exactly when the frame is small and
+    explicit, the same boundary the LISTAGG guard documents."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    wn = Window.orderBy("day")
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    k = F.ceil(F.least(F.row_number().over(wn), F.lit(7)).cast("double") / 2).cast("int")
+    return d.select(
+        "day", "cents", F.element_at(arr, k).cast("bigint").alias("med7_cents")
+    )
