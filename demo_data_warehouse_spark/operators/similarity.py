@@ -422,3 +422,99 @@ def semantic_dup_flags(
     return assign.join(dups, "id", "left").select(
         "id", "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
     )
+
+
+def pca_fit_project(
+    df,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    quant: int = 10000,
+):
+    """PCA embedding compression: fit on the EXACT fixed-point
+    covariance (the embed_covariance statistic — deterministic on any
+    partitioning), eigendecompose the tiny d×d matrix on the driver
+    (numpy eigh; d² floats, never row data), sign-normalize each
+    component (largest-|coefficient| entry positive, lowest index on
+    ties) so the basis is unique, then project every vector
+    distributed, JVM-side (one codegen dot product per component — no
+    Python on the row path).
+
+    Returns (components, projected): `components` is a k×d numpy array
+    (row-major, orthonormal); `projected` a DataFrame
+    (id, proj: array<double>[k]) of mean-centered projections.
+    At 100 TB the fit cost is the covariance pass; the driver only
+    ever sees d² integers.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    d = len(df.select(vec_col).first()[0])
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, v -> CAST(round(v * {quant}) AS BIGINT))"
+        ).alias("q"),
+    )
+    n = q.count()
+    pair_idx = F.expr(
+        f"flatten(transform(sequence(1, {d}),"
+        " i -> transform(sequence(i, {d}), j -> struct(i AS i, j AS j))))".replace(
+            "{d}", str(d)
+        )
+    )
+    g = (
+        q.select(F.explode(pair_idx).alias("p"), "q")
+        .select(
+            "p.i",
+            "p.j",
+            (F.expr("element_at(q, p.i)") * F.expr("element_at(q, p.j)")).alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("prod").alias("gram"))
+        .collect()
+    )
+    s = (
+        q.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    sv = np.zeros(d, dtype=np.int64)
+    for r in s:
+        sv[r.pos] = r.s
+    cov = np.zeros((d, d), dtype=np.float64)
+    for r in g:
+        num = n * r.gram - int(sv[r.i - 1]) * int(sv[r.j - 1])
+        val = num / (n * n * quant * quant)
+        cov[r.i - 1, r.j - 1] = cov[r.j - 1, r.i - 1] = val
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()  # k × d
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1
+    mu = sv / (n * quant)
+    proj_cols = [
+        F.expr(
+            "aggregate(zip_with(centered, array({w}), (x, wi) -> x * wi),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)".format(
+                w=",".join(f"CAST({wi!r} AS DOUBLE)" for wi in row.tolist())
+            )
+        ).alias(f"p{ki}")
+        for ki, row in enumerate(comps)
+    ]
+    centered = q.select(
+        "id",
+        F.expr(
+            "zip_with(q, array({m}), (qi, mi) -> CAST(qi AS DOUBLE) / {quant} - mi)".format(
+                m=",".join(f"CAST({mi!r} AS DOUBLE)" for mi in mu.tolist()),
+                quant=quant,
+            )
+        ).alias("centered"),
+    )
+    projected = centered.select("id", *proj_cols).select(
+        "id", F.array(*[F.col(f"p{ki}") for ki in range(k)]).alias("proj")
+    )
+    return comps, projected

@@ -2156,3 +2156,97 @@ def corpus_url_canonical(spark, sf_dir):
     return canon.groupBy("canonical").agg(
         F.count("*").alias("n_urls"), F.min("event_id").alias("first_event")
     )
+
+
+@query(
+    "embed_covariance",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, v -> CAST(round(v * 10000) AS BIGINT)) AS q
+      FROM embeddings
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    s AS (
+      SELECT i, CAST(SUM(q[i]) AS BIGINT) AS s
+      FROM q, dims GROUP BY i
+    ), pairs AS (
+      SELECT a.i AS i, b.i AS j FROM dims a, dims b WHERE b.i >= a.i
+    ), g AS (
+      SELECT p.i, p.j, CAST(SUM(q[p.i] * q[p.j]) AS BIGINT) AS gram
+      FROM q, pairs p GROUP BY p.i, p.j
+    )
+    SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j, nn.n,
+           CAST(nn.n * g.gram - si.s * sj.s AS BIGINT) AS cov_num
+    FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j, nn
+    """,
+)
+def embed_covariance(spark, sf_dir):
+    """Exact mean-centered covariance MATRIX of the embedding corpus —
+    the statistic PCA / whitening / Mahalanobis dedup all start from.
+    Vectors are quantized to 10⁻⁴ fixed point (the stated contract:
+    covariance OF THE QUANTIZED corpus), so the Gram sums, per-dim
+    sums, and the centered numerator n·G_ij − s_i·s_j are all exact
+    int64 — identical on any engine, any partitioning; cov_ij =
+    cov_num / (n²·10⁸). Shapes: the d² upper triangle (2080 pairs at
+    d=64) explodes per row then map-side combines to one partial per
+    (i, j) per partition, and the per-dim sum vector joins back as a
+    64-row broadcast. Int64 headroom holds through ~10⁷ rows; past
+    that lift the two products to DECIMAL(38,0) (agg_skew_kurtosis
+    precedent). The d²-explode alternative at extreme d is a
+    per-partition numpy Gram via mapInPandas — same exactness, fewer
+    intermediate rows."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, v -> CAST(round(v * 10000) AS BIGINT))").alias("q")
+    )
+    n = emb.count()
+    pair_idx = F.expr(
+        "flatten(transform(sequence(1, 64),"
+        " i -> transform(sequence(i, 64), j -> struct(i AS i, j AS j))))"
+    )
+    g = (
+        emb.select(F.explode(pair_idx).alias("p"), "q")
+        .select(
+            F.col("p.i").alias("i"),
+            F.col("p.j").alias("j"),
+            (F.expr("element_at(q, p.i)") * F.expr("element_at(q, p.j)")).alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("prod").alias("gram"))
+    )
+    s = (
+        emb.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        .select((F.col("pos") + 1).alias("pos"), "s")
+    )
+    si = s.select(F.col("pos").alias("i"), F.col("s").alias("s_i"))
+    sj = s.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))
+    return (
+        g.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.lit(n).cast("bigint").alias("n"),
+            (F.lit(n) * F.col("gram") - F.col("s_i") * F.col("s_j"))
+            .cast("bigint")
+            .alias("cov_num"),
+        )
+    )
+
+
+@query("embed_pca_project")  # rows-only: no eigendecomposition in DuckDB
+def embed_pca_project(spark, sf_dir):
+    """PCA embedding compression (operators/similarity.py::
+    pca_fit_project): fit from the exact integer covariance
+    (embed_covariance's statistic — so the fitted basis is identical on
+    any partitioning), eigendecompose d×d on the driver, project every
+    vector to the top-8 components JVM-side. Rows-only here (DuckDB
+    cannot eigendecompose); orthonormality, variance ordering,
+    reconstruction-error and sign-determinism are pinned in
+    tests/unit/test_similarity.py."""
+    from ..operators.similarity import pca_fit_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    _comps, projected = pca_fit_project(emb, "vec_id", "embedding", k=8)
+    return projected.select("id", "proj")

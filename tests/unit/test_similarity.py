@@ -159,3 +159,36 @@ def test_semantic_dup_flags_within_cell_only(spark):
     assert got[2] == (0, True)  # lower-id twin exists in its cell
     assert got[3][1] is False
     assert got[4][1] is False  # same cell as 3, but far below threshold
+
+
+def test_pca_fit_project_contracts(spark, sf_dir):
+    # the four contracts rows-only checking can't see: orthonormal
+    # basis, descending explained variance, bounded reconstruction
+    # error, and a partitioning-independent, sign-deterministic fit
+    import numpy as np
+
+    from demo_data_warehouse_spark.catalog import table
+    from demo_data_warehouse_spark.operators.similarity import pca_fit_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    comps, projected = pca_fit_project(emb, "vec_id", "embedding", k=4)
+    # orthonormality
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(4), atol=1e-9)
+    # sign rule: the largest-|coeff| entry of each component is positive
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # explained variance decreasing: projection variances sorted desc
+    P = np.array([r.proj for r in projected.collect()])
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(3))
+    # top-k must beat the uniform k/d variance share (the corpus is
+    # near-isotropic synthetic data, so "most of the variance" is not
+    # attainable — beating uniform by 20% proves the fit found the
+    # principal directions)
+    X = np.array([r.embedding for r in emb.select("embedding").collect()], dtype=float)
+    Xc = X - X.mean(axis=0)
+    assert var.sum() > 1.2 * (4 / 64) * Xc.var(axis=0).sum()
+    # refit on a repartitioned frame: identical basis bit-for-bit
+    comps2, _ = pca_fit_project(emb.repartition(7), "vec_id", "embedding", k=4)
+    assert np.array_equal(comps, comps2)
