@@ -2162,7 +2162,8 @@ def corpus_url_canonical(spark, sf_dir):
     "embed_covariance",
     oracle="""
     WITH q AS (
-      SELECT list_transform(embedding, v -> CAST(round(v * 10000) AS BIGINT)) AS q
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(round(v * 10000) AS BIGINT)) AS q
       FROM embeddings
     ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
     dims AS (SELECT unnest(range(1, 65)) AS i),
