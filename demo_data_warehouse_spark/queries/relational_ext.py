@@ -3522,25 +3522,25 @@ def fn_try_arithmetic(spark, sf_dir):
     """,
 )
 def fn_listagg(spark, sf_dir):
-    """LISTAGG / string_agg with a deterministic ORDER BY — the
-    reporting surface every SQL user expects. Spark has no ordered
-    string_agg aggregate, so the portable form is
-    array_join(array_sort(collect_list(struct(key)))) — the sort key
-    rides inside the collected struct, making the concatenation order
-    explicit rather than shuffle-dependent (a bare collect_list
-    concatenation would hash-mismatch between any two runs). Guarded
-    to a sampled key set: LISTAGG over unbounded groups is an
-    anti-pattern at any scale — the group payload must fit a row."""
-    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 997 == 0)
-    return o.groupBy("o_orderpriority").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k")))),
-                lambda s: s["k"].cast("string"),
-            ),
-            ",",
-        ).alias("keys_csv"),
-        F.count("*").alias("n"),
+    """LISTAGG with a deterministic WITHIN GROUP (ORDER BY) — the
+    SQL-standard reporting aggregate (native in Spark 4.1; a bare
+    listagg/collect_list concatenation without the ordered form is
+    shuffle-order-dependent and would hash-mismatch between any two
+    runs — array_join(array_sort(collect_list(struct))) is the
+    portable fallback on older engines). Guarded to a sampled key
+    set: LISTAGG over unbounded groups is an anti-pattern at any
+    scale — the group payload must fit a row."""
+    table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 997 == 0
+    ).createOrReplaceTempView("listagg_src")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+               COUNT(*) AS n
+        FROM listagg_src GROUP BY o_orderpriority
+        """
     )
 
 
@@ -3583,4 +3583,84 @@ def window_median_moving(spark, sf_dir):
     k = F.ceil(F.least(F.row_number().over(wn), F.lit(7)).cast("double") / 2).cast("int")
     return d.select(
         "day", "cents", F.element_at(arr, k).cast("bigint").alias("med7_cents")
+    )
+
+
+@query(
+    "scan_sql_ddl_roundtrip",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END AS part
+    FROM events
+    WHERE event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) + 1 AS cents, 'even' AS part
+    FROM events
+    WHERE event_id % 2 = 0
+    """,
+)
+def scan_sql_ddl_roundtrip(spark, sf_dir):
+    """SQL DDL/DML warehouse surface — the statements a SQL-first user
+    drives the engine with: CREATE TABLE ... USING PARQUET PARTITIONED
+    BY, INSERT INTO (append), and INSERT OVERWRITE restricted to one
+    partition (dynamic partition overwrite: the 'even' partition is
+    replaced with re-priced rows, 'odd' is untouched — the DDL twin of
+    write_partition_replace, same engine conf). The oracle recomputes
+    the expected end state: odd rows original, even rows re-priced
+    +1 — an overwrite that leaked outside its partition or an insert
+    that duplicated would break row counts or the hash."""
+    from ..streaming.pipeline import fresh_name, scratch_dir
+
+    tbl = fresh_name("ddl_rt").replace("-", "_")
+    loc = scratch_dir("ddl_rt_loc")
+    ev = table(spark, sf_dir, "events")
+    ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")).alias("part"),
+    ).createOrReplaceTempView("ddl_rt_src")
+    spark.sql(
+        f"""CREATE TABLE {tbl} (event_id BIGINT, user_id BIGINT, cents BIGINT,
+            part STRING) USING PARQUET PARTITIONED BY (part)
+            LOCATION '{loc}'"""
+    )
+    spark.sql(f"INSERT INTO {tbl} SELECT * FROM ddl_rt_src")
+    spark.sql(
+        f"""INSERT OVERWRITE TABLE {tbl}
+            SELECT event_id, user_id, cents + 1 AS cents, part
+            FROM ddl_rt_src WHERE part = 'even'"""
+    )
+    out = spark.table(tbl).select("event_id", "user_id", "cents", "part")
+    return out
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark, sf_dir):
+    """approx_top_k — the frequency-sketch sibling of the HLL rollup
+    (agg_sketch_rollup): a bounded-memory heavy-hitter summary whose
+    accuracy contract is EXACT whenever distinct items fit the tracked
+    budget (maxItemsTracked=10000 ≫ the 5 event types here) — which is
+    what lets a full oracle hash-gate a 'sketch' query: in the exact
+    regime the sketch must equal the true counts. k covers every item
+    so no tie-at-the-boundary can make the cut nondeterministic; rows
+    come back exploded to (item, cnt) so the comparison is
+    order-insensitive. At 100 TB the sketch's value is the opposite
+    regime — fixed memory over unbounded key domains — where
+    dq_skew_keys' exact census is the verify path."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("topk_src")
+    return spark.sql(
+        """
+        SELECT t.entry.item AS item, CAST(t.entry.count AS BIGINT) AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 10)) AS entry
+              FROM topk_src) t
+        """
     )
