@@ -42,9 +42,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # parquet timestamps with isAdjustedToUTC=false surface as TIMESTAMP_NTZ;
     # several chrono builtins (unix_micros/unix_millis, tz conversions) only
     # accept TIMESTAMP. Session tz is pinned UTC (session.py), so casting
-    # NTZ → TIMESTAMP reinterprets the wall-clock as UTC — value-identical
-    # to how the same files read under inferTimestampNTZ=false.
+    # NTZ → TIMESTAMP_LTZ reinterprets the wall-clock as UTC — value-identical
+    # to how the same files read under inferTimestampNTZ=false. The cast target
+    # must be spelled "timestamp_ltz": under spark.sql.timestampType=
+    # TIMESTAMP_NTZ (a driver-owned session may set it) the bare "timestamp"
+    # alias resolves to NTZ and the normalization silently no-ops.
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+        df = df.withColumn(c, F.col(c).cast("timestamp_ltz"))
     return df

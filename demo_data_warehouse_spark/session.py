@@ -21,6 +21,11 @@ from pyspark.sql import SparkSession
 # driver owns session creation; every query entry point calls tune()).
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # a driver-owned session may prefer TIMESTAMP_NTZ (making
+    # cast("timestamp") a no-op NTZ→NTZ); pin LTZ so chrono builtins
+    # (unix_micros/unix_millis, tz conversion) resolve everywhere and
+    # timestamp literals compare against catalog-normalized columns
+    "spark.sql.timestampType": "TIMESTAMP_LTZ",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
