@@ -594,3 +594,77 @@ def setsim_join_prefix(
             (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("union_sz"),
         )
     )
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_mode: str = "fast",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-TABLE similarity join: near-duplicate (left, right) pairs
+    via shared minhash band buckets — the probe-vs-corpus form of
+    minhash_lsh_pairs (eval-set decontamination, re-crawl matching,
+    query-by-document retrieval). Returns (id_a, id_b, est_jaccard)
+    with id_a from `left`, id_b from `right`.
+
+    Scale: both sides shuffle only on (band_id, band_hash) — candidate
+    count rides bucket co-occupancy, never |left|×|right|. Signatures
+    are per-row, so each side can be computed (and at 100 TB,
+    pre-materialized) independently with the same seeded coefficients.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+
+    def bandize(df: DataFrame):
+        sigs = minhash_signatures(df, id_col, text_col, k_shingle, num_hashes, seed, hash_mode)
+
+        def band_hash(j: int):
+            if hash_mode == "portable":
+                sl = (
+                    f"concat_ws(',', transform(slice(sig, {j * rows + 1}, {rows}),"
+                    " v -> cast(v as string)))"
+                )
+                return F.expr(hash60_sql(sl))
+            return F.xxhash64(F.expr(f"slice(sig, {j * rows + 1}, {rows})"))
+
+        band_structs = F.array(
+            *[
+                F.struct(F.lit(j).alias("band_id"), band_hash(j).alias("band_hash"))
+                for j in range(bands)
+            ]
+        )
+        ex = sigs.select("id", F.explode(band_structs).alias("b")).select(
+            "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+        )
+        return sigs, ex
+
+    sigs_l, ex_l = bandize(left)
+    sigs_r, ex_r = bandize(right)
+    if max_bucket_size is not None:
+        ex_l = _cap_hot_buckets(ex_l, ["band_id", "band_hash"], max_bucket_size, "minhash_lsh_join.left")
+        ex_r = _cap_hot_buckets(ex_r, ["band_id", "band_hash"], max_bucket_size, "minhash_lsh_join.right")
+    cand = (
+        ex_l.select(F.col("id").alias("id_a"), "band_id", "band_hash")
+        .join(ex_r.select(F.col("id").alias("id_b"), "band_id", "band_hash"), ["band_id", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sigs_l.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs_r.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (u, v) -> u = v), x -> x)) / {num_hashes}"
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )

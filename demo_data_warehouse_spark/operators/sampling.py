@@ -12,6 +12,14 @@ same sample.
                       projection (no shuffle, no state, stable under
                       re-partitioning), the standard way to split a
                       100 TB corpus without a coordinated RNG
+  group_hash_split    hash_split keyed on a GROUP column (domain/URL/
+                      author), so every row of a group lands in the
+                      same split — the leakage guard row-level splits
+                      miss when near-duplicates share a group
+  temperature_targets per-source row budgets under temperature-scaled
+                      mixture reweighting (p_i ∝ n_i^(1/T)) with exact
+                      largest-remainder rounding — the pretraining
+                      data-mixing allocator
 """
 
 from __future__ import annotations
@@ -112,4 +120,112 @@ def pack_greedy_bins(
             "bin_id",
             F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)),
         )
+    )
+
+
+def group_hash_split(
+    df: DataFrame, group_col: str, test_hex_prefixes: int = 1
+) -> DataFrame:
+    """Leakage-safe train/test split: the md5 prefix of the GROUP key
+    (domain, URL, author…) decides the split, so every row of a group
+    lands on the same side. Row-level splits leak when near-duplicate
+    documents from one source straddle the boundary — the standard
+    eval-contamination failure; grouping the decision removes it.
+
+    Same guarantees as hash_split: pure projection, no shuffle, stable
+    under appends/repartitioning, engine-portable (md5).
+    """
+    first = F.substring(F.md5(F.col(group_col).cast("string")), 1, 1)
+    hexdigits = "0123456789abcdef"[:test_hex_prefixes]
+    return df.withColumn(
+        "split",
+        F.when(first.isin(*list(hexdigits)), F.lit("test")).otherwise(F.lit("train")),
+    )
+
+
+def temperature_targets(
+    df: DataFrame, source_col: str, budget: int, inv_temperature_pow: float = 0.5
+) -> DataFrame:
+    """Per-source row budgets under temperature-scaled mixture
+    reweighting — the pretraining data-mixing allocator (multilingual /
+    multi-corpus sampling à la T5/XLM: p_i ∝ n_i^(1/T), 1/T here as
+    `inv_temperature_pow`; 1.0 = proportional, 0.0 = uniform).
+
+    Exactness contract: weights are 6dp-rounded micro-units of
+    pow(n_i, 1/T) (one pow per SOURCE, engines agree after rounding),
+    and the budget is apportioned by integer largest-remainder —
+    floor(budget·w_i/W) plus one extra row for the `leftover` largest
+    remainders (ties broken by source name). Targets are capped at n_i
+    (sampling without replacement). Σ target_i == budget whenever
+    budget ≤ Σ n_i and no cap binds.
+
+    Scale: the census is a |sources|-row aggregate (map-side combined);
+    everything after runs on census rows only.
+
+    Returns (source, n_rows, target).
+    """
+    census = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_rows")
+    )
+    w = F.round(F.pow(F.col("n_rows").cast("double"), F.lit(inv_temperature_pow)) * 1e6).cast(
+        "bigint"
+    )
+    weighted = census.withColumn("w", w)
+    # single tiny crossJoin of the 1-row total onto the census
+    # "w_total", not "W": column resolution is case-insensitive
+    totals = weighted.agg(F.sum("w").alias("w_total"))
+    j = weighted.crossJoin(F.broadcast(totals))
+    # integer `div`, not float `/`+floor: budget·w can exceed 2^53 at
+    # real budgets, where double division silently mis-floors
+    ranked = j.select(
+        "source",
+        "n_rows",
+        (F.lit(budget).cast("bigint") * F.col("w")).alias("num"),
+        F.col("w_total"),
+    ).select(
+        "source",
+        "n_rows",
+        F.expr("num div w_total").alias("base"),
+        F.expr("num % w_total").alias("rem"),
+    )
+    wdw = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    leftover_expr = F.lit(budget) - F.sum("base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ranked.select(
+        "source",
+        "n_rows",
+        F.least(
+            F.col("n_rows"),
+            F.col("base")
+            + F.when(F.row_number().over(wdw) <= leftover_expr, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .cast("bigint")
+        .alias("target"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame, id_col: str, source_col: str, budget: int, inv_temperature_pow: float = 0.5
+) -> DataFrame:
+    """Materialize the temperature mix: per source keep the `target`
+    rows with the smallest md5(id) — deterministic, engine-portable,
+    append-stable for surviving rows of unchanged sources.
+
+    Scale: one shuffle on source for the per-source rank (skew caveat:
+    a mega-source ranks on one reducer chain — swap the exact rank for
+    a u01(id) < target/n threshold when ±√n count error is acceptable);
+    the |sources|-row target table is broadcast.
+    """
+    targets = temperature_targets(df, source_col, budget, inv_temperature_pow)
+    rk = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    )
+    return (
+        df.withColumn("rk", rk)
+        .join(F.broadcast(targets), on=F.col(source_col) == F.col("source"))
+        .where(F.col("rk") <= F.col("target"))
+        .drop("rk", "source", "n_rows", "target")
     )

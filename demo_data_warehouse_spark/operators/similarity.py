@@ -518,3 +518,37 @@ def pca_fit_project(
         "id", F.array(*[F.col(f"p{ki}") for ki in range(k)]).alias("proj")
     )
     return comps, projected
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    seed: int = 7,
+    scale: float = 1e4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress dim-d vectors
+    to k dot products against seeded Gaussian hyperplanes — the cheap
+    dimensionality-reduction step before clustering/ANN when PCA's
+    covariance pass is too expensive (JL: pairwise distances preserved
+    within 1±ε for k = O(log n / ε²), independent of d).
+
+    A pure narrow projection (no shuffle, no state, no fit): the planes
+    are constant-folded into codegen, making the transform trivially
+    parallel at 100 TB and identical on any partitioning. Outputs are
+    fixed-point (round(dot·scale) as bigint): the sequential fold in
+    doubles is bit-identical across engines, and the rounding pins the
+    last ulp. Returns (id, proj: array<bigint>[k]).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((k, dim))
+    vals = [
+        F.round(
+            _dot(_as_double(F.col(vec_col)), F.array(*[F.lit(float(v)) for v in p]))
+            * F.lit(scale)
+        ).cast("bigint")
+        for p in planes
+    ]
+    return df.select(F.col(id_col).alias("id"), F.array(*vals).alias("proj"))

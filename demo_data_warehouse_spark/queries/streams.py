@@ -62,8 +62,10 @@ def _events_stream(spark, sf_dir):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         # event-time watermarks require TIMESTAMP; session tz is UTC so
-        # the cast is value-identical (same rule as catalog.table)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # the cast is value-identical (same rule as catalog.table —
+        # spelled timestamp_ltz so an NTZ-preferring timestampType conf
+        # cannot turn it into a no-op)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return stream
 
 

@@ -2251,3 +2251,161 @@ def embed_pca_project(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     _comps, projected = pca_fit_project(emb, "vec_id", "embedding", k=8)
     return projected.select("id", "proj")
+
+
+# ---------------------------------------------------------------------------
+# round-3 (driver) additions: leakage-safe splits, mixture sampling,
+# cross-table similarity join, JL projection
+
+
+@query(
+    "sample_group_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(source), 1, 1) IN ('0','1','2','3')
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM s GROUP BY split
+    """,
+)
+def sample_group_split(spark, sf_dir):
+    """Leakage-safe train/test split: the GROUP key (source) is hashed,
+    not the row, so near-duplicate documents sharing a source can never
+    straddle the eval boundary (operators/sampling.py::
+    group_hash_split — pure projection, no shuffle). id_checksum pins
+    exact membership, not just counts."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        sampling.group_hash_split(docs, "source", test_hex_prefixes=4)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+@query(
+    "sample_temperature",
+    oracle="""
+    WITH census AS (
+      SELECT lang AS source, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT source, n_rows,
+             CAST(ROUND(pow(CAST(n_rows AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS wgt
+      FROM census),
+    t AS (SELECT SUM(wgt) AS w_total FROM w),
+    r AS (
+      SELECT source, n_rows, (200 * wgt) // w_total AS base, (200 * wgt) % w_total AS rem
+      FROM w, t),
+    l AS (SELECT 200 - SUM(base) AS leftover FROM r),
+    ranked AS (
+      SELECT source, n_rows, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM r),
+    targets AS (
+      SELECT source,
+             LEAST(n_rows, base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                       THEN 1 ELSE 0 END) AS target
+      FROM ranked),
+    sel AS (
+      SELECT doc_id, lang AS source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT s.source, CAST(COUNT(*) AS BIGINT) AS kept,
+           CAST(SUM(s.doc_id) AS BIGINT) AS id_checksum
+    FROM sel s JOIN targets tg ON s.source = tg.source
+    WHERE s.rk <= tg.target
+    GROUP BY s.source
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-scaled mixture sampling (p_i ∝ n_i^0.5, budget 200
+    rows over language sources) — the pretraining data-mixing step that
+    up-weights low-resource languages. Integer largest-remainder
+    apportionment + md5-ranked per-source selection keep the sample
+    engine-exact (operators/sampling.py::temperature_sample; scale
+    notes there). id_checksum pins exact membership."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = sampling.temperature_sample(
+        docs, "doc_id", "lang", budget=200, inv_temperature_pow=0.5
+    )
+    return kept.groupBy(F.col("lang").alias("source")).agg(
+        F.count("*").alias("kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@query(
+    "join_minhash_cross",
+    oracle=f"""
+    WITH {_duck_minhash_ctes()},
+    cross_cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM bandsx x JOIN bandsx y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+      WHERE x.id % 5 = 0 AND y.id % 5 <> 0
+    )
+    SELECT c.id_a, c.id_b,
+           len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32 AS est_jaccard
+    FROM cross_cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+    WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32 >= 0.3
+    """,
+)
+def join_minhash_cross(spark, sf_dir):
+    """Cross-TABLE similarity join (probe docs vs corpus) via shared
+    minhash band buckets — the eval-decontamination / re-crawl-matching
+    shape, where near-dups are sought BETWEEN two corpora rather than
+    within one (operators/dedup.py::minhash_lsh_join: both sides
+    shuffle only on band buckets, candidates never |L|×|R|). Same
+    seeded signatures as dedup_minhash, so the oracle replays both
+    sides from one whole-corpus CTE filtered by side."""
+    docs = table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_lsh_join(
+        probes, corpus, "doc_id", "text", threshold=0.3, hash_mode="portable"
+    )
+
+
+def _duck_jl_planes_sql(k: int = 8, dim: int = 64, seed: int = 7, scale: float = 1e4) -> str:
+    """Inline the seeded JL hyperplanes into DuckDB SQL (same literal
+    trick as the sign-LSH oracles: repr round-trips doubles exactly)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((k, dim))
+    items = ",\n           ".join(
+        "CAST(ROUND(list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + f"]) * {scale!r}) AS BIGINT)"
+        for p in planes
+    )
+    return f"[{items}]"
+
+
+@query(
+    "embed_random_projection",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, {_duck_jl_planes_sql()} AS proj
+    FROM e
+    """,
+)
+def embed_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss compression: 64-dim embeddings → 8 seeded
+    Gaussian dot products (operators/similarity.py::random_projection —
+    a shuffle-free narrow projection, constant-folded planes, the cheap
+    pre-clustering reduction when PCA's covariance pass is overkill).
+    Fixed-point outputs: the sequential double fold is bit-identical to
+    DuckDB's list_dot_product, and round(·1e4) pins the last ulp."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        emb, "vec_id", "embedding", dim=64, k=8, seed=7, scale=1e4
+    ).select(F.col("id").alias("vec_id"), "proj")
