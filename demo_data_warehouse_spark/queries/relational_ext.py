@@ -3664,3 +3664,136 @@ def agg_approx_topk(spark, sf_dir):
               FROM topk_src) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 (driver) additions: mergeable set-op sketches, mergeable
+# quantile sketches, footer-answered aggregate scans
+
+
+@query(
+    "agg_theta_setops",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        WHERE event_type = 'click') AS click_users,
+      (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        WHERE event_type = 'view') AS view_users,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT user_id FROM events WHERE event_type = 'click'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'view')) AS click_or_view,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'view')) AS click_and_view,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'view')) AS click_not_view
+    """,
+)
+def agg_theta_setops(spark, sf_dir):
+    """Theta sketches — mergeable distinct-count state that, unlike
+    HLL, supports set ALGEBRA: union, intersection and difference of
+    audiences without re-reading facts (the segment-overlap question
+    every audience/funnel report asks). One pass builds both sketches
+    (filtered theta_sketch_agg); the set ops run on the two small
+    sketch blobs. Exact-regime oracle (same contract as
+    agg_approx_topk): below the sketch's nominal-entries budget
+    (4096 ≫ the ~10³ users here) a theta sketch retains every hash, so
+    estimates and set ops are EXACT and a full COUNT-DISTINCT oracle
+    hash-gates the query; at 100 TB the same plan runs in estimation
+    mode with fixed memory — which is the point."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_c"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("sk_v"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate("sk_c").alias("click_users"),
+        F.theta_sketch_estimate("sk_v").alias("view_users"),
+        F.theta_sketch_estimate(F.theta_union("sk_c", "sk_v")).alias("click_or_view"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_c", "sk_v")).alias(
+            "click_and_view"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("sk_c", "sk_v")).alias(
+            "click_not_view"
+        ),
+    )
+
+
+@query(
+    "agg_kll_quantile",
+    oracle="""
+    WITH rk AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS q25,
+           MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS median,
+           MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS q75
+    FROM rk GROUP BY event_type
+    """,
+)
+def agg_kll_quantile(spark, sf_dir):
+    """KLL quantile sketches — mergeable order-statistic state: the
+    incremental/streaming answer to percentiles, where exact rank
+    selection (agg_percentile_disc) needs the full sorted group.
+    Exact-regime oracle: below k=65535 retained items the KLL buffer
+    never compacts, so get_quantile(q) returns the true inclusive-rank
+    item — the smallest x with rank(x) ≥ ⌈q·n⌉, replayed by the oracle
+    as rn = ceil(q·n) — verified partition-count-invariant (merges of
+    uncompacted buffers stay exact). At 100 TB the same plan answers
+    with ~k·log(n/k) memory per group and rank error ε ≈ 1.7%/√k."""
+    k = F.lit(65535)
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", k), F.lit(0.25)
+        ).alias("q25"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", k), F.lit(0.50)
+        ).alias("median"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", k), F.lit(0.75)
+        ).alias("q75"),
+    )
+
+
+@query(
+    "scan_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    """,
+)
+def scan_agg_pushdown(spark, sf_dir):
+    """Footer-answered aggregation: COUNT/MIN/MAX pushed into the
+    parquet scan (PushedAggregation, plan-pinned in
+    tests/unit/test_plans.py) — the scan reads row-group METADATA, not
+    data pages, so at 100 TB the answer costs one footer read per file
+    instead of a full column scan. Needs the DSv2 parquet path
+    (useV1SourceList minus parquet) + aggregatePushdown; like
+    join_bloom_runtime, the overrides cannot leak — tune() re-pins the
+    defaults at the top of every query wrapper."""
+    import os
+
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

@@ -757,3 +757,33 @@ def stream_cdc_apply(spark, sf_dir):
 
     run_available_now(stream, batch_fn=fold, output_mode="update")
     return cdc_current(log.read(), op_col="op").select("user_id", "seq", "cents")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    keeps a key's state only until the watermark passes it — the
+    100 TB-viable variant of stream_dedup, whose dropDuplicates state
+    grows with the UNBOUNDED distinct-key count forever. Here the
+    45-day delay covers the whole 30-day event span, so within-horizon
+    dedup equals global dedup and the exact distinct-pairs oracle
+    applies; in production the horizon is the dedup contract (a key
+    re-appearing after the window is a new row) and state stays
+    O(keys-per-window). Only the key columns are emitted — which
+    duplicate survives is arrival-order-dependent, the keys are not."""
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "45 days")
+    )
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    sink = fresh_name("stream_dedup_wm")
+    run_available_now(deduped, memory_table=sink, output_mode="append")
+    return spark.table(sink)

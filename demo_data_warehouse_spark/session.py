@@ -47,6 +47,11 @@ _RUNTIME_CONFS = {
     # runs at the top of every query wrapper, so an override can never
     # leak into the NEXT query's plan
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    # scan_agg_pushdown flips parquet to the DSv2 path with aggregate
+    # pushdown in-session; re-pin the defaults so the override cannot
+    # leak into the next query's plan
+    "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,parquet,text",
+    "spark.sql.parquet.aggregatePushdown": "false",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
 }

@@ -24,6 +24,9 @@ QUERIES = [
     "agg_incremental_join",
     "merge_cdc_apply",
     "agg_sketch_rollup",
+    "agg_kll_quantile",
+    "agg_theta_setops",
+    "sample_temperature",
 ]
 
 

@@ -724,3 +724,14 @@ def test_round5_additions_plan_shapes(spark, sf_dir, qs):
     df = qs["fn_quantile_bucketize"](spark, sf_dir)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row edge broadcast
+
+
+def test_scan_agg_pushdown_answers_from_footers(spark, sf_dir, qs):
+    # COUNT/MIN/MAX must reach the parquet scan as PushedAggregation —
+    # at 100 TB that is one footer read per file vs a full column scan.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["scan_agg_pushdown"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PushedAggregation" in plan, plan
+    assert "COUNT(*)" in plan and "MIN(o_totalprice)" in plan, plan
