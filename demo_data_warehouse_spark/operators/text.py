@@ -418,3 +418,67 @@ def bpe_merge_steps(docs, text_col: str, n_merges: int = 3):
     return spark.createDataFrame(
         merges, "step bigint, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def bm25_score(df: DataFrame, id_col: str, text_col: str, terms: list[str]) -> DataFrame:
+    """BM25 retrieval scores for a fixed query-term set (k1=1.2,
+    b=0.75) — the sparse-retrieval ranking behind search/RAG indexing,
+    and the lexical complement of the embedding ANN family.
+
+    Exactness: the per-(doc, term) score
+        idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+    is algebraically cleared of fractions (k1=6/5, b=3/4, avglen=T/N):
+        score_micro = (44·T·idf_micro·tf) div (20·T·tf + 6·T + 18·len·N)
+    with idf_micro = round(ln((N−df+0.5)/(df+0.5)+1)·1e6) — one scalar
+    ln per TERM (engines agree), then integer-only arithmetic, so the
+    per-doc sum is an exact bigint at any merge order. int64 headroom:
+    44·T·idf_micro·tf needs T·tf ≲ 2×10¹¹ — lift the two products to
+    DECIMAL(38,0) past ~10⁹ corpus tokens.
+
+    Scale: the token stream is filtered to the |terms| query terms
+    BEFORE the (id, term) aggregation, so the shuffle carries only
+    matching postings; df/N/T are census-sized broadcasts.
+
+    Returns (id, n_matched, bm25_micro) for documents matching ≥1 term.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("len"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    stats = df.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("bigint").alias("t_tokens"),
+    )
+    tfq = (
+        toks.where(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("c"), F.first("len").cast("bigint").alias("len"))
+    )
+    dfq = tfq.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("bigint")
+    scored = (
+        tfq.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (F.lit(44) * F.col("t_tokens") * idf_micro * F.col("c")).alias("num"),
+            (
+                F.lit(20) * F.col("t_tokens") * F.col("c")
+                + F.lit(6) * F.col("t_tokens")
+                + F.lit(18) * F.col("len") * F.col("n_docs")
+            ).alias("den"),
+        )
+        .withColumn("score_micro", F.expr("num div den"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_matched"),
+        F.sum("score_micro").alias("bm25_micro"),
+    )

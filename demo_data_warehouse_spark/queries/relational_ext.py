@@ -3797,3 +3797,68 @@ def scan_agg_pushdown(spark, sf_dir):
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@query(
+    "fn_winsorize",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    b AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo_cents,
+             MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi_cents
+      FROM c GROUP BY event_type)
+    SELECT c.event_type, b.lo_cents, b.hi_cents,
+           CAST(SUM(CASE WHEN c.cents < b.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(SUM(CASE WHEN c.cents > b.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(SUM(LEAST(GREATEST(c.cents, b.lo_cents), b.hi_cents)) AS BIGINT)
+             AS winsorized_sum_cents
+    FROM c JOIN b USING (event_type)
+    GROUP BY c.event_type, b.lo_cents, b.hi_cents
+    """,
+)
+def fn_winsorize(spark, sf_dir):
+    """Winsorization — clip each group's tail values to exact discrete
+    p05/p95 boundaries (rn = ⌈n/20⌉ / ⌈19n/20⌉, INTEGER ceiling
+    division: no float percentile formula to diverge between engines),
+    the robust-statistics answer to outliers that deletion (quarantine)
+    and MAD-fencing (ts_mad_outlier) bracket. Integer cents end to end;
+    boundaries come from one windowed pass, the clip from a broadcast
+    of the 5-row bounds table."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    c = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    b = c.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    clipped = ev.join(F.broadcast(b), "event_type")
+    return clipped.groupBy("event_type", "lo_cents", "hi_cents").agg(
+        F.sum(F.when(F.col("cents") < F.col("lo_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum(F.when(F.col("cents") > F.col("hi_cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")))
+        .cast("bigint")
+        .alias("winsorized_sum_cents"),
+    )

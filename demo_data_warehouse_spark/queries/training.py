@@ -2409,3 +2409,49 @@ def embed_random_projection(spark, sf_dir):
     return similarity.random_projection(
         emb, "vec_id", "embedding", dim=64, k=8, seed=7, scale=1e4
     ).select(F.col("id").alias("vec_id"), "proj")
+
+
+@query(
+    "text_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS len,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
+      FROM documents),
+    tfq AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(MIN(len) AS BIGINT) AS len
+      FROM toks WHERE term IN ('vector', 'merge', 'stream', 'window')
+      GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+    idf AS (
+      SELECT term, df,
+             CAST(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0)
+                  AS BIGINT) AS idf_micro
+      FROM dfq, stats),
+    scored AS (
+      SELECT tfq.doc_id,
+             (44 * t_tokens * idf_micro * c)
+               // (20 * t_tokens * c + 6 * t_tokens + 18 * len * n_docs)
+               AS score_micro
+      FROM tfq JOIN idf USING (term), stats)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 ranking for a fixed 4-term query — sparse retrieval scoring
+    (search / RAG indexing), the lexical complement of ann_cosine_topk.
+    Fraction-cleared integer arithmetic end to end (operators/text.py::
+    bm25_score): one scalar ln per term, then pure int64 — the per-doc
+    sum is exact at any merge order; postings are filtered to the query
+    terms before the shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return text.bm25_score(
+        docs, "doc_id", "text", ["vector", "merge", "stream", "window"]
+    )
