@@ -552,3 +552,95 @@ def random_projection(
         for p in planes
     ]
     return df.select(F.col(id_col).alias("id"), F.array(*vals).alias("proj"))
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    scale: float = 1e6,
+    shift: int = 10_000_000,
+) -> DataFrame:
+    """Exact distributed Lloyd k-means in fixed point — bit-reproducible
+    under any partitioning, where float k-means (including MLlib's) is
+    merge-order-dependent from the first centroid update.
+
+    Determinism contract:
+      - coordinates quantized to micro-units THEN shifted non-negative
+        (x = round(v·1e6) + shift; distances are translation-invariant,
+        and all-positive sums make integer floor division identical in
+        every engine — truncation vs floor never diverges);
+      - seeds = the k vectors with smallest (md5(id), id) — portable;
+      - assignment = argmin of exact integer squared distance, ties to
+        the smallest centroid id (lexicographic (d², cid) min);
+      - update = per-component floor(sum/count) in exact integers.
+
+    Scale: assignment is a narrow map against k broadcast centroid
+    literals (constant-folded); the update aggregates d per-component
+    sums map-side — shuffle is k·d partials per partition, never the
+    vectors. Per iteration the driver collects exactly k rows (k·d
+    ints) to fold into the next round's literals — the same bounded
+    driver role as ivf_train_centroids, facts never collected.
+
+    Returns (id, cluster, d2) for the FINAL assignment.
+    """
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, v -> cast(round(cast(v as double) * {scale!r}) as bigint)"
+            f" + {shift}L)"
+        ).alias("x"),
+    )
+    seeds = (
+        q.orderBy(F.md5(F.col("id").cast("string")), "id").limit(k).collect()
+    )
+    cents = [list(r["x"]) for r in seeds]  # cid j = list index
+
+    def assign(frame, centroids):
+        d2s = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"),
+                    F.array(*[F.lit(int(c)) for c in cj]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            for cj in centroids
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(d2.alias("d2"), F.lit(j).cast("bigint").alias("cluster"))
+                    for j, d2 in enumerate(d2s)
+                ]
+            )
+        )
+        return frame.select(
+            "id", "x", best.getField("cluster").alias("cluster"), best.getField("d2").alias("d2")
+        )
+
+    for _ in range(iters):
+        assigned = assign(q, cents)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[
+                    F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters keep their centroid
+        for r in stats:
+            j = int(r["cluster"])
+            new_cents[j] = [int(r[f"s{i}"]) // int(r["cnt"]) for i in range(dim)]
+        cents = new_cents
+
+    return assign(q, cents).select("id", "cluster", "d2")

@@ -2455,3 +2455,68 @@ def text_bm25(spark, sf_dir):
     return text.bm25_score(
         docs, "doc_id", "text", ["vector", "merge", "stream", "window"]
     )
+
+
+def _duck_kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of kmeans_fixed: same quantization/shift, same
+    md5-seeded centroids, same integer argmin (ties to smallest cid),
+    same floor-division centroid updates — unrolled `iters` rounds plus
+    the final assignment. Empty clusters carry the previous centroid
+    (COALESCE against the prior round)."""
+    head = f"""
+    q AS (
+      SELECT vec_id AS id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> CAST(ROUND(v * 1000000.0) AS BIGINT) + 10000000) AS x
+      FROM embeddings),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid, x
+      FROM q
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) <= {k})"""
+    stages = [head]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        a, s, c = f"a{it}", f"s{it}", f"c{it}"
+        stages.append(f"""
+    {a} AS (
+      SELECT q.id, q.x, c.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i]))) AS d2
+      FROM q CROSS JOIN {prev} c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY d2, c.cid) = 1),
+    {s} AS (
+      SELECT cid, i, SUM(x[i]) AS s, COUNT(*) AS cnt
+      FROM {a}, (SELECT unnest(range(1, {dim + 1})) AS i)
+      GROUP BY cid, i),
+    {c} AS (
+      SELECT o.cid,
+             COALESCE(n.x, o.x) AS x
+      FROM {prev} o LEFT JOIN (
+        SELECT cid, list(CAST(s // cnt AS BIGINT) ORDER BY i) AS x
+        FROM {s} GROUP BY cid) n USING (cid))""")
+        prev = c
+    final = f"""
+    SELECT q.id, CAST(c.cid AS BIGINT) AS cluster, CAST(
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i]))) AS BIGINT) AS d2
+    FROM q CROSS JOIN {prev} c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+      list_sum(list_transform(range(1, {dim + 1}),
+        i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i]))), c.cid) = 1"""
+    return "WITH " + ",".join(stages) + final
+
+
+@query("embed_kmeans", oracle=_duck_kmeans_oracle())
+def embed_kmeans(spark, sf_dir):
+    """Exact distributed Lloyd k-means (k=8, 2 update rounds + final
+    assignment) — the full iterative-ML shape, bit-reproducible under
+    any partitioning (operators/similarity.py::kmeans_fixed: integer
+    micro-unit coordinates shifted non-negative, md5-seeded init,
+    lexicographic (d², cid) argmin, floor-division updates; per
+    iteration the driver folds exactly k×d ints into broadcast
+    literals, facts never collected). The oracle unrolls both rounds
+    in SQL — centroids, assignments and distances replay bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_fixed(
+        emb, "vec_id", "embedding", dim=64, k=8, iters=2
+    ).select(F.col("id").alias("id"), "cluster", "d2")

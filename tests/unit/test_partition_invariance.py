@@ -27,6 +27,7 @@ QUERIES = [
     "agg_kll_quantile",
     "agg_theta_setops",
     "sample_temperature",
+    "embed_kmeans",
 ]
 
 
