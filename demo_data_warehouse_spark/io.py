@@ -573,6 +573,45 @@ class SnapshotLog:
             reader = reader.option("mergeSchema", True)
         return reader.parquet(*[os.path.join(self.root, f) for f in files])
 
+    def clone(self, dest_root: str, version: int | None = None) -> "SnapshotLog":
+        """Zero-copy SHALLOW CLONE (the Delta/Iceberg analog): the
+        clone's v0 manifest references the source version's data files
+        by absolute path — one O(#files) metadata write, no data read
+        or copied, so cloning a 100 TB table costs the same as a 100 MB
+        one. The clone then evolves independently: its own commits land
+        under its own root; the source never sees them (and vice
+        versa). This is what makes dev/test sandboxes and experiment
+        branches free on a lakehouse.
+
+        Hazard (same as Delta): vacuum() on the SOURCE does not know
+        about clone references and can orphan the clone's files —
+        sever with a deep copy (dest.commit(dest.read())) first.
+        """
+        existing = self.versions()
+        if not existing:
+            raise FileNotFoundError(f"no commits under {self.root}")
+        if version is None:
+            version = existing[-1]
+        if version not in existing:
+            raise FileNotFoundError(f"version {version} not in {existing}")
+        dest = SnapshotLog(self.spark, dest_root)
+        if dest.versions():
+            raise FileExistsError(f"clone target {dest_root} already has commits")
+        abs_files = [
+            f if os.path.isabs(f) else os.path.join(self.root, f)
+            for f in self._manifest(version)["files"]
+        ]
+        dest._publish(
+            {
+                "version": 0,
+                "mode": "clone",
+                "files": abs_files,
+                "source": self.root,
+                "source_version": version,
+            }
+        )
+        return dest
+
     # -- maintenance ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:

@@ -712,3 +712,64 @@ def maintenance_file_stats(spark, sf_dir):
         F.col("min_v").alias("min_cents"),
         F.col("max_v").alias("max_cents"),
     )
+
+
+@query(
+    "maintenance_clone",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 0
+    ), clone_delta AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 1 AND event_type = 'click'
+    ), source_delta AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 1 AND event_type = 'view'
+    )
+    SELECT 'source' AS origin, event_id, event_type, cents FROM base
+    UNION ALL
+    SELECT 'source', event_id, event_type, cents FROM source_delta
+    UNION ALL
+    SELECT 'clone', event_id, event_type, cents FROM base
+    UNION ALL
+    SELECT 'clone', event_id, event_type, cents FROM clone_delta
+    """,
+)
+def maintenance_clone(spark, sf_dir):
+    """Zero-copy SHALLOW CLONE (io.py::SnapshotLog.clone — the
+    dev-sandbox / experiment-branch verb of the lakehouse family):
+    clone a committed snapshot by manifest reference (no data copied),
+    then append DIFFERENT deltas to clone and source and read both
+    back. Isolation is the hash contract: a clone whose commits bleed
+    into the source (or vice versa) changes the per-origin row sets.
+    At 100 TB the clone costs one O(#files) manifest write."""
+    from ..io import SnapshotLog
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 2 == 0)
+    src = SnapshotLog(spark, scratch_dir("clone_src"))
+    src.commit(base)
+    dup = src.clone(scratch_dir("clone_dst"))
+    dup.commit(
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("event_type") == "click")),
+        mode="append",
+    )
+    src.commit(
+        ev.where((F.col("event_id") % 2 == 1) & (F.col("event_type") == "view")),
+        mode="append",
+    )
+    return (
+        src.read().select(F.lit("source").alias("origin"), "event_id", "event_type", "cents")
+        .unionAll(
+            dup.read().select(F.lit("clone").alias("origin"), "event_id", "event_type", "cents")
+        )
+    )

@@ -106,3 +106,38 @@ def test_append_with_added_column_merge_schema(spark, log):
     rows = {r.k: r.extra for r in got.collect()}
     assert len(rows) == 8
     assert rows[6] == 60 and rows[0] is None  # old files surface NULLs
+
+
+def test_shallow_clone_is_isolated_and_zero_copy(spark, log):
+    log.commit(_df(spark, 0, 5))
+    dst_root = scratch_dir("snaplog_clone_t")
+    try:
+        dup = log.clone(dst_root)
+        # zero-copy: no parquet written under the clone root
+        assert SnapshotLog._data_files(dst_root) == []
+        assert sorted(r.k for r in dup.read().collect()) == list(range(5))
+        # independent evolution in both directions
+        dup.commit(_df(spark, 10, 12), mode="append")
+        log.commit(_df(spark, 20, 21), mode="append")
+        assert sorted(r.k for r in dup.read().collect()) == [0, 1, 2, 3, 4, 10, 11]
+        assert sorted(r.k for r in log.read().collect()) == [0, 1, 2, 3, 4, 20]
+        # clone pins its source version: a later source commit is invisible
+        assert 20 not in {r.k for r in dup.read().collect()}
+        with pytest.raises(FileExistsError):
+            log.clone(dst_root)
+    finally:
+        shutil.rmtree(dst_root, ignore_errors=True)
+
+
+def test_clone_survives_source_vacuum_after_deep_copy(spark, log):
+    log.commit(_df(spark, 0, 3))
+    dst_root = scratch_dir("snaplog_clone_v")
+    try:
+        dup = log.clone(dst_root)
+        dup.commit(dup.read())  # deep copy severs the file references
+        log.commit(_df(spark, 0, 1))
+        log.commit(_df(spark, 1, 2))
+        log.vacuum(keep_last=1)  # drops the cloned-from version's files
+        assert sorted(r.k for r in dup.read().collect()) == [0, 1, 2]
+    finally:
+        shutil.rmtree(dst_root, ignore_errors=True)
