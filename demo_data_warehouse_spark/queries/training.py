@@ -2520,3 +2520,77 @@ def embed_kmeans(spark, sf_dir):
     return similarity.kmeans_fixed(
         emb, "vec_id", "embedding", dim=64, k=8, iters=2
     ).select(F.col("id").alias("id"), "cluster", "d2")
+
+
+def _duck_logreg_oracle(dim: int = 64, iters: int = 2) -> str:
+    """DuckDB replay of logreg_gd_fixed: same quantization, same frozen
+    residuals, same exact integer gradients, same floor-division
+    updates — unrolled `iters` rounds plus the integer-sign accuracy."""
+    head = f"""
+    e AS (
+      SELECT vec_id AS id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               v -> CAST(ROUND(v * 1000000.0) AS BIGINT)) AS x,
+             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    w0 AS (SELECT unnest(range({dim})) AS j, CAST(0 AS BIGINT) AS w),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
+    stages = [head]
+    prev_w, prev_b = "w0", "b0"
+    for it in range(1, iters + 1):
+        wl, r, g, wn, bn = f"wl{it}", f"r{it}", f"g{it}", f"w{it}", f"b{it}"
+        stages.append(f"""
+    {wl} AS (SELECT list(w ORDER BY j) AS wl FROM {prev_w}),
+    {r} AS (
+      SELECT e.id, e.x, e.y,
+             CAST(ROUND((1.0 / (1.0 + exp(-(
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                 i -> e.x[i] * wl[i])) AS DOUBLE) / 1000000000000.0
+               + CAST(b AS DOUBLE) / 1000000.0))) - e.y) * 1000000.0) AS BIGINT)
+               AS r
+      FROM e, {wl}, {prev_b}),
+    {g} AS (
+      SELECT j, SUM(r * x[j + 1]) AS gj
+      FROM {r}, (SELECT unnest(range({dim})) AS j)
+      GROUP BY j),
+    {wn} AS (
+      SELECT w.j, w.w - CAST(gj // (2 * n * 1000000) AS BIGINT) AS w
+      FROM {prev_w} w JOIN {g} USING (j), nn),
+    {bn} AS (
+      SELECT b - CAST((SELECT SUM(r) FROM {r}) // (2 * n) AS BIGINT) AS b
+      FROM {prev_b}, nn)""")
+        prev_w, prev_b = wn, bn
+    final = f"""
+    , wlf AS (SELECT list(w ORDER BY j) AS wl FROM {prev_w}),
+    acc AS (
+      SELECT CAST(SUM(CASE WHEN
+               ((list_sum(list_transform(range(1, {dim + 1}),
+                  i -> e.x[i] * wl[i])) + b * 1000000) >= 0) = (e.y = 1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM e, wlf, {prev_b})
+    SELECT CAST(j AS BIGINT) AS j, CAST(w AS BIGINT) AS w_micro FROM {prev_w}
+    UNION ALL
+    SELECT {dim}, b FROM {prev_b}
+    UNION ALL
+    SELECT {dim + 1}, n_correct FROM acc"""
+    return "WITH " + ",".join(stages) + final
+
+
+@query("ml_logreg_gd", oracle=_duck_logreg_oracle())
+def ml_logreg_gd(spark, sf_dir):
+    """Exact distributed logistic-regression training (2 full-batch
+    gradient steps, η=0.5, y = label parity) — the in-pipeline
+    classifier fit behind learned quality filters
+    (operators/ml.py::logreg_gd_fixed). Residuals are frozen to
+    micro-units per ROW before any sum, so gradients are exact int64
+    at any merge order and the fitted weights — and the integer-sign
+    training accuracy — replay bit-for-bit in the unrolled oracle.
+    Per iteration the driver folds d+1 ints into broadcast literals;
+    facts never collected."""
+    from ..operators.ml import logreg_gd_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    return logreg_gd_fixed(
+        emb, "vec_id", "embedding", F.col("label") % 2, dim=64, iters=2
+    )

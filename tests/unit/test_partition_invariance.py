@@ -28,6 +28,7 @@ QUERIES = [
     "agg_theta_setops",
     "sample_temperature",
     "embed_kmeans",
+    "ml_logreg_gd",
 ]
 
 
