@@ -414,3 +414,55 @@ def dq_volume_anomaly(spark, sf_dir):
             "is_anomaly"
         ),
     )
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS n_null_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+             WHERE event_type = 'purchase') AS n_purchases
+    FROM events
+    """,
+)
+def dq_observe_metrics(spark, sf_dir):
+    """Pipeline-embedded metrics via the Observation API: the DQ
+    aggregates ride the SAME pass as the main job (here a filtered
+    noop publish), so at 100 TB input profiling costs zero extra scans
+    — the always-on alternative to dq_profile's dedicated audit. The
+    observed values are exact integer/count aggregates, returned as a
+    one-row frame and hash-gated like any query."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        F.max(F.round(F.col("value") * 100).cast("bigint")).alias("max_cents"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    # the "main job": publish the purchase slice; metrics describe the
+    # full input and materialize as a side effect of this one action
+    observed.where(F.col("event_type") == "purchase").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_value"]),
+                int(m["sum_cents"]),
+                int(m["max_cents"]),
+                int(m["n_purchases"]),
+            )
+        ],
+        "n_rows bigint, n_null_value bigint, sum_cents bigint, max_cents bigint,"
+        " n_purchases bigint",
+    )

@@ -746,3 +746,106 @@ def ts_vwap(spark, sf_dir):
             F.expr("CAST(sum_pq * 100 DIV sum_q AS BIGINT)").alias("vwap_micro"),
         )
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+    bounds AS (
+      SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM daily),
+    spine AS (
+      SELECT u.user_id, CAST(d.d AS BIGINT) AS day_num
+      FROM (SELECT DISTINCT user_id FROM daily) u,
+           (SELECT unnest(range((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds) + 1)) AS d) d),
+    j AS (
+      SELECT s.user_id, s.day_num, daily.cents,
+             last_value(CASE WHEN daily.cents IS NOT NULL THEN s.day_num END
+               IGNORE NULLS) OVER w_prev AS d_prev,
+             last_value(daily.cents IGNORE NULLS) OVER w_prev AS v_prev,
+             first_value(CASE WHEN daily.cents IS NOT NULL THEN s.day_num END
+               IGNORE NULLS) OVER w_next AS d_next,
+             first_value(daily.cents IGNORE NULLS) OVER w_next AS v_next
+      FROM spine s LEFT JOIN daily
+        ON s.user_id = daily.user_id AND s.day_num = daily.day_num
+      WINDOW
+        w_prev AS (PARTITION BY s.user_id ORDER BY s.day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY s.user_id ORDER BY s.day_num
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day_num,
+           CASE WHEN cents IS NOT NULL THEN cents
+                WHEN d_prev IS NOT NULL AND d_next IS NOT NULL THEN
+                  CAST((v_prev * (d_next - day_num) + v_next * (day_num - d_prev))
+                       // (d_next - d_prev) AS BIGINT)
+                ELSE NULL END AS cents_filled,
+           CASE WHEN cents IS NOT NULL THEN 'actual'
+                WHEN d_prev IS NOT NULL AND d_next IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src
+    FROM j
+    """,
+)
+def ts_interpolate(spark, sf_dir):
+    """Linear gap interpolation — the value-filling upgrade of
+    agg_gap_fill's zero-fill: each user's missing days take the exact
+    integer lerp between neighboring present days,
+    (v_prev·(d_next−d) + v_next·(d−d_prev)) div (d_next−d_prev) — all
+    non-negative cents, so floor division is engine-uniform and no
+    float interpolation formula can drift. Edges (before first / after
+    last observation) stay NULL and are tagged 'edge'. One shuffle on
+    user_id; the spine is |users|×|days| (activity-horizon-bounded,
+    never event-scale)."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    daily = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    bounds = daily.agg(F.min("day_num").alias("lo"), F.max("day_num").alias("hi"))
+    spine = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day_num"))
+    )
+    j = spine.join(daily, ["user_id", "day_num"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_day = F.when(F.col("cents").isNotNull(), F.col("day_num"))
+    j = j.select(
+        "user_id",
+        "day_num",
+        "cents",
+        F.last(present_day, ignorenulls=True).over(w_prev).alias("d_prev"),
+        F.last("cents", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.first(present_day, ignorenulls=True).over(w_next).alias("d_next"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("v_next"),
+    )
+    interp_ok = F.col("d_prev").isNotNull() & F.col("d_next").isNotNull()
+    lerp = F.expr(
+        "(v_prev * (d_next - day_num) + v_next * (day_num - d_prev))"
+        " div (d_next - d_prev)"
+    )
+    return j.select(
+        "user_id",
+        "day_num",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(interp_ok, lerp)
+        .alias("cents_filled"),
+        F.when(F.col("cents").isNotNull(), F.lit("actual"))
+        .when(interp_ok, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("src"),
+    )
