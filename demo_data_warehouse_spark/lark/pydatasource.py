@@ -61,3 +61,72 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> PagedApiReader:
         return PagedApiReader(self.options)
+
+
+class PagedApiStreamReader:
+    """Resumable STREAMING cursor over the same paginated API — the
+    reference's 5-minute incremental pull (dags/ingestion/
+    lark_to_gcs.py:101 + the Airflow-Variable watermark at :43-70)
+    re-expressed as a Spark streaming source: the page cursor IS the
+    stream offset, persisted in the checkpoint instead of an external
+    state doc, so every restart resumes exactly where the last drain
+    stopped (crash-safe, no duplicate pages, no skipped pages).
+
+    SimpleDataSourceStreamReader contract: initialOffset → {"page": 0};
+    each micro-batch reads `pages_per_batch` pages and advances the
+    offset; past `n_pages` the reader returns empty batches (a real
+    deployment would block on the API's has_more flag instead).
+    """
+
+    def __init__(self, options):
+        self.n_pages = int(options.get("n_pages", 50))
+        self.page_size = int(options.get("page_size", 20))
+        self.pages_per_batch = int(options.get("pages_per_batch", 1))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def read(self, start):
+        first = int(start["page"])
+        last = min(first + self.pages_per_batch, self.n_pages)
+        rows = [
+            row for p in range(first, last) for row in _fetch_page(p, self.page_size)
+        ]
+        return iter(rows), {"page": last}
+
+    def readBetweenOffsets(self, start, end):
+        # replay a committed batch (failure recovery path)
+        rows = [
+            row
+            for p in range(int(start["page"]), int(end["page"]))
+            for row in _fetch_page(p, self.page_size)
+        ]
+        return iter(rows)
+
+
+def _simple_stream_reader_base():
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    return SimpleDataSourceStreamReader
+
+
+class PagedApiStreamingDataSource(DataSource):
+    """Streaming twin of PagedApiDataSource (format 'paged_api_stream')."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api_stream"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema):
+        base = _simple_stream_reader_base()
+
+        # PagedApiStreamReader FIRST in the MRO: the API base class
+        # defines raising initialOffset/read stubs that must not win
+        class _Reader(PagedApiStreamReader, base):
+            def __init__(self, options):
+                PagedApiStreamReader.__init__(self, options)
+
+        return _Reader(self.options)

@@ -787,3 +787,49 @@ def stream_dedup_watermark(spark, sf_dir):
     sink = fresh_name("stream_dedup_wm")
     run_available_now(deduped, memory_table=sink, output_mode="append")
     return spark.table(sink)
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT record_id,
+           CAST(record_id // 20 AS BIGINT) AS page_id,
+           CASE record_id % 3 WHEN 0 THEN 'active' WHEN 1 THEN 'inactive'
+                ELSE 'pending' END AS status,
+           CAST((record_id * 2654435761) % 100000 AS BIGINT) AS amount_cents
+    FROM range(0, 120) t(record_id)
+    """,
+)
+def stream_python_datasource(spark, sf_dir):
+    """The reference's 5-minute incremental API pull as a REAL streaming
+    source (lark/pydatasource.py::PagedApiStreamingDataSource): the page
+    cursor is the stream offset, persisted in the checkpoint — each
+    drain advances it, and every restart resumes exactly where the last
+    stopped (the Airflow-Variable watermark of
+    dags/ingestion/lark_to_gcs.py:43-70, made crash-safe and
+    exactly-once by Spark's offset log instead of a hand-rolled state
+    doc). Three restarts × one 2-page batch each drain pages 0-5 into a
+    parquet sink; the oracle replays the page arithmetic — duplicate or
+    skipped pages after any restart break the hash."""
+    from ..lark.pydatasource import PagedApiStreamingDataSource
+
+    spark.dataSource.register(PagedApiStreamingDataSource)
+    ckpt = scratch_dir("pyds_stream_ckpt")
+    out = scratch_dir("pyds_stream_out")
+    for _ in range(3):
+        df = (
+            spark.readStream.format("paged_api_stream")
+            .option("n_pages", 10)
+            .option("page_size", 20)
+            .option("pages_per_batch", 2)
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)
