@@ -119,3 +119,94 @@ def logreg_gd_fixed(
         (dim + 1, n_correct),
     ]
     return spark.createDataFrame(rows, "j bigint, w_micro bigint")
+
+
+def naive_bayes_fixed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact multinomial Naive Bayes (add-one smoothing), trained and
+    scored in-engine — the classical corpus classifier (language ID,
+    topic routing, spam filtering) behind learned quality filters.
+
+    Exactness contract (the reason this can be hash-gated where MLlib's
+    NaiveBayes cannot): every log-probability is a SCALAR ln of a
+    rational frozen to micro-units per (label, term) —
+        logp_micro = round(ln((c_lt + 1)/(T_l + V))·1e6),
+        prior_micro = round(ln(N_l / N)·1e6)
+    — and a document's score is prior + Σ tf·logp, a pure int64 sum:
+    exact at any merge order, so the argmax (ties → smallest label) is
+    deterministic and engine-portable.
+
+    Scale: training is the (label, term) census — the word-count shape,
+    map-side combined; the smoothed |labels|×|vocab| grid is broadcast;
+    scoring joins each (doc, term) posting to |labels| grid rows, so
+    the shuffle carries postings×|labels|, never docs×vocab.
+
+    Returns the confusion matrix (true_label, pred_label, n_docs).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("true_label"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("id", "true_label", "term").agg(F.count("*").alias("tf"))
+    # training censuses
+    c_lt = toks.groupBy(F.col("true_label").alias("label"), "term").agg(
+        F.count("*").alias("c")
+    )
+    t_l = c_lt.groupBy("label").agg(F.sum("c").alias("t"))
+    vocab = toks.select("term").distinct()
+    v = vocab.count()
+    n_l = df.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("n_l"))
+    n = df.count()
+    prior = n_l.select(
+        "label",
+        F.round(F.log(F.col("n_l").cast("double") / F.lit(float(n))) * 1e6)
+        .cast("bigint")
+        .alias("prior_micro"),
+    )
+    # complete smoothed grid: every (label, term), unseen pairs c=0
+    grid = (
+        t_l.crossJoin(vocab)
+        .join(c_lt, ["label", "term"], "left")
+        .select(
+            "label",
+            "term",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("t") + F.lit(v)).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(grid), "term")
+        .groupBy("id", "true_label", "label")
+        .agg(F.sum(F.col("tf") * F.col("logp_micro")).alias("ll"))
+        .join(F.broadcast(prior), "label")
+        .select(
+            "id",
+            "true_label",
+            "label",
+            (F.col("ll") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    # argmax score = argmin (-score, label): a window-free groupBy over
+    # the |labels|-wide struct min — ties break to the smallest label
+    pred = (
+        scores.groupBy("id", "true_label")
+        .agg(
+            F.min(F.struct((-F.col("score_micro")).alias("neg"), F.col("label"))).alias(
+                "b"
+            )
+        )
+        .select("id", "true_label", F.col("b.label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(F.count("*").alias("n_docs"))

@@ -2594,3 +2594,60 @@ def ml_logreg_gd(spark, sf_dir):
     return logreg_gd_fixed(
         emb, "vec_id", "embedding", F.col("label") % 2, dim=64, iters=2
     )
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, lang AS true_label,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT id, true_label, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY id, true_label, term),
+    c_lt AS (SELECT true_label AS label, term, CAST(COUNT(*) AS BIGINT) AS c
+             FROM toks GROUP BY true_label, term),
+    t_l AS (SELECT label, SUM(c) AS t FROM c_lt GROUP BY label),
+    vocab AS (SELECT DISTINCT term FROM toks),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    n_l AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS nl
+            FROM documents GROUP BY lang),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    prior AS (
+      SELECT label,
+             CAST(ROUND(ln(CAST(nl AS DOUBLE) / n) * 1000000.0) AS BIGINT)
+               AS prior_micro
+      FROM n_l, nn),
+    grid AS (
+      SELECT t_l.label, vocab.term,
+             CAST(ROUND(ln(CAST(COALESCE(c_lt.c, 0) + 1 AS DOUBLE)
+                           / (t_l.t + vv.v)) * 1000000.0) AS BIGINT)
+               AS logp_micro
+      FROM t_l CROSS JOIN vocab
+      LEFT JOIN c_lt ON c_lt.label = t_l.label AND c_lt.term = vocab.term, vv),
+    scores AS (
+      SELECT tf.id, tf.true_label, g.label,
+             SUM(tf.tf * g.logp_micro) + ANY_VALUE(p.prior_micro) AS score_micro
+      FROM tf JOIN grid g USING (term) JOIN prior p ON p.label = g.label
+      GROUP BY tf.id, tf.true_label, g.label),
+    pred AS (
+      SELECT id, true_label, label AS pred_label
+      FROM scores
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                ORDER BY score_micro DESC, label) = 1)
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY true_label, pred_label
+    """,
+)
+def ml_naive_bayes(spark, sf_dir):
+    """Exact multinomial Naive Bayes language classifier, trained and
+    scored in-engine on the documents corpus (operators/ml.py::
+    naive_bayes_fixed): add-one-smoothed per-(label, term)
+    log-probabilities frozen to micro-units (one scalar ln each), doc
+    scores as pure int64 sums, argmax ties to the smallest label —
+    fully hash-gated where a float NB never could be. Output is the
+    resubstitution confusion matrix."""
+    from ..operators.ml import naive_bayes_fixed
+
+    docs = table(spark, sf_dir, "documents")
+    return naive_bayes_fixed(docs, "doc_id", "text", "lang")
