@@ -243,3 +243,49 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Dat
         .unionAll(closed.select(F.col("w").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_distances(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seed: int,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source BFS (hop distances) over an undirected edge list —
+    the traversal primitive beside connected_components (labeling),
+    pagerank_fixed (scoring) and triangle_counts (motifs): "how far is
+    every record from this seed" powers blast-radius analysis of a
+    contaminated document, link-distance features, and cluster
+    diagnostics.
+
+    Fixed `max_hops` rounds of distance relaxation: dist ← min(dist,
+    min_neighbor(dist)+1), each round one equi-join on the edge key +
+    one min-groupBy — never a cross product; lineage truncated per
+    round (same localCheckpoint contract as connected_components).
+    Deterministic by construction (min over exact ints, fixed round
+    count). Returns (id, dist) for vertices within max_hops.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+    # materialize the edge list once: every relaxation round joins it,
+    # and an expensive upstream (LSH candidate generation) would
+    # otherwise re-run per round
+    sym = sym.localCheckpoint(eager=True)
+    dist = (
+        vertices.select(F.col(vertices.columns[0]).alias("id"))
+        .where(F.col("id") == seed)
+        .select("id", F.lit(0).cast("bigint").alias("dist"))
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(sym, dist["id"] == sym["u"])
+            .select(F.col("v").alias("id"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = relaxed.localCheckpoint(eager=True)
+    return dist

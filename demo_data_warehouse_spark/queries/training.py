@@ -2651,3 +2651,32 @@ def ml_naive_bayes(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return naive_bayes_fixed(docs, "doc_id", "text", "lang")
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MINHASH_EDGES},
+    seed AS (SELECT MIN(src) AS s FROM sym),
+    paths(id, dist) AS (
+      SELECT s, 0 FROM seed
+      UNION ALL
+      SELECT e.dst, p.dist + 1
+      FROM sym e JOIN paths p ON e.src = p.id
+      WHERE p.dist < 3
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM paths GROUP BY id
+    """,
+)
+def graph_bfs_distance(spark, sf_dir):
+    """Single-source BFS over the minhash near-dup graph: hop distance
+    from the smallest paired document to everything within 3 hops —
+    the blast-radius question ("what else transitively resembles this
+    contaminated doc?") asked after any dedup/contamination hit
+    (operators/graph.py::bfs_distances: fixed relaxation rounds, one
+    edge-key equi-join each). The oracle replays it as a bounded
+    recursive CTE over the identical portable-hash pairs."""
+    docs, edges = _minhash_edges(spark, sf_dir)
+    seed = int(edges.agg(F.min("src").alias("s")).collect()[0]["s"])
+    return graph.bfs_distances(docs.select("doc_id"), edges, seed, max_hops=3)
