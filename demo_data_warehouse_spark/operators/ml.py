@@ -210,3 +210,77 @@ def naive_bayes_fixed(
         .select("id", "true_label", F.col("b.label").alias("pred_label"))
     )
     return pred.groupBy("true_label", "pred_label").agg(F.count("*").alias("n_docs"))
+
+
+def dbscan_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.35,
+    min_pts: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN) over an embedding corpus with
+    cosine similarity — cluster discovery that, unlike k-means, needs
+    no k, finds arbitrary-shaped clusters, and labels sparse points as
+    NOISE (the property that matters for corpus curation: dense blobs
+    are templates/near-dup families, noise is the long tail you keep).
+
+    Neighborhood = exact cosine > threshold, candidates restricted to
+    banded sign-LSH buckets (operators/dedup.py::embed_cosine_pairs_lsh
+    — equi-join on (band, bucket), never |n|²; recall for true
+    near-dups ≈ 0.998, the documented LSH contract). From the verified
+    pair graph everything is exact and deterministic:
+      core    := ≥ min_pts neighbors (incl. self);
+      cluster := connected component of the core-core subgraph
+                 (min-label propagation, operators/graph.py);
+      border  := non-core with ≥1 core neighbor → smallest core
+                 neighbor's cluster;
+      noise   := the rest (cluster NULL).
+
+    Scale: pair generation is the LSH equi-join; everything after runs
+    on the PAIR graph (dedup-scale, not corpus-scale). Returns
+    (id, role ∈ core|border|noise, cluster nullable).
+    """
+    from . import dedup as dedup_ops
+    from . import graph as graph_ops
+
+    pairs = dedup_ops.embed_cosine_pairs_lsh(
+        df, id_col, vec_col, threshold=threshold, dim=dim,
+        bands=bands, rows_per_band=rows_per_band,
+    )
+    sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    core = deg.where(F.col("deg") + 1 >= min_pts).select("id")
+    core_edges = (
+        sym.join(core.select(F.col("id").alias("u")), "u")
+        .join(core.select(F.col("id").alias("v")), "v")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    comps = graph_ops.connected_components(core, core_edges)  # (id, comp)
+    border = (
+        sym.join(core.select(F.col("id").alias("u")), "u", "left_anti")
+        .join(comps.select(F.col("id").alias("v"), "comp"), "v")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("comp").alias("comp"))
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    noise = (
+        all_ids.join(comps.select("id"), "id", "left_anti")
+        .join(border.select("id"), "id", "left_anti")
+        .select("id", F.lit(None).cast("bigint").alias("comp"), F.lit("noise").alias("role"))
+    )
+    return (
+        comps.select("id", "comp", F.lit("core").alias("role"))
+        .unionByName(border.select("id", "comp", F.lit("border").alias("role")))
+        .unionByName(noise)
+        .select(
+            F.col("id"),
+            F.col("role"),
+            F.col("comp").cast("bigint").alias("cluster"),
+        )
+    )

@@ -2680,3 +2680,81 @@ def graph_bfs_distance(spark, sf_dir):
     docs, edges = _minhash_edges(spark, sf_dir)
     seed = int(edges.agg(F.min("src").alias("s")).collect()[0]["s"])
     return graph.bfs_distances(docs.select("doc_id"), edges, seed, max_hops=3)
+
+
+def _duck_dbscan_oracle(
+    threshold: float = 0.35, dim: int = 64, bands: int = 8,
+    rows_per_band: int = 4, min_pts: int = 3,
+) -> str:
+    """DuckDB replay of ml.dbscan_lsh: identical planes → identical
+    candidates → identical verified neighbor graph → exact core/border/
+    noise classification and min-label core components."""
+    planes = _sign_planes(bands * rows_per_band, dim)
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {j} AS band_id, "
+        + _duck_sign_bucket(planes[j * rows_per_band : (j + 1) * rows_per_band], "v")
+        + " AS bucket FROM e"
+        for j in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.id < y.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+      ) WHERE cos_sim > {threshold}
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), deg AS (SELECT u AS id, COUNT(*) AS deg FROM sym GROUP BY u),
+    core AS (SELECT id FROM deg WHERE deg + 1 >= {min_pts}),
+    core_edges AS (
+      SELECT s.u, s.v FROM sym s
+      JOIN core a ON s.u = a.id JOIN core b ON s.v = b.id),
+    walk(id, comp) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT ce.v, w.comp FROM core_edges ce JOIN walk w ON ce.u = w.id
+    ),
+    comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+    border AS (
+      SELECT s.u AS id, MIN(c.comp) AS comp
+      FROM sym s JOIN comps c ON s.v = c.id
+      WHERE s.u NOT IN (SELECT id FROM core)
+      GROUP BY s.u)
+    SELECT id, 'core' AS role, CAST(comp AS BIGINT) AS cluster FROM comps
+    UNION ALL
+    SELECT id, 'border', CAST(comp AS BIGINT) FROM border
+    UNION ALL
+    SELECT e.id, 'noise', CAST(NULL AS BIGINT) FROM e
+    WHERE e.id NOT IN (SELECT id FROM comps)
+      AND e.id NOT IN (SELECT id FROM border)
+    """
+
+
+@query("ml_dbscan", oracle=_duck_dbscan_oracle())
+def ml_dbscan(spark, sf_dir):
+    """DBSCAN over embeddings (cosine > 0.35, minPts 3) — density
+    clustering for corpus curation: dense blobs are template/near-dup
+    families, border points hang off them, NOISE is the healthy long
+    tail (operators/ml.py::dbscan_lsh). Candidates come from the banded
+    sign-LSH equi-join (never |n|²); from the verified pair graph the
+    core/border/noise classification and min-label core components are
+    exact — the oracle replays planes, buckets, pairs, and roles
+    bit-for-bit."""
+    from ..operators.ml import dbscan_lsh
+
+    emb = table(spark, sf_dir, "embeddings")
+    return dbscan_lsh(emb, "vec_id", "embedding", dim=64).select(
+        F.col("id").alias("id"), "role", "cluster"
+    )
