@@ -433,6 +433,52 @@ class Warehouse:
         return {"files_before": files_before, "files_after": files_after}
 
 
+    def repartition_layout(
+        self,
+        db: str,
+        table: str,
+        new_partition_expr,
+        drop_old: bool = True,
+    ) -> dict[str, int]:
+        """Partition-scheme migration — rewrite the table under a NEW
+        partition_value derived from the old one (day → month is the
+        classic: a day-partitioned table that outgrew its partition
+        count pays listing/small-file overhead on every scan; month
+        partitions restore pruning granularity matched to the query
+        patterns). Content is row-identical; only the directory layout
+        (and thus which predicates prune) changes.
+
+        Same staging + atomic-swap crash contract as compact(): the
+        table is never observable half-migrated, and a crash before the
+        swap leaves the original untouched (_recover reclaims the
+        staging dir). At 100 TB this is the one legitimate full-table
+        rewrite — a one-off layout migration, not a recurring sink.
+
+        `new_partition_expr` is a Column over the old columns producing
+        the new partition_value. Returns partition counts before/after.
+        """
+        self._recover(db, table)
+        final = self.path(db, table)
+        df = self.spark.read.parquet(final)
+        parts_before = sum(
+            1 for n in os.listdir(final)
+            if n.startswith("partition_value=") and os.path.isdir(os.path.join(final, n))
+        )
+        data_cols = [c for c in df.columns if c != "partition_value"]
+        out = df.select(*data_cols, new_partition_expr.alias("partition_value"))
+        staging = os.path.join(self.root, db, f"_tmp-{table}-{uuid.uuid4().hex[:8]}")
+        out.write.mode("overwrite").partitionBy("partition_value").parquet(staging)
+        old = final + ".old"
+        os.rename(final, old)
+        os.rename(staging, final)
+        if drop_old:
+            shutil.rmtree(old, ignore_errors=True)
+        parts_after = sum(
+            1 for n in os.listdir(final)
+            if n.startswith("partition_value=") and os.path.isdir(os.path.join(final, n))
+        )
+        return {"parts_before": parts_before, "parts_after": parts_after}
+
     def vacuum_partitions(self, db: str, table: str, keep_from: str) -> dict[str, int]:
         """Retention VACUUM — the deletion half of warehouse maintenance
         (compact() is the layout half): drop every partition_value

@@ -2683,8 +2683,8 @@ def graph_bfs_distance(spark, sf_dir):
 
 
 def _duck_dbscan_oracle(
-    threshold: float = 0.35, dim: int = 64, bands: int = 8,
-    rows_per_band: int = 4, min_pts: int = 3,
+    threshold: float = 0.35, dim: int = 64, bands: int = 4,
+    rows_per_band: int = 8, min_pts: int = 3,
 ) -> str:
     """DuckDB replay of ml.dbscan_lsh: identical planes → identical
     candidates → identical verified neighbor graph → exact core/border/
@@ -2755,6 +2755,11 @@ def ml_dbscan(spark, sf_dir):
     from ..operators.ml import dbscan_lsh
 
     emb = table(spark, sf_dir, "embeddings")
-    return dbscan_lsh(emb, "vec_id", "embedding", dim=64).select(
-        F.col("id").alias("id"), "role", "cluster"
-    )
+    # 8-bit band buckets (4×8), not 4-bit (8×4): with n≈10³-10⁴ random
+    # vectors, 16 buckets/band put ~n/16 ids in every bucket → ~10⁶
+    # accidental candidates to verify; 256 buckets/band keep the
+    # candidate set near-dup-sized while r=8,b=4 still catches
+    # cos ≥ 0.9 pairs with p ≈ 0.9
+    return dbscan_lsh(
+        emb, "vec_id", "embedding", dim=64, bands=4, rows_per_band=8
+    ).select(F.col("id").alias("id"), "role", "cluster")

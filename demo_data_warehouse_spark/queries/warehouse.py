@@ -773,3 +773,41 @@ def maintenance_clone(spark, sf_dir):
             dup.read().select(F.lit("clone").alias("origin"), "event_id", "event_type", "cents")
         )
     )
+
+
+@query(
+    "maintenance_repartition",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS partition_value
+    FROM events
+    """,
+)
+def maintenance_repartition(spark, sf_dir):
+    """Partition-scheme migration as a registry verb (io.py::
+    Warehouse.repartition_layout): a day-partitioned table whose
+    partition count outgrew its query patterns is rewritten under
+    week partitions — content row-identical (the oracle recomputes it
+    from source; any lost/duplicated row breaks the hash), only the
+    layout and therefore pruning granularity changes. Staging +
+    atomic swap: never observable half-migrated. The partition-count
+    drop is asserted in-query so a no-op migration fails the gate."""
+    from ..io import Warehouse
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.to_date("ts").alias("partition_value"),
+    )
+    wh = Warehouse(spark, scratch_dir("repart_q"))
+    wh.write_partition_replace(ev, "silver", "ev_day", "2024-01-01")
+    stats = wh.repartition_layout(
+        "silver", "ev_day", F.trunc(F.col("partition_value"), "week")
+    )
+    assert stats["parts_after"] < stats["parts_before"], stats
+    return wh.read("silver", "ev_day").select(
+        "event_id", "user_id", "cents", "partition_value"
+    )
