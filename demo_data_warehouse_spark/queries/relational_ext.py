@@ -3862,3 +3862,42 @@ def fn_winsorize(spark, sf_dir):
         .cast("bigint")
         .alias("winsorized_sum_cents"),
     )
+
+
+@query(
+    "scan_csv_multiline",
+    oracle="""
+    SELECT doc_id,
+           source || ',"' || chr(10) || lang AS tricky,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def scan_csv_multiline(spark, sf_dir):
+    """CSV roundtrip of adversarial content — embedded record
+    delimiters (newlines), field delimiters (commas) and quote chars
+    inside a quoted field, read back with multiLine=true. The oracle is
+    the ORIGINAL content: any quoting/escaping loss breaks the hash.
+    Scale note (the reason this is a dedicated query): multiLine=true
+    makes CSV files NON-SPLITTABLE — a quoted newline means record
+    boundaries can't be found mid-file, so each file becomes one task;
+    at 100 TB multiline CSV must be landed as many medium files (or
+    converted to parquet at ingest, the lark pipeline's approach),
+    never a few huge ones."""
+    import os
+
+    from ..streaming.pipeline import scratch_dir
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(',"\n'), F.col("lang")).alias("tricky"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    path = os.path.join(scratch_dir("csv_multiline"), "data")
+    docs.write.option("header", True).mode("overwrite").csv(path)
+    return (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("doc_id bigint, tricky string, n_chars bigint")
+        .csv(path)
+    )

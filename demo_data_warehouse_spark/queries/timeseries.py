@@ -849,3 +849,76 @@ def ts_interpolate(spark, sf_dir):
         .otherwise(F.lit("edge"))
         .alias("src"),
     )
+
+
+@query(
+    "ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, day_num, cents,
+             ROW_NUMBER() OVER w AS t_idx,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY day_num
+               ROWS UNBOUNDED PRECEDING) AS run_sum
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num)),
+    base AS (
+      SELECT event_type, SUM(cents) AS b FROM idx WHERE t_idx <= 7
+      GROUP BY event_type),
+    cusum AS (
+      SELECT i.event_type, i.day_num,
+             abs(7 * i.run_sum - i.t_idx * base.b) AS cusum_abs
+      FROM idx i JOIN base USING (event_type))
+    SELECT event_type, day_num AS cp_day_num, CAST(cusum_abs AS BIGINT) AS cusum_abs
+    FROM cusum
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY cusum_abs DESC, day_num) = 1
+    """,
+)
+def ts_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection — the day each series' cumulative
+    deviation from its first-week baseline peaks (level-shift
+    localization for monitoring, the pinpointing complement of
+    dq_volume_anomaly's flagging). Fraction-free: with baseline mean
+    B/7, the statistic |Σ_{d≤t} x_d − t·B/7| is scaled by 7 to
+    |7·run_sum − t·B| — pure int64, exact at any merge order; argmax
+    ties break to the earliest day."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    idx = daily.select(
+        "event_type",
+        "day_num",
+        "cents",
+        F.row_number().over(w).alias("t_idx"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_sum"),
+    )
+    base = (
+        idx.where(F.col("t_idx") <= 7)
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("b"))
+    )
+    cusum = idx.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "day_num",
+        F.abs(F.lit(7) * F.col("run_sum") - F.col("t_idx") * F.col("b")).alias(
+            "cusum_abs"
+        ),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("cusum_abs").desc(), "day_num"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("day_num").alias("cp_day_num"), "cusum_abs")
+    )
