@@ -36,6 +36,9 @@ def query(name: str, oracle: str | None = None):
             tune(spark)
             return fn(spark, sf_dir)
 
+        if name in QUERIES:
+            # a silent overwrite would drop a query from the driver gate
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
