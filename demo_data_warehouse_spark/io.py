@@ -758,3 +758,89 @@ def parquet_footer_stats(spark: SparkSession, root: str, stat_col: str) -> DataF
     return fdf.mapInPandas(
         read_footers, "path string, n_rows bigint, min_v bigint, max_v bigint"
     )
+
+
+class TransactionLog:
+    """Atomic MULTI-TABLE transactions over plain parquet — the
+    consistency primitive single-table logs (Delta, and SnapshotLog
+    above) lack: one manifest names the file list of EVERY table in the
+    transaction, and one atomic rename publishes them together. A
+    reader therefore always sees a fact table and its dimensions from
+    the SAME transaction — no torn read where the fact references dim
+    versions that aren't visible yet (the failure mode of publishing
+    medallion tables one Airflow task at a time, reference
+    dags/etl/run_etl.py:36-56, where a crash mid-DAG leaves silver new
+    and gold stale).
+
+    Layout:   root/v00000003/<table>/…parquet   per-commit data dirs
+              root/_log/00000003.json           one manifest per commit
+    Manifest: {"version": v, "tables": {name: [files…]}} — a table
+    absent from a commit carries its parent's files by reference
+    (same delta-only contract as SnapshotLog append).
+
+    Commit protocol (identical crash story to SnapshotLog): write every
+    table's data dir first, then one same-directory manifest rename. A
+    crash before the rename leaves orphan dirs no reader resolves;
+    after it, all tables flip together. Single-writer by design; on an
+    object store the rename becomes a conditional put — same as Delta.
+
+    100 TB posture: commit cost is O(files written this txn) + one
+    manifest; unchanged tables never move; any historical transaction
+    stays readable until vacuumed — a training run pins one version id
+    and gets a CONSISTENT multi-table snapshot forever.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(n[:-5])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".json") and not n.startswith(".")
+        )
+
+    def _manifest(self, version: int) -> dict:
+        import json
+
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
+            return json.load(f)
+
+    def commit(self, tables: dict[str, DataFrame]) -> int:
+        """Atomically publish new contents for `tables`; tables not in
+        the dict carry forward from the parent version by reference."""
+        existing = self.versions()
+        version = (existing[-1] + 1) if existing else 0
+        carried = self._manifest(existing[-1])["tables"] if existing else {}
+        files: dict[str, list[str]] = dict(carried)
+        for name, df in tables.items():
+            data_dir = os.path.join(self.root, f"v{version:08d}", name)
+            df.write.mode("overwrite").parquet(data_dir)
+            files[name] = [
+                os.path.relpath(p, self.root)
+                for p in SnapshotLog._data_files(data_dir)
+            ]
+        import json
+
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "tables": files}, f)
+        os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
+        return version
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        existing = self.versions()
+        if not existing:
+            raise FileNotFoundError(f"no commits under {self.root}")
+        if version is None:
+            version = existing[-1]
+        if version not in existing:
+            raise FileNotFoundError(f"version {version} not in {existing}")
+        manifest = self._manifest(version)
+        if table not in manifest["tables"]:
+            raise FileNotFoundError(f"table {table!r} not in version {version}")
+        files = manifest["tables"][table]
+        return self.spark.read.parquet(*[os.path.join(self.root, f) for f in files])

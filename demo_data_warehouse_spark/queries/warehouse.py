@@ -811,3 +811,76 @@ def maintenance_repartition(spark, sf_dir):
     return wh.read("silver", "ev_day").select(
         "event_id", "user_id", "cents", "partition_value"
     )
+
+
+@query(
+    "maintenance_transaction",
+    oracle="""
+    WITH dim0 AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 3 = 0
+    ), fact0 AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 3 = 0 AND o_orderkey % 2 = 0
+    ), dim1 AS (
+      SELECT c_custkey, cents + 100 AS cents FROM dim0
+    ), fact1 AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 3 = 0
+    )
+    SELECT CAST(0 AS BIGINT) AS version, 'dim' AS tbl, c_custkey AS key, cents FROM dim0
+    UNION ALL
+    SELECT 0, 'fact', o_orderkey, cents FROM fact0
+    UNION ALL
+    SELECT 1, 'dim', c_custkey, cents FROM dim1
+    UNION ALL
+    SELECT 1, 'fact', o_orderkey, cents FROM fact1
+    """,
+)
+def maintenance_transaction(spark, sf_dir):
+    """Atomic MULTI-TABLE transactions (io.py::TransactionLog): fact and
+    dimension publish under ONE manifest rename, so a reader can never
+    see a fact referencing dim versions that aren't visible yet — the
+    torn-read failure of publishing medallion tables one task at a time
+    (reference dags/etl/run_etl.py:36-56, where a crash mid-DAG leaves
+    silver new and gold stale). Two transactions are committed (v1
+    reprices the dim AND extends the fact together); the query reads
+    both tables AT BOTH versions — a log that let one table's change
+    bleed across versions, or published the pair non-atomically,
+    changes some version's row set and fails the hash."""
+    from ..io import TransactionLog
+    from ..streaming.pipeline import scratch_dir
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    dim0 = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents")
+    )
+    fact0 = orders.where(
+        (F.col("o_custkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0)
+    ).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    fact1 = orders.where(F.col("o_custkey") % 3 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    txn = TransactionLog(spark, scratch_dir("txn_q"))
+    txn.commit({"dim": dim0, "fact": fact0})
+    dim1 = txn.read("dim").select("c_custkey", (F.col("cents") + 100).alias("cents"))
+    txn.commit({"dim": dim1, "fact": fact1})
+    assert txn.versions() == [0, 1], txn.versions()
+
+    def state(version, tbl, key_col):
+        return txn.read(tbl, version=version).select(
+            F.lit(version).cast("bigint").alias("version"),
+            F.lit(tbl).alias("tbl"),
+            F.col(key_col).alias("key"),
+            "cents",
+        )
+
+    return (
+        state(0, "dim", "c_custkey")
+        .unionAll(state(0, "fact", "o_orderkey"))
+        .unionAll(state(1, "dim", "c_custkey"))
+        .unionAll(state(1, "fact", "o_orderkey"))
+    )

@@ -141,3 +141,31 @@ def test_clone_survives_source_vacuum_after_deep_copy(spark, log):
         assert sorted(r.k for r in dup.read().collect()) == [0, 1, 2]
     finally:
         shutil.rmtree(dst_root, ignore_errors=True)
+
+
+def test_transaction_log_atomicity_and_carry(spark):
+    from demo_data_warehouse_spark.io import TransactionLog
+
+    root = scratch_dir("txnlog_t")
+    try:
+        txn = TransactionLog(spark, root)
+        txn.commit({"a": _df(spark, 0, 3), "b": _df(spark, 10, 12)})
+        # partial commit: only table a changes; b carries by reference
+        txn.commit({"a": _df(spark, 0, 5)})
+        assert txn.versions() == [0, 1]
+        assert sorted(r.k for r in txn.read("a").collect()) == [0, 1, 2, 3, 4]
+        assert sorted(r.k for r in txn.read("b").collect()) == [10, 11]
+        # pinned historical read stays consistent
+        assert sorted(r.k for r in txn.read("a", version=0).collect()) == [0, 1, 2]
+
+        # simulated crash: data dirs written for v2, manifest never
+        # published — readers must still resolve v1 for BOTH tables
+        _df(spark, 90, 95).write.parquet(os.path.join(root, "v00000002", "a"))
+        _df(spark, 80, 85).write.parquet(os.path.join(root, "v00000002", "b"))
+        assert txn.versions() == [0, 1]
+        assert sorted(r.k for r in txn.read("a").collect()) == [0, 1, 2, 3, 4]
+        assert sorted(r.k for r in txn.read("b").collect()) == [10, 11]
+        with pytest.raises(FileNotFoundError):
+            txn.read("zzz")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
