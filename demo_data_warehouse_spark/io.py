@@ -809,9 +809,18 @@ class TransactionLog:
         with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
             return json.load(f)
 
-    def commit(self, tables: dict[str, DataFrame]) -> int:
+    def commit(
+        self,
+        tables: dict[str, DataFrame],
+        append: set[str] | None = None,
+        meta: dict | None = None,
+    ) -> int:
         """Atomically publish new contents for `tables`; tables not in
-        the dict carry forward from the parent version by reference."""
+        the dict carry forward from the parent version by reference.
+        Tables named in `append` write only their delta's files and
+        keep the parent's files too (the delta-only fact-append path).
+        `meta` rides in the manifest — e.g. a streaming batch_id, which
+        makes foreachBatch replays detectable (exactly-once sinks)."""
         existing = self.versions()
         version = (existing[-1] + 1) if existing else 0
         carried = self._manifest(existing[-1])["tables"] if existing else {}
@@ -819,17 +828,27 @@ class TransactionLog:
         for name, df in tables.items():
             data_dir = os.path.join(self.root, f"v{version:08d}", name)
             df.write.mode("overwrite").parquet(data_dir)
-            files[name] = [
+            new_files = [
                 os.path.relpath(p, self.root)
                 for p in SnapshotLog._data_files(data_dir)
             ]
+            if append and name in append:
+                files[name] = carried.get(name, []) + new_files
+            else:
+                files[name] = new_files
         import json
 
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "tables": files}, f)
+            json.dump(
+                {"version": version, "tables": files, "meta": meta or {}}, f
+            )
         os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
         return version
+
+    def latest_meta(self) -> dict:
+        existing = self.versions()
+        return self._manifest(existing[-1]).get("meta", {}) if existing else {}
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
         existing = self.versions()

@@ -833,3 +833,80 @@ def stream_python_datasource(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_transaction",
+    oracle="""
+    SELECT 'stored' AS src, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'derived', event_type, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_transaction(spark, sf_dir):
+    """Exactly-once multi-sink streaming fan-out: every micro-batch
+    commits the RAW delta (append-by-reference) and the refreshed
+    AGGREGATE under ONE TransactionLog manifest, with the batch_id in
+    the manifest meta making replays idempotent (a replayed foreachBatch
+    sees batch_id ≤ committed and skips). After a 3-batch drain the
+    stored aggregate must equal the aggregate derived from the stored
+    raw — both are emitted and hash-checked against the source, so a
+    torn raw/agg publish, a lost batch, or a double-applied replay all
+    fail the gate. This is the multi-sink upgrade of
+    stream_incremental_rollup's single-table marker."""
+    from ..io import TransactionLog
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_id") % 3).alias("batch"),
+    )
+    landing = _write_batched_landing(ev, "stream_txn", n_batches=3)
+    txn = TransactionLog(spark, scratch_dir("stream_txn_log"))
+
+    def batch_fn(batch_df, batch_id):
+        last = txn.latest_meta().get("batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already committed atomically
+        batch_df.persist()
+        try:
+            if txn.versions():
+                raw = txn.read("raw").unionByName(batch_df)
+            else:
+                raw = batch_df
+            agg = raw.groupBy("event_type").agg(
+                F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+            )
+            txn.commit(
+                {"raw": batch_df, "agg": agg},
+                append={"raw"},
+                meta={"batch_id": batch_id},
+            )
+        finally:
+            batch_df.unpersist()
+
+    stream = read_landing_stream(
+        spark, landing, fmt="parquet", maxFilesPerTrigger="1",
+        schema="event_id bigint, event_type string, cents bigint",
+    )
+    run_available_now(stream, batch_fn=batch_fn, output_mode="append")
+    # replay the LAST batch deliberately: the idempotence guard must
+    # no-op (a second apply would double the tail batch in raw)
+    batch_fn(stream.sparkSession.read.parquet(landing + "/b2.parquet"), 2)
+
+    stored = txn.read("agg").select(
+        F.lit("stored").alias("src"), "event_type", "n", "sum_cents"
+    )
+    derived = (
+        txn.read("raw")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+        .select(F.lit("derived").alias("src"), "event_type", "n", "sum_cents")
+    )
+    return stored.unionAll(derived)
