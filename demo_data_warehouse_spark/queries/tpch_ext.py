@@ -557,3 +557,188 @@ def agg_selective_revenue(spark, sf_dir):
     )
     delta = cents("l_extendedprice") * cents("l_discount")
     return li.agg(F.count("*").alias("n_lines"), csum(delta, "revenue_delta", dp=4))
+
+
+# ---------------------------------------------------------------------------
+# the partsupp trio (Q2/Q16/Q20) — the three shapes the synthetic schema
+# could not express until now. partsupp is DERIVED deterministically from
+# part × supplier (4 suppliers per part, portable-hash qty/cost), so both
+# engines construct the identical table and every shape stays hash-gated.
+
+_H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+_DUCK_H60_PS = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_DUCK_PARTSUPP = f"""
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * 7) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+             1 + {_DUCK_H60_PS.format(x="concat(p_partkey, '-', i)")} % 9999
+               AS ps_availqty,
+             100 + {_DUCK_H60_PS.format(x="concat('c-', p_partkey, '-', i)")} % 100000
+               AS ps_supplycost_cents
+      FROM part, (SELECT unnest(range(4)) AS i) gen)"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp: 4 deterministic suppliers per part with
+    portable-hash availqty/supplycost — engine-identical by
+    construction (same md5-60 trick as the dedup oracles)."""
+    n_supp = table(spark, sf_dir, "supplier").count()
+    part = table(spark, sf_dir, "part").select("p_partkey")
+    gen = part.select(
+        "p_partkey", F.explode(F.array(*[F.lit(x) for x in range(4)])).alias("i")
+    )
+    h = lambda x: F.expr(_H60.format(x=x))  # noqa: E731
+    return gen.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") + F.col("i") * 7) % F.lit(n_supp)).alias("ps_suppkey"),
+        (F.lit(1) + h("concat(p_partkey, '-', i)") % 9999).alias("ps_availqty"),
+        (F.lit(100) + h("concat('c-', p_partkey, '-', i)") % 100000).alias(
+            "ps_supplycost_cents"
+        ),
+    )
+
+
+@query(
+    "subquery_min_cost_supplier",
+    oracle=f"""
+    WITH {_DUCK_PARTSUPP},
+    eligible AS (
+      SELECT ps.*, s.s_acctbal, s.s_name, s.s_nationkey, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA')
+    SELECT p.p_partkey, p.p_type, e.s_name, e.n_name,
+           e.s_acctbal, e.ps_supplycost_cents
+    FROM part p JOIN eligible e ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
+      AND e.ps_supplycost_cents = (
+        SELECT MIN(e2.ps_supplycost_cents) FROM eligible e2
+        WHERE e2.ps_partkey = p.p_partkey)
+    """,
+)
+def subquery_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — minimum-cost supplier per part within a region:
+    a correlated scalar-MIN subquery over the derived partsupp,
+    decorrelated by Catalyst into a per-part aggregate re-joined to the
+    probe side (co-partitioned on ps_partkey, AQE-planned); region/
+    nation/supplier dims broadcast. Ties (two suppliers at the min
+    cost) are all kept — no LIMIT, so the result is order-free."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "PROMO")
+    )
+    eligible = (
+        ps.join(s, ps["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents",
+                "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("min_cost")
+    )
+    return (
+        p.join(eligible, p["p_partkey"] == eligible["ps_partkey"])
+        .join(min_cost, "ps_partkey")
+        .where(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .select("p_partkey", "p_type", "s_name", "n_name",
+                "s_acctbal", "ps_supplycost_cents")
+    )
+
+
+@query(
+    "agg_supplier_count_notin",
+    oracle=f"""
+    WITH {_DUCK_PARTSUPP}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 9, 16, 25)
+      AND ps.ps_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def agg_supplier_count_notin(spark, sf_dir):
+    """TPC-H Q16 shape — distinct-supplier census per (brand, type,
+    size) with a NOT IN exclusion subquery (the "customer complaints"
+    filter, stood in by negative-balance suppliers). Catalyst plans the
+    NOT IN as a broadcast left-anti join (the exclusion list is tiny);
+    the COUNT DISTINCT shuffles (group, suppkey) pairs once."""
+    ps = _partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    bad = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(p, ps["ps_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "subquery_excess_stock",
+    oracle=f"""
+    WITH {_DUCK_PARTSUPP},
+    qualifying AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN qualifying q ON q.p_partkey = ps.ps_partkey
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty * 200 > sh.qty_cents)
+    """,
+)
+def subquery_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape — suppliers holding excess stock of qualifying
+    parts: nested IN over partsupp with a correlated half-of-shipped
+    threshold. The comparison availqty > 0.5·SUM(qty) is
+    cross-multiplied to integers (availqty·200 > qty_cents) so no
+    float boundary can flip a supplier between engines; the shipped
+    aggregate is keyed (partkey, suppkey) — the same key as the
+    partsupp probe, a co-partitioned join at scale."""
+    ps = _partsupp(spark, sf_dir)
+    qual = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("ps_partkey"))
+    )
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_cents"))
+    )
+    excess = (
+        ps.join(qual, "ps_partkey")
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .where(F.col("ps_availqty") * 200 > F.col("qty_cents"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    return s.join(
+        excess, s["s_suppkey"] == excess["ps_suppkey"]
+    ).select("s_suppkey", "s_name").distinct()
