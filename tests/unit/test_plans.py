@@ -735,3 +735,19 @@ def test_scan_agg_pushdown_answers_from_footers(spark, sf_dir, qs):
     plan = physical_plan(df)
     assert "PushedAggregation" in plan, plan
     assert "COUNT(*)" in plan and "MIN(o_totalprice)" in plan, plan
+
+
+def test_partsupp_trio_stays_equi_joined(spark, sf_dir, qs):
+    # Q2/Q16/Q20 over the derived partsupp: the correlated subqueries
+    # must decorrelate to aggregate+equi-join — a CartesianProduct or
+    # BroadcastNestedLoopJoin here is the O(n²) decorrelation failure.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in (
+        "subquery_min_cost_supplier",
+        "agg_supplier_count_notin",
+        "subquery_excess_stock",
+    ):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
