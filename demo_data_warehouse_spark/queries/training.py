@@ -27,7 +27,9 @@ from . import query
 _DUCK_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def _duck_minhash_ctes(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+def _duck_minhash_ctes(
+    num_hashes: int = 32, bands: int = 8, seed: int = 42, source: str = "documents"
+) -> str:
     """CTEs sh→hashes→sigs→bandsx→cand mirroring minhash_lsh_pairs
     (portable mode) exactly: same shingles, same seeded permutations,
     same band hashing, same candidate generation."""
@@ -47,7 +49,7 @@ def _duck_minhash_ctes(num_hashes: int = 32, bands: int = 8, seed: int = 42) -> 
              list_distinct(list_transform(
                range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
                i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS shingles
-      FROM documents
+      FROM {source}
     ), hashes AS (
       SELECT id, list_transform(shingles, s -> {h60_s} % {p}) AS sh FROM sh
     ), sigs AS (
@@ -2763,3 +2765,122 @@ def ml_dbscan(spark, sf_dir):
     return dbscan_lsh(
         emb, "vec_id", "embedding", dim=64, bands=4, rows_per_band=8
     ).select(F.col("id").alias("id"), "role", "cluster")
+
+
+def _duck_curate_mix_oracle() -> str:
+    """DuckDB replay of corpus_curate_mix: quality window → exact dedup
+    → minhash components over SURVIVORS → keep-best → temperature mix.
+    The minhash CTEs are the shared generator re-pointed at the
+    survivor set, so signatures/buckets/pairs replay bit-for-bit."""
+    mh = _duck_minhash_ctes(source="keep")
+    return f"""
+    WITH RECURSIVE
+    q AS (
+      SELECT doc_id, text, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200),
+    dd AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM q),
+    keep AS (SELECT doc_id, text, lang, n_tokens FROM dd WHERE rn = 1),
+    {mh},
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+      WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32 >= 0.3),
+    symx AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM keep
+      UNION
+      SELECT s.dst, w.comp FROM symx s JOIN walk w ON s.src = w.id),
+    comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+    best AS (
+      SELECT k.doc_id, k.lang, k.n_tokens
+      FROM keep k JOIN comps c ON c.id = k.doc_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c.comp
+                ORDER BY len(k.text) DESC, k.doc_id) = 1),
+    census AS (
+      SELECT lang AS source, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM best GROUP BY lang),
+    w AS (
+      SELECT source, n_rows,
+             CAST(ROUND(pow(CAST(n_rows AS DOUBLE), 0.5) * 1000000.0) AS BIGINT)
+               AS wgt
+      FROM census),
+    t AS (SELECT SUM(wgt) AS w_total FROM w),
+    r AS (
+      SELECT source, n_rows, (150 * wgt) // w_total AS base,
+             (150 * wgt) % w_total AS rem
+      FROM w, t),
+    l AS (SELECT 150 - SUM(base) AS leftover FROM r),
+    ranked AS (
+      SELECT source, n_rows, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM r),
+    targets AS (
+      SELECT source,
+             LEAST(n_rows, base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                       THEN 1 ELSE 0 END) AS target
+      FROM ranked),
+    sel AS (
+      SELECT b.doc_id, b.lang AS source, b.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY b.lang
+               ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id) AS rk
+      FROM best b)
+    SELECT s.source, CAST(COUNT(*) AS BIGINT) AS kept,
+           CAST(SUM(s.doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS token_sum
+    FROM sel s JOIN targets tg ON s.source = tg.source
+    WHERE s.rk <= tg.target
+    GROUP BY s.source
+    """
+
+
+@query("corpus_curate_mix", oracle=_duck_curate_mix_oracle())
+def corpus_curate_mix(spark, sf_dir):
+    """The capstone curation pipeline as ONE composition: token-window
+    quality filter → exact dedup (keep lowest id per identical text) →
+    minhash NEAR-dup components over the survivors → keep-best per
+    cluster (longest text, tie to lowest id) → temperature-scaled
+    language mix (p ∝ n^0.5, budget 150) — i.e. corpus_clean extended
+    with the transitive near-dup resolution and the data-mixing
+    allocator, every stage an already-oracled operator. One Catalyst
+    plan end-to-end: the filters fuse into the scan, dedup is one text
+    window, LSH candidates ride the band equi-join, components run on
+    the pair graph, the mix is census-scale."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "text", "lang", text.ws_token_count(F.col("text")).alias("n_tokens")
+    ).where(F.col("n_tokens").between(20, 200))
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    keep = q.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+    pairs = dedup.minhash_lsh_pairs(
+        keep, "doc_id", "text", threshold=0.3, hash_mode="portable",
+        cache_signatures=True,
+    )
+    comps = graph.connected_components(
+        keep.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    best_rank = F.row_number().over(
+        Window.partitionBy("comp").orderBy(F.length("text").desc(), "doc_id")
+    )
+    best = (
+        keep.join(comps, keep["doc_id"] == comps["id"])
+        .withColumn("brn", best_rank)
+        .where(F.col("brn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    mixed = sampling.temperature_sample(
+        best, "doc_id", "lang", budget=150, inv_temperature_pow=0.5
+    )
+    return mixed.groupBy(F.col("lang").alias("source")).agg(
+        F.count("*").alias("kept"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_tokens").alias("token_sum"),
+    )
