@@ -26,6 +26,14 @@ _RUNTIME_CONFS = {
     # (unix_micros/unix_millis, tz conversion) resolve everywhere and
     # timestamp literals compare against catalog-normalized columns
     "spark.sql.timestampType": "TIMESTAMP_LTZ",
+    # more driver-owned-session insurance: resolve columns
+    # case-insensitively (the default this codebase is written against),
+    # parse datetimes with the modern proleptic calendar, and read
+    # unadjusted parquet timestamps as LTZ directly (catalog.table's
+    # NTZ cast then never fires, but both paths stay value-identical)
+    "spark.sql.caseSensitive": "false",
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
