@@ -3901,3 +3901,84 @@ def scan_csv_multiline(spark, sf_dir):
         .schema("doc_id bigint, tricky string, n_chars bigint")
         .csv(path)
     )
+
+
+@query(
+    "window_fifo_allocation",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cum
+      FROM events WHERE event_type = 'click' AND user_id % 10 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    p AS (
+      SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cum
+      FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(LEAST(p.cum, c.cum)
+                - GREATEST(p.cum - p.cents, c.cum - c.cents) AS BIGINT)
+             AS allocated_cents
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND p.cum - p.cents < c.cum AND c.cum - c.cents < p.cum
+    """,
+)
+def window_fifo_allocation(spark, sf_dir):
+    """FIFO allocation — the ledger/inventory matching primitive: each
+    purchase consumes the oldest unconsumed click credit first, and the
+    output says exactly which click funded how much of which purchase.
+    The classic double-running-sum formulation: a row's cumulative
+    interval [cum−cents, cum) on each side, matched where intervals
+    overlap, allocation = interval intersection — one window pass per
+    side, a per-user equi-join with a range residual (never a global
+    inequality join), all integer cents. At 100 TB the join stays
+    keyed on user_id; a pathological single-key ledger would need the
+    interval-bucketing of join_interval_overlap."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def side(event_type):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .select("user_id", "event_id", cents.alias("cents"), "ts")
+            .withColumn("cum", F.sum("cents").over(w))
+            .drop("ts")
+        )
+
+    c = side("click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("cents").alias("c_cents"),
+        F.col("cum").alias("c_cum"),
+    )
+    p = side("purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("cents").alias("p_cents"),
+        F.col("cum").alias("p_cum"),
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["c_user"])
+        & (p["p_cum"] - p["p_cents"] < c["c_cum"])
+        & (c["c_cum"] - c["c_cents"] < p["p_cum"]),
+    )
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (
+            F.least(F.col("p_cum"), F.col("c_cum"))
+            - F.greatest(
+                F.col("p_cum") - F.col("p_cents"), F.col("c_cum") - F.col("c_cents")
+            )
+        ).alias("allocated_cents"),
+    )
