@@ -884,3 +884,114 @@ def maintenance_transaction(spark, sf_dir):
         .unionAll(state(1, "dim", "c_custkey"))
         .unionAll(state(1, "fact", "o_orderkey"))
     )
+
+
+@query(
+    "maintenance_bitemporal",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS key,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 2 = 0
+    ), v0 AS (
+      SELECT key, cents,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '2099-01-01 12:00:00' AS valid_to
+      FROM base
+    ), v1 AS (
+      -- repriced keys: old row closed at 2024-06-01, new current row
+      SELECT key, cents, valid_from,
+             CASE WHEN key % 4 = 0 THEN TIMESTAMP '2024-06-01 00:00:00'
+                  ELSE valid_to END AS valid_to
+      FROM v0
+      UNION ALL
+      SELECT key, cents + 500, TIMESTAMP '2024-06-01 00:00:00',
+             TIMESTAMP '2099-01-01 12:00:00'
+      FROM v0 WHERE key % 4 = 0
+    ), probes AS (
+      SELECT * FROM (VALUES
+        (0, TIMESTAMP '2024-03-01 00:00:00'),
+        (1, TIMESTAMP '2024-03-01 00:00:00'),
+        (1, TIMESTAMP '2024-09-01 00:00:00')) t(sys_version, valid_at)
+    ), states AS (
+      SELECT 0 AS sys_version, * FROM v0
+      UNION ALL SELECT 1, * FROM v1
+    )
+    SELECT p.sys_version, p.valid_at,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s.cents) AS BIGINT) AS cents_checksum
+    FROM probes p JOIN states s
+      ON s.sys_version = p.sys_version
+     AND s.valid_from <= p.valid_at AND p.valid_at < s.valid_to
+    GROUP BY p.sys_version, p.valid_at
+    """,
+)
+def maintenance_bitemporal(spark, sf_dir):
+    """BITEMPORAL query — the two time axes composed: VALID time from
+    the SCD2 interval columns (what was true in the world at time t)
+    and SYSTEM time from SnapshotLog versions (what the warehouse
+    believed as of commit v). "What did we believe at v about t" is
+    the audit/backtest question neither axis answers alone — and the
+    label-leakage guard for training on revisioned features. Commit v0
+    (initial SCD2 state) and v1 (a reprice closing old rows), then
+    probe three (system, valid) pairs through the log; the oracle
+    recomputes every state, so version bleed on EITHER axis breaks the
+    hash. Reads are manifest-resolved + interval-filtered — no history
+    rewrite, any (v, t) pair stays answerable until vacuum."""
+    from ..io import SnapshotLog
+    from ..streaming.pipeline import scratch_dir
+
+    SENT = "2099-01-01 12:00:00"
+    base = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    v0 = base.select(
+        "key",
+        "cents",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(SENT).cast("timestamp").alias("valid_to"),
+    )
+    closed = v0.withColumn(
+        "valid_to",
+        F.when(
+            F.col("key") % 4 == 0, F.lit("2024-06-01 00:00:00").cast("timestamp")
+        ).otherwise(F.col("valid_to")),
+    )
+    reprice = (
+        v0.where(F.col("key") % 4 == 0)
+        .select(
+            "key",
+            (F.col("cents") + 500).alias("cents"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+            F.lit(SENT).cast("timestamp").alias("valid_to"),
+        )
+    )
+    log = SnapshotLog(spark, scratch_dir("bitemporal_q"))
+    log.commit(v0)
+    log.commit(closed.unionByName(reprice))
+
+    def probe(sys_version, valid_at):
+        return (
+            log.read(version=sys_version)
+            .where(
+                (F.col("valid_from") <= F.lit(valid_at).cast("timestamp"))
+                & (F.lit(valid_at).cast("timestamp") < F.col("valid_to"))
+            )
+            .agg(
+                F.lit(sys_version).cast("bigint").alias("sys_version"),
+                F.lit(valid_at).cast("timestamp").alias("valid_at"),
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("cents_checksum"),
+            )
+        )
+
+    return (
+        probe(0, "2024-03-01 00:00:00")
+        .unionAll(probe(1, "2024-03-01 00:00:00"))
+        .unionAll(probe(1, "2024-09-01 00:00:00"))
+    )
