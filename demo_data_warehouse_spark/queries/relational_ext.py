@@ -3982,3 +3982,47 @@ def window_fifo_allocation(spark, sf_dir):
             )
         ).alias("allocated_cents"),
     )
+
+
+@query(
+    "fn_business_days",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d0,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+               + 3 + (o_orderkey % 25) AS d1
+      FROM orders)
+    SELECT o_orderkey,
+           d1 - d0 AS calendar_days,
+           (5 * ((d1 + 4) // 7) + LEAST((d1 + 4) % 7, 5))
+             - (5 * ((d0 + 4) // 7) + LEAST((d0 + 4) % 7, 5)) AS business_days
+    FROM d
+    """,
+)
+def fn_business_days(spark, sf_dir):
+    """Business-day span between order date and a deterministic due
+    date — weekday-only duration for SLA metrics. Pure integer
+    arithmetic on epoch days (dow = (epoch_day + 4) mod 7, Thursday
+    epoch): business_days = h(d1) − h(d0) with the prefix count
+    h(d) = 5·⌊(d+4)/7⌋ + min((d+4) mod 7, 5) — verified against a
+    brute-force day walk in tests/unit/test_ml.py; no calendar UDF,
+    no timezone, engine-identical by construction."""
+    d0 = F.expr("unix_micros(o_orderdate) div 86400000000")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        d0.alias("d0"),
+        (d0 + 3 + (F.col("o_orderkey") % 25)).alias("d1"),
+    )
+
+    def h(d):
+        # weekdays in [epoch, d): dow anchor — epoch day 0 is Thursday
+        return F.lit(5) * F.expr(f"({d} + 4) div 7") + F.least(
+            (F.col(d) + 4) % 7, F.lit(5)
+        )
+
+    return o.select(
+        "o_orderkey",
+        (F.col("d1") - F.col("d0")).alias("calendar_days"),
+        (h("d1") - h("d0")).alias("business_days"),
+    )

@@ -152,3 +152,33 @@ def test_bm25_ignores_absent_terms(spark):
            bm25_score(df, "doc_id", "text", ["apple", "zzz_unseen"]).collect()}
     assert set(out) == {0}
     assert out[0]["n_matched"] == 1 and out[0]["bm25_micro"] > 0
+
+
+def test_business_days_formula_matches_brute_force(spark):
+    # semantic check (the oracle only proves both engines run the same
+    # formula): h(d) = 5·⌊(d+4)/7⌋ + min((d+4)%7, 5) vs a day walk
+    from demo_data_warehouse_spark.queries import QUERIES, load_all
+
+    load_all()
+
+    def brute(d0, d1):
+        return sum(1 for d in range(d0, d1) if (d + 4) % 7 < 5)
+
+    rows = (
+        QUERIES["fn_business_days"](spark, "/root/testdata/sf0.001")
+        .limit(200)
+        .collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    days = dict(
+        con.execute(
+            "SELECT o_orderkey, CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)"
+            " FROM '/root/testdata/sf0.001/orders.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        d0 = days[r["o_orderkey"]]
+        d1 = d0 + 3 + (r["o_orderkey"] % 25)
+        assert r["business_days"] == brute(d0, d1), (r, d0, d1)
