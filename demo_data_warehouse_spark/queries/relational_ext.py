@@ -4026,3 +4026,91 @@ def fn_business_days(spark, sf_dir):
         (F.col("d1") - F.col("d0")).alias("calendar_days"),
         (h("d1") - h("d0")).alias("business_days"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             1 + user_id % 5 AS wt
+      FROM events),
+    g AS (SELECT event_type, cents, CAST(SUM(wt) AS BIGINT) AS w
+          FROM x GROUP BY event_type, cents),
+    c AS (
+      SELECT event_type, cents,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY event_type) AS tot
+      FROM g)
+    SELECT event_type, CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+    FROM c WHERE 2 * cumw >= tot GROUP BY event_type
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median — the influence-weighted center (sample
+    weights, importance weights, duplicated-row weights) plain median
+    ignores. Rank-crossing on the (value, Σweight) census: smallest
+    value whose cumulative weight reaches half the total, compared as
+    2·cumw ≥ W in pure integers (no half-division, no interpolation).
+    The census shuffle moves one row per DISTINCT value, not per row."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (1 + F.col("user_id") % 5).alias("wt"),
+    )
+    g = ev.groupBy("event_type", "cents").agg(F.sum("wt").alias("w"))
+    wspec = Window.partitionBy("event_type").orderBy("cents")
+    c = g.select(
+        "event_type",
+        "cents",
+        F.sum("w")
+        .over(wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumw"),
+        F.sum("w").over(Window.partitionBy("event_type")).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("wmedian_cents"))
+    )
+
+
+@query(
+    "fn_array_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id,
+             list_sort(list_transform(range(1, 65),
+               i -> {'nq': -CAST(ROUND(v[i] * 1000000.0) AS BIGINT),
+                     'd': CAST(i AS BIGINT)})) AS sorted
+      FROM e)
+    SELECT vec_id,
+           list_transform(sorted[1:3], x -> x.d) AS top_dims,
+           list_transform(sorted[1:3], x -> -x.nq) AS top_q
+    FROM s
+    """,
+)
+def fn_array_topk(spark, sf_dir):
+    """Per-row top-k over an array column — the sparse-feature /
+    salient-dimension extractor (top activations per embedding): build
+    (−quantized_value, dim) structs, lexicographic sort_array, slice k.
+    A pure narrow projection, whole-stage codegen, no shuffle; ties
+    break to the lower dimension through the struct's second field in
+    both engines. Values ride as micro-unit ints so the sort key is
+    exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    sorted_ = F.sort_array(
+        F.expr(
+            "transform(sequence(1, 64), i -> named_struct("
+            "'nq', -cast(round(cast(element_at(embedding, i) as double) * 1000000.0)"
+            " as bigint), 'd', cast(i as bigint)))"
+        )
+    )
+    top3 = F.slice(sorted_, 1, 3)
+    return emb.select(
+        "vec_id",
+        F.transform(top3, lambda x: x.getField("d")).alias("top_dims"),
+        F.transform(top3, lambda x: -x.getField("nq")).alias("top_q"),
+    )
