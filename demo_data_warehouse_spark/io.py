@@ -863,3 +863,56 @@ class TransactionLog:
             raise FileNotFoundError(f"table {table!r} not in version {version}")
         files = manifest["tables"][table]
         return self.spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+
+def input_fingerprint(paths: list[str]) -> str:
+    """Content fingerprint of a set of parquet inputs: sha-256 over the
+    sorted (relative path, size, mtime_ns) of every data file. O(#files)
+    metadata stats — no data read — which is exactly the granularity a
+    lakehouse result cache needs: any append/replace/compaction changes
+    a file entry and invalidates."""
+    import hashlib
+
+    entries = []
+    for root in paths:
+        if os.path.isfile(root):
+            st = os.stat(root)
+            entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+            continue
+        for d, _s, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(d, n)
+                    st = os.stat(p)
+                    entries.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    h = hashlib.sha256()
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return h.hexdigest()[:32]
+
+
+def cached_result(spark, inputs: list[str], cache_root: str, compute):
+    """Query-result cache: serve a previously materialized result when
+    the input fingerprint is unchanged (Snowflake/Databricks result
+    cache, reduced to its core). Returns (DataFrame, hit: bool).
+
+    The cache key is input_fingerprint(inputs) — file-metadata only, so
+    a hit costs one directory stat walk and zero scans, while ANY
+    change to the inputs (new file, overwrite, compaction) misses and
+    recomputes. Results publish via write-then-rename, so a crashed
+    fill never produces a readable half-entry; concurrent fillers race
+    benignly (same key → same content). At 100 TB the win is the
+    repeated dashboard/report query: seconds of metadata stat instead
+    of a full scan."""
+    fp = input_fingerprint(inputs)
+    dest = os.path.join(cache_root, fp)
+    if os.path.isdir(dest):
+        return spark.read.parquet(dest), True
+    staging = os.path.join(cache_root, f".tmp-{uuid.uuid4().hex[:8]}")
+    compute().write.mode("overwrite").parquet(staging)
+    os.makedirs(cache_root, exist_ok=True)
+    try:
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost a benign race
+    return spark.read.parquet(dest), False

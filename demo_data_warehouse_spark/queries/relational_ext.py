@@ -4114,3 +4114,30 @@ def fn_array_topk(spark, sf_dir):
         F.transform(top3, lambda x: x.getField("d")).alias("top_dims"),
         F.transform(top3, lambda x: -x.getField("nq")).alias("top_q"),
     )
+
+
+@query(
+    "agg_topk_rollup",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_topk_rollup(spark, sf_dir):
+    """Mergeable heavy-hitter rollup — the accumulate/combine/estimate
+    split of approx_top_k (the frequency-sketch sibling of the HLL and
+    theta rollups): one sketch per DAY, OR-merged into the monthly
+    answer without re-reading facts — the materialized-view shape for
+    streaming leaderboards. Exact-regime oracle (same contract as
+    agg_approx_topk): every item fits the tracked budget, so
+    merge-of-parts must equal the true counts bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("sk")
+    )
+    combined = per_day.agg(F.expr("approx_top_k_combine(sk, 10)").alias("sk"))
+    return combined.select(
+        F.explode(F.expr("approx_top_k_estimate(sk, 10)")).alias("e")
+    ).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
+    )

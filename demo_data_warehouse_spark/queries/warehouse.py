@@ -995,3 +995,67 @@ def maintenance_bitemporal(spark, sf_dir):
         .unionAll(probe(1, "2024-03-01 00:00:00"))
         .unionAll(probe(1, "2024-09-01 00:00:00"))
     )
+
+
+@query(
+    "maintenance_result_cache",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY event_type
+    ), agg3 AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM (SELECT * FROM events
+            UNION ALL SELECT * FROM events WHERE event_type = 'error')
+      GROUP BY event_type)
+    SELECT CAST(1 AS BIGINT) AS run, * FROM agg
+    UNION ALL SELECT 2, * FROM agg
+    UNION ALL SELECT 3, * FROM agg3
+    """,
+)
+def maintenance_result_cache(spark, sf_dir):
+    """Query-result cache keyed on an input-file fingerprint
+    (io.py::cached_result): run 1 computes and fills, run 2 must HIT
+    (asserted — zero scans, metadata stat only), and appending a file
+    to the input table must MISS and recompute (asserted) — the
+    Snowflake/Databricks result-cache contract of serve-while-
+    unchanged, invalidate-on-any-change. All three runs' results are
+    hash-checked, so a stale hit after the append would fail the gate."""
+    import os
+    import shutil
+
+    from ..io import cached_result
+    from ..streaming.pipeline import scratch_dir
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = scratch_dir("rcache_tbl")
+    shutil.copyfile(src, os.path.join(tbl, "part-0.parquet"))
+    cache = scratch_dir("rcache_store")
+
+    def compute():
+        return (
+            spark.read.parquet(tbl)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+            )
+        )
+
+    r1, hit1 = cached_result(spark, [tbl], cache, compute)
+    r1 = r1.select(F.lit(1).cast("bigint").alias("run"), "event_type", "n", "sum_cents")
+    _, hit2 = cached_result(spark, [tbl], cache, compute)
+    r2, _ = cached_result(spark, [tbl], cache, compute)
+    r2 = r2.select(F.lit(2).cast("bigint").alias("run"), "event_type", "n", "sum_cents")
+    assert not hit1 and hit2, (hit1, hit2)
+
+    # append: the error slice lands as a second file → fingerprint miss
+    spark.read.parquet(src).where(F.col("event_type") == "error").write.mode(
+        "append"
+    ).parquet(tbl)
+    r3, hit3 = cached_result(spark, [tbl], cache, compute)
+    assert not hit3
+    r3 = r3.select(F.lit(3).cast("bigint").alias("run"), "event_type", "n", "sum_cents")
+    return r1.unionAll(r2).unionAll(r3)
