@@ -916,3 +916,83 @@ def cached_result(spark, inputs: list[str], cache_root: str, compute):
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)  # lost a benign race
     return spark.read.parquet(dest), False
+
+
+class MergeOnReadTable:
+    """Merge-on-read DELETEs over plain parquet — the Iceberg-v2
+    equality-delete-file pattern, the write-cheap half of the
+    delete-design space:
+
+      copy-on-write (Warehouse.merge_write)  rewrite touched partitions
+                                             at delete time; reads stay
+                                             plain scans
+      merge-on-read (this)                   deletes land as O(delta)
+                                             KEY FILES; every read
+                                             anti-joins them until
+                                             apply_deletes() compacts
+
+    At 100 TB the difference is the GDPR/erasure workload: deleting a
+    few million keys out of a petabyte costs a key-file append here vs
+    a multi-TB partition rewrite there; the read tax (one broadcast
+    anti-join while deletes are small) is paid until the next
+    compaction window applies them for free alongside layout
+    maintenance.
+
+    Layout: root/data/…parquet, root/_deletes/d-*.parquet (key files).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, key_col: str):
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self.data_dir = os.path.join(root, "data")
+        self.del_dir = os.path.join(root, "_deletes")
+
+    def write(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.data_dir)
+
+    def delete_keys(self, keys: DataFrame) -> None:
+        """O(|keys|) append of an equality-delete file — no data moves."""
+        keys.select(F.col(self.key_col)).write.mode("append").parquet(self.del_dir)
+
+    def _deletes(self) -> DataFrame | None:
+        if not os.path.isdir(self.del_dir) or not any(
+            n.endswith(".parquet")
+            for _d, _s, names in os.walk(self.del_dir)
+            for n in names
+        ):
+            return None
+        return self.spark.read.parquet(self.del_dir)
+
+    def read(self) -> DataFrame:
+        df = self.spark.read.parquet(self.data_dir)
+        dels = self._deletes()
+        if dels is None:
+            return df
+        return df.join(F.broadcast(dels.distinct()), self.key_col, "left_anti")
+
+    def apply_deletes(self) -> dict[str, int]:
+        """Compaction: materialize the anti-join once, swap atomically,
+        clear the delete files — subsequent reads are plain scans again.
+        Same staging+rename crash contract as Warehouse.compact."""
+        dels = self._deletes()
+        n_del_files = (
+            sum(
+                1
+                for _d, _s, names in os.walk(self.del_dir)
+                for n in names
+                if n.endswith(".parquet")
+            )
+            if dels is not None
+            else 0
+        )
+        if dels is None:
+            return {"delete_files_applied": 0}
+        staging = os.path.join(self.root, f"_tmp-{uuid.uuid4().hex[:8]}")
+        self.read().write.mode("overwrite").parquet(staging)
+        old = self.data_dir + ".old"
+        os.rename(self.data_dir, old)
+        os.rename(staging, self.data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self.del_dir, ignore_errors=True)
+        return {"delete_files_applied": n_del_files}

@@ -1059,3 +1059,56 @@ def maintenance_result_cache(spark, sf_dir):
     assert not hit3
     r3 = r3.select(F.lit(3).cast("bigint").alias("run"), "event_type", "n", "sum_cents")
     return r1.unionAll(r2).unionAll(r3)
+
+
+@query(
+    "merge_on_read_delete",
+    oracle="""
+    WITH survivors AS (
+      SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 7 <> 0
+    )
+    SELECT 'mor' AS phase, event_id, event_type, cents FROM survivors
+    UNION ALL
+    SELECT 'applied', event_id, event_type, cents FROM survivors
+    """,
+)
+def merge_on_read_delete(spark, sf_dir):
+    """Merge-on-read DELETE (io.py::MergeOnReadTable — the Iceberg-v2
+    equality-delete-file pattern): erasing keys writes an O(delta) key
+    file, reads anti-join it, and the next compaction applies deletes
+    and clears the files. The gate reads the table in BOTH phases —
+    merge-on-read (delete files live) and post-apply (plain scan) —
+    and both must equal the survivor set: a leaked deleted row, a lost
+    survivor, or a stale read after apply all fail the hash. The
+    delete-file count applied is asserted in-query."""
+    import os
+
+    from ..io import MergeOnReadTable
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = MergeOnReadTable(spark, scratch_dir("mor_q"), "event_id")
+    t.write(ev)
+    # two erasure batches (GDPR requests arrive in waves)
+    t.delete_keys(ev.where((F.col("event_id") % 7 == 0) & (F.col("event_id") % 2 == 0)))
+    t.delete_keys(ev.where((F.col("event_id") % 7 == 0) & (F.col("event_id") % 2 == 1)))
+    mor = t.read().select(
+        F.lit("mor").alias("phase"), "event_id", "event_type", "cents"
+    )
+    # materialize the merge-on-read result BEFORE apply: its lazy plan
+    # references the delete files that apply_deletes() removes
+    mor = mor.localCheckpoint(eager=True)
+    mor_rows = mor.count()
+    stats = t.apply_deletes()
+    assert stats["delete_files_applied"] >= 2, stats
+    applied = t.read().select(
+        F.lit("applied").alias("phase"), "event_id", "event_type", "cents"
+    )
+    assert not os.path.isdir(t.del_dir)
+    assert applied.count() == mor_rows
+    return mor.unionAll(applied)
