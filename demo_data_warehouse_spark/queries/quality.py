@@ -466,3 +466,38 @@ def dq_observe_metrics(spark, sf_dir):
         "n_rows bigint, n_null_value bigint, sum_cents bigint, max_cents bigint,"
         " n_purchases bigint",
     )
+
+
+@query(
+    "fn_governed_view",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'HIGH' ELSE 'LOW' END AS price_band,
+           concat('cust-', md5(concat('pepper-', CAST(o_custkey AS VARCHAR)))) AS cust_pseudo
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    """,
+)
+def fn_governed_view(spark, sf_dir):
+    """Governed access layer: consumers query a VIEW that composes
+    row-level security (finished orders filtered out) with column
+    governance (customer key salted-pseudonymized, price generalized
+    to bands) — the masks of fn_column_mask packaged as the actual
+    access pattern (view-in-front-of-table), so no consumer query can
+    reach the raw columns. The view body is plain SQL over the scan:
+    Catalyst inlines it, pushes the row filter into parquet, and never
+    materializes the unmasked frame."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_raw_gv")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW orders_governed AS
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 100000 THEN 'HIGH' ELSE 'LOW' END
+                 AS price_band,
+               concat('cust-', md5(concat('pepper-', CAST(o_custkey AS STRING))))
+                 AS cust_pseudo
+        FROM orders_raw_gv
+        WHERE o_orderstatus <> 'F'
+        """
+    )
+    return spark.sql("SELECT * FROM orders_governed")
