@@ -910,3 +910,62 @@ def stream_transaction(spark, sf_dir):
         .select(F.lit("derived").alias("src"), "event_type", "n", "sum_cents")
     )
     return stored.unionAll(derived)
+
+
+@query(
+    "stream_snapshot_source",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS version, o_orderkey AS key,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 2, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+)
+def stream_snapshot_source(spark, sf_dir):
+    """The table format AS a streaming source (the Delta streaming-
+    source analog, closing the loop: SnapshotLog already serves batch
+    reads, time travel, CDF, clones — now downstream pipelines can
+    SUBSCRIBE to it): commit version = stream offset, each commit's
+    delta files = one micro-batch, checkpoint offset log = exactly-once
+    across restarts (lark/pydatasource.py::
+    SnapshotLogStreamingDataSource). Three append commits are drained
+    across TWO checkpointed runs with a commit landing between them —
+    every row must arrive exactly once with its version."""
+    from ..io import SnapshotLog
+    from ..lark.pydatasource import SnapshotLogStreamingDataSource
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    log = SnapshotLog(spark, scratch_dir("snapstream_q"))
+    log.commit(o.where(F.col("key") % 3 == 0))
+    log.commit(o.where(F.col("key") % 3 == 1), mode="append")
+
+    spark.dataSource.register(SnapshotLogStreamingDataSource)
+    ckpt = scratch_dir("snapstream_ckpt")
+    out = scratch_dir("snapstream_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("root", log.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # emits version 0
+    drain()  # emits version 1
+    log.commit(o.where(F.col("key") % 3 == 2), mode="append")
+    drain()  # restart discovers version 2 — and must NOT re-emit 0/1
+    return spark.read.parquet(out)
