@@ -501,3 +501,66 @@ def fn_governed_view(spark, sf_dir):
         """
     )
     return spark.sql("SELECT * FROM orders_governed")
+
+
+@query(
+    "dq_reconciliation",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1),
+    pub AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                  + CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+                         THEN 1 ELSE 0 END AS BIGINT) AS cents
+      FROM events GROUP BY 1)
+    SELECT s.day, s.n AS src_rows, p.n AS pub_rows,
+           s.cents AS src_cents, p.cents AS pub_cents,
+           CASE WHEN s.n = p.n AND s.cents = p.cents
+                THEN 'match' ELSE 'MISMATCH' END AS status
+    FROM src s JOIN pub p USING (day)
+    """,
+)
+def dq_reconciliation(spark, sf_dir):
+    """Source-to-warehouse reconciliation — the audit every migration
+    and every layered pipeline needs: per-partition row counts AND
+    integer checksums compared between the source and the published
+    table, so silent row loss, duplication, or value corruption is
+    localized to the exact partition day. One corrupted cent is
+    planted in the published side; the report must flag exactly that
+    day (and the hash gate proves the reconciliation itself is
+    engine-exact). Both sides are partition-grain aggregates —
+    census-sized shuffle, never a row-level diff (table_diff is the
+    row-grain escalation once a partition flags)."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    src = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("src_rows"), F.sum(cents).alias("src_cents")
+    )
+    # published side: replayed publish with one planted corruption
+    pub = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("pub_rows"),
+        (
+            F.sum(cents)
+            + F.when(
+                F.to_date(F.min("ts")) == F.lit("2024-01-05").cast("date"), 1
+            ).otherwise(0)
+        ).alias("pub_cents"),
+    )
+    rec = src.join(pub, "day")
+    return rec.select(
+        "day",
+        "src_rows",
+        "pub_rows",
+        "src_cents",
+        "pub_cents",
+        F.when(
+            (F.col("src_rows") == F.col("pub_rows"))
+            & (F.col("src_cents") == F.col("pub_cents")),
+            F.lit("match"),
+        )
+        .otherwise(F.lit("MISMATCH"))
+        .alias("status"),
+    )
