@@ -29,9 +29,11 @@ Scale notes (100 TB lens):
   - For adversarial graphs (chains, diameter ~n) the production-grade
     fix is the large-star/small-star algorithm (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14), which
-    converges in O(log n) rounds; label propagation is chosen here
-    because dedup graphs are diameter-bounded and it needs half the
-    shuffles per round.
+    converges in O(log n) rounds — implemented below as
+    connected_components_star (equivalence + chain convergence pinned
+    in tests/unit/test_graph.py). Label propagation remains the dedup
+    default because near-dup graphs are diameter-bounded and it needs
+    half the shuffles per round.
 
 Beyond-reference operator: the reference (a pandas/Airflow ETL) has no
 graph stage; this is part of the LLM-training-data surface the engine
@@ -289,3 +291,101 @@ def bfs_distances(
         )
         dist = relaxed.localCheckpoint(eager=True)
     return dist
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, comp) via alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round algorithm that replaces label propagation when the
+    graph can have long-diameter components (chains, lattices, social
+    threads). Label propagation needs DIAMETER rounds; star operations
+    square the shortcut length every alternation, so a 10⁶-node chain
+    converges in ~20 rounds instead of 10⁶.
+
+    One alternation:
+      large-star: every node's strictly-LARGER neighbors re-attach to
+                  the minimum of its closed neighborhood;
+      small-star: every node and its ≤-neighbors attach to that
+                  minimum (parent pointers collapse).
+    Both are one groupBy-min + one join per pass — same shuffle shape
+    as a propagation round, but exponentially fewer of them. The edge
+    multiset converges to disjoint stars whose centers are the
+    component minima; convergence is detected by an exact (count,
+    hash-sum) edge-set signature, not a driver collect.
+
+    Interface-identical to connected_components: comp = min reachable
+    id, singleton nodes label themselves.
+    """
+    id_col = nodes.columns[0]
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # orient as (u, v) unordered pairs, deduped
+    cur = (
+        e.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(frame):
+        # bit_xor, not sum: summing 64-bit hashes overflows int64 under
+        # ANSI mode; XOR is overflow-free and order-independent
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def star(frame, large: bool):
+        sym = frame.select("u", "v").unionByName(
+            frame.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        j = sym.join(m, "u")
+        if large:
+            out = j.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = (
+                j.where(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .unionByName(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            )
+        return (
+            out.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    sig = signature(cur)
+    for _ in range(max_iter):
+        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        nsig = signature(nxt)
+        cur.unpersist()
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_iter} alternations"
+        )
+    # converged: edges are (center, member) stars with center = min
+    centers = cur.select(F.col("v").alias("id"), F.col("u").alias("comp"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(centers, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )

@@ -2884,3 +2884,25 @@ def corpus_curate_mix(spark, sf_dir):
         F.sum("doc_id").alias("id_checksum"),
         F.sum("n_tokens").alias("token_sum"),
     )
+
+
+@query(
+    "graph_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_MINHASH_EDGES}
+    SELECT id AS doc_id, comp FROM comps
+    """,
+)
+def graph_components_star(spark, sf_dir):
+    """dedup_components recomputed by the O(log n) large-star/
+    small-star algorithm (Kiveris et al., SoCC'14 —
+    operators/graph.py::connected_components_star): identical labels to
+    label propagation (same oracle), but convergence in alternations
+    that square the shortcut length — the variant that survives
+    long-diameter components (chains, social threads) where
+    propagation needs diameter rounds. Equivalence on random graphs
+    and a chain that propagation cannot finish are pinned in
+    tests/unit/test_graph.py."""
+    docs, edges = _minhash_edges(spark, sf_dir)
+    comps = graph.connected_components_star(docs.select("doc_id"), edges)
+    return comps.select(F.col("id").alias("doc_id"), F.col("comp"))

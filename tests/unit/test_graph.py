@@ -108,3 +108,45 @@ def test_triangle_counts_hub_graph(spark):
     edges2 = spark.createDataFrame(star + [(1, 2)], ["a", "b"])
     got = {r.node: r.n_triangles for r in triangle_counts(edges2).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_star_components_match_propagation_random(spark):
+    import random
+
+    from demo_data_warehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges_df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src bigint, dst bigint"
+    )
+    lp = {r["id"]: r["comp"] for r in connected_components(nodes_df, edges_df).collect()}
+    st = {r["id"]: r["comp"] for r in
+          connected_components_star(nodes_df, edges_df).collect()}
+    assert lp == st
+
+
+def test_star_components_converge_on_long_chain(spark):
+    from demo_data_warehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # a 60-node chain: label propagation needs ~60 rounds (its default
+    # max_iter raises); star alternations square the shortcut length
+    n = 60
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        connected_components(nodes_df, edges_df, max_iter=10)
+    st = connected_components_star(nodes_df, edges_df, max_iter=12)
+    assert {r["comp"] for r in st.collect()} == {0}
