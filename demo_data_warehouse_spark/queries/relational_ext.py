@@ -4141,3 +4141,63 @@ def agg_topk_rollup(spark, sf_dir):
     ).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("cnt")
     )
+
+
+@query(
+    "window_salted_topn",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id) AS rn
+      FROM events)
+    SELECT event_type, event_id, user_id, cents, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def window_salted_topn(spark, sf_dir):
+    """Skew-proof top-n per key: the single-pass window sends a hot
+    key's ENTIRE partition through one reducer's sort; the two-phase
+    form first takes top-n within (key, salt) — 32 parallel partial
+    sorts each bounded at n survivors — then ranks the ≤ 32·n
+    survivors per key. Algebraically identical to the direct window
+    for ANY data (phase 1 can only drop rows that lose to n better
+    rows inside their own salt, which lose globally too), so the
+    oracle is the plain top-n; the exact (cents DESC, event_id) order
+    pins ties."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    n = 5
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("salt")
+    phase1 = (
+        ev.withColumn("salt", salt)
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "salt").orderBy(
+                    F.col("cents").desc(), "event_id"
+                )
+            ),
+        )
+        .where(F.col("prn") <= n)
+        .drop("salt", "prn")
+    )
+    return (
+        phase1.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("cents").desc(), "event_id"
+                )
+            ),
+        )
+        .where(F.col("rn") <= n)
+        .select("event_type", "event_id", "user_id", "cents", "rn")
+    )
