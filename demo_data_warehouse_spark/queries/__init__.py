@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import all query modules so their registrations run."""
     from . import (  # noqa: F401
+        analytics_ext,
         core,
         quality,
         relational_ext,
