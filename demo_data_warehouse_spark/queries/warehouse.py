@@ -1112,3 +1112,75 @@ def merge_on_read_delete(spark, sf_dir):
     assert not os.path.isdir(t.del_dir)
     assert applied.count() == mor_rows
     return mor.unionAll(applied)
+
+
+@query(
+    "maintenance_mv_rewrite",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    q1 AS (
+      SELECT event_type AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(c) AS DOUBLE) / 100.0 AS sum_value,
+             CAST(SUM(c) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value
+      FROM cents GROUP BY event_type),
+    q2 AS (
+      SELECT CAST(user_id % 10 AS VARCHAR) AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS run, grp, n_rows, sum_value, avg_value FROM q1
+    UNION ALL
+    SELECT 2, grp, n_rows, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM q2
+    """,
+)
+def maintenance_mv_rewrite(spark, sf_dir):
+    """Materialized-view query rewrite + incremental maintenance
+    (operators/mv.py): the MV keeps mergeable partial state per
+    (event_type, day); history up to the cutoff is materialized once,
+    the post-cutoff delta is merged in O(delta) (history never
+    re-read). A dashboard query grouped by a SUBSET of the view keys
+    with derivable aggregates (here avg — the not-self-maintainable
+    case, derived as sum/count) is rewritten to scan ONLY the view's
+    state files (asserted on inputFiles); a query grouped outside the
+    view keys transparently falls back to the base scan (asserted).
+    Both answers are hash-checked against the direct recompute — the
+    rewrite must be semantically invisible. Replaces the reference's
+    rebuild-gold-every-run consumers (dags/utils/etl.py:616-677) with
+    the O(|groups|) read path that survives 100 TB."""
+    from ..operators.mv import MaterializedView
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    mv = MaterializedView(
+        spark, scratch_dir("mv_root"), ["event_type", "day"], "value"
+    )
+    mv.refresh_full(ev.where(F.col("ts") <= cutoff))
+    mv.refresh_incremental(ev.where(F.col("ts") > cutoff))
+
+    q1, used1 = mv.answer(["event_type"], ["count", "sum", "avg"])
+    assert used1
+    files = q1.inputFiles()
+    assert files and all(mv.state_path in f for f in files), files[:3]
+
+    base = ev.withColumn("bucket", (F.col("user_id") % 10).cast("string"))
+    q2, used2 = mv.answer(["bucket"], ["count"], base=base)
+    assert not used2
+    assert any("events" in f for f in q2.inputFiles())
+
+    one = q1.select(
+        F.lit(1).cast("bigint").alias("run"),
+        F.col("event_type").alias("grp"),
+        "n_rows", "sum_value", "avg_value",
+    )
+    two = q2.select(
+        F.lit(2).cast("bigint").alias("run"),
+        F.col("bucket").alias("grp"),
+        "n_rows",
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("double").alias("avg_value"),
+    )
+    return one.unionAll(two)
