@@ -224,3 +224,128 @@ class SnapshotLogStreamingDataSource(DataSource):
                 SnapshotLogStreamReader.__init__(self, options)
 
         return _Reader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource SINK: manifest-committed JSONL export
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402 (writer half of the API)
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Picklable commit message: one staged file + its row count."""
+
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side writer with a driver-side atomic commit.
+
+    Each task streams its partition to <path>/.staging/<uuid>.jsonl and
+    returns a commit message; ONLY the driver's commit() makes data
+    visible, by moving staged files in and then swapping the manifest
+    (os.replace — atomic on POSIX). Readers resolve the file list from
+    the manifest, so a crashed/aborted write (staged files deleted in
+    abort(), manifest untouched) is invisible — the same torn-read
+    discipline as io.py's sinks, expressed through the DataSource
+    writer contract (write/commit/abort). Speculative/retried tasks
+    stage under fresh uuids; losers simply go unreferenced and are
+    swept by the staging cleanup in commit().
+    """
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    # -- executor side --
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        f = os.path.join(staging, f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(f, "w") as out:
+            for row in iterator:
+                d = row.asDict()
+                for k, v in d.items():
+                    if hasattr(v, "isoformat"):
+                        d[k] = v.isoformat()
+                out.write(json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(f, n)
+
+    # -- driver side --
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+        import uuid
+
+        manifest = os.path.join(self.path, "_manifest.json")
+        entries = []
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest) as fh:
+                entries = json.load(fh)["files"]
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, os.path.basename(m.staged))
+            os.rename(m.staged, final)
+            entries.append({"file": os.path.basename(final), "rows": m.rows})
+        tmp = manifest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"files": entries}, fh)
+        os.replace(tmp, manifest)  # the commit point
+        live = {e["file"] for e in entries}
+        for f in os.listdir(self.path):  # sweep orphans (old overwrite gens,
+            p = os.path.join(self.path, f)  # speculative-task losers)
+            if f not in live and f != "_manifest.json" and os.path.isfile(p):
+                os.remove(p)
+        shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
+
+    def abort(self, messages):
+        # sweep ALL of staging, not just the messaged files: the task
+        # that failed never returned a message, but may have left a
+        # partial file. Safe under the sink's single-writer discipline
+        # (same assumption as io.py's staging+swap sinks).
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
+
+
+class JsonlSinkDataSource(DataSource):
+    """Batch sink 'jsonl_sink' — the DSv2 write path complementing the
+    paged_api / snapshot_stream read paths: the reference's export leg
+    (CSV to landing + notify, dags/ingestion/lark_to_gcs.py sink side)
+    as a real pluggable Spark sink with exactly-once visibility."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options["path"], overwrite)
+
+
+def read_jsonl_sink(spark, path: str, schema: str):
+    """Manifest-resolved read of a jsonl_sink directory: only committed
+    files are visible, whatever else is on disk."""
+    import json
+    import os
+
+    manifest = os.path.join(path, "_manifest.json")
+    with open(manifest) as fh:
+        files = [os.path.join(path, e["file"]) for e in json.load(fh)["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

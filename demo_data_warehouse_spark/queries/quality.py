@@ -564,3 +564,67 @@ def dq_reconciliation(spark, sf_dir):
         .otherwise(F.lit("MISMATCH"))
         .alias("status"),
     )
+
+
+@query(
+    "dq_join_guard",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, 0 AS variant FROM (SELECT DISTINCT event_type FROM events)
+      UNION ALL
+      SELECT event_type, 1 AS variant FROM (SELECT DISTINCT event_type FROM events)
+        WHERE event_type IN ('click', 'view')),
+    mult AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dim_mult
+      FROM dim GROUP BY event_type),
+    lefts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_left
+      FROM events GROUP BY event_type)
+    SELECT l.event_type, m.dim_mult, l.n_left,
+           l.n_left * m.dim_mult AS n_joined
+    FROM lefts l JOIN mult m USING (event_type)
+    WHERE m.dim_mult > 1
+    """,
+)
+def dq_join_guard(spark, sf_dir):
+    """Join fan-out guard: a fact⟕dim join against a dim with
+    accidentally duplicated keys silently multiplies fact rows — the
+    classic double-counting bug. The guard rides the join itself via
+    two Observation metrics (input rows, output rows — CollectMetrics,
+    zero extra scans, same machinery as dq_observe_metrics) and trips
+    when out/in exceeds the declared ceiling; the offender report
+    (which keys, what multiplicity, how many joined rows) is one
+    census-sized aggregate. Here the dim carries planted duplicates on
+    two keys; the guard MUST trip (asserted in-query) and the report
+    is hash-checked. At 100 TB the detection is free — the metrics
+    ride the pass the join already makes."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    base_dim = ev.select("event_type").distinct()
+    dim = base_dim.select("event_type", F.lit(0).alias("variant")).unionAll(
+        base_dim.where(F.col("event_type").isin("click", "view")).select(
+            "event_type", F.lit(1).alias("variant")
+        )
+    )
+    obs_in, obs_out = Observation(), Observation()
+    joined = (
+        ev.observe(obs_in, F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(dim), "event_type")
+        .observe(obs_out, F.count(F.lit(1)).alias("n"))
+    )
+    report = (
+        joined.groupBy("event_type")
+        .agg(
+            F.countDistinct("variant").cast("bigint").alias("dim_mult"),
+            (F.count("*") / F.countDistinct("variant")).cast("bigint").alias("n_left"),
+            F.count("*").cast("bigint").alias("n_joined"),
+        )
+        .where(F.col("dim_mult") > 1)
+    )
+    rows = report.collect()  # one action drives join + both metrics
+    n_in, n_out = obs_in.get["n"], obs_out.get["n"]
+    assert n_out / n_in > 1.05, (n_in, n_out)  # the guard must trip
+    return spark.createDataFrame(
+        rows, "event_type string, dim_mult bigint, n_left bigint, n_joined bigint"
+    )

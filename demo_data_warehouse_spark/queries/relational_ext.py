@@ -4201,3 +4201,39 @@ def window_salted_topn(spark, sf_dir):
         .where(F.col("rn") <= n)
         .select("event_type", "event_id", "user_id", "cents", "rn")
     )
+
+
+@query(
+    "scan_python_sink",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def scan_python_sink(spark, sf_dir):
+    """The write half of the Python DataSource surface (S5's sink
+    mirror, lark/pydatasource.py::JsonlSinkDataSource): events exported
+    through `df.write.format("jsonl_sink")` — executor tasks stream to
+    staging, the driver's commit() moves files in and swaps a manifest
+    atomically (os.replace), and readers resolve ONLY manifest-listed
+    files, so aborted or speculative writes are never visible. The
+    hash gate runs on the manifest-resolved read-back, so task
+    fan-out, JSON round-tripping of every value, and the commit
+    protocol are all under the oracle. The reference's export leg
+    (CSV landing + notify, dags/ingestion/lark_to_gcs.py) done as a
+    real pluggable sink."""
+    from ..lark.pydatasource import JsonlSinkDataSource, read_jsonl_sink
+    from ..streaming.pipeline import scratch_dir
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = scratch_dir("jsonl_sink_q")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.write.format("jsonl_sink").option("path", out).mode("append").save()
+    return read_jsonl_sink(
+        spark, out, "event_id bigint, event_type string, cents bigint"
+    )

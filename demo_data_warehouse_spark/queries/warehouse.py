@@ -1184,3 +1184,66 @@ def maintenance_mv_rewrite(spark, sf_dir):
         F.lit(None).cast("double").alias("avg_value"),
     )
     return one.unionAll(two)
+
+
+@query(
+    "maintenance_analyze_cbo",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+)
+def maintenance_analyze_cbo(spark, sf_dir):
+    """ANALYZE TABLE statistics + cost-based optimization wiring: the
+    star join is registered as catalog tables (external, CTAS LOCATION
+    — no warehouse dir dependency), column/table stats are computed
+    (`ANALYZE ... COMPUTE STATISTICS FOR ALL COLUMNS`), CBO and
+    stats-driven join reorder are enabled, and the optimized plan is
+    asserted to carry a cardinality estimate (stats().rowCount()
+    defined — absent in size-only mode). This is the planner leg the
+    file-skipping work (scan_clustered_skip, footer stats) doesn't
+    cover: at 100 TB accurate row counts and NDVs are what let the
+    optimizer pick broadcast sides, reorder a star join
+    smallest-first, and budget shuffle partitions. The revenue rollup
+    over the analyzed tables is hash-checked, so the stats path can't
+    silently change semantics."""
+    from ..streaming.pipeline import fresh_name, scratch_dir
+
+    names = {}
+    for t in ("orders", "customer", "nation", "region"):
+        nm = fresh_name(f"cbo_{t}")
+        loc = scratch_dir(f"cbo_loc_{t}")
+        table(spark, sf_dir, t).write.mode("overwrite").parquet(loc)
+        spark.sql(f"CREATE TABLE {nm} USING parquet LOCATION '{loc}'")
+        spark.sql(f"ANALYZE TABLE {nm} COMPUTE STATISTICS FOR ALL COLUMNS")
+        names[t] = nm
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        df = spark.sql(
+            f"""
+            SELECT r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM {names["orders"]} o
+            JOIN {names["customer"]} c ON o.o_custkey = c.c_custkey
+            JOIN {names["nation"]} n ON c.c_nationkey = n.n_nationkey
+            JOIN {names["region"]} r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+            """
+        )
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "CBO stats missing from plan"
+        df = df.localCheckpoint(eager=True)  # pin rows before confs reset
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    return df

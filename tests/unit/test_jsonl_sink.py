@@ -1,0 +1,74 @@
+"""jsonl_sink DataSource writer contract: append accumulates, overwrite
+sweeps old generations, a failed write changes nothing visible (abort),
+and visibility is manifest-only."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_data_warehouse_spark.lark.pydatasource import (
+    JsonlSinkDataSource,
+    read_jsonl_sink,
+)
+from demo_data_warehouse_spark.streaming.pipeline import scratch_dir
+
+SCHEMA = "id bigint, name string"
+
+
+def _write(df, path, mode):
+    df.write.format("jsonl_sink").option("path", path).mode(mode).save()
+
+
+@pytest.fixture()
+def sink(spark):
+    spark.dataSource.register(JsonlSinkDataSource)
+    return scratch_dir("jsonl_sink_t")
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+
+
+def test_append_accumulates_and_roundtrips(spark, sink):
+    _write(_df(spark, 0, 10), sink, "append")
+    _write(_df(spark, 10, 15), sink, "append")
+    got = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
+    assert got == {(i, f"n{i}") for i in range(15)}
+
+
+def test_overwrite_sweeps_previous_generation(spark, sink):
+    _write(_df(spark, 0, 10), sink, "append")
+    _write(_df(spark, 100, 103), sink, "overwrite")
+    got = {r.id for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
+    assert got == {100, 101, 102}
+    # old generation files physically swept, not just unreferenced
+    data_files = [f for f in os.listdir(sink) if f.endswith(".jsonl")]
+    with open(os.path.join(sink, "_manifest.json")) as fh:
+        live = {e["file"] for e in json.load(fh)["files"]}
+    assert set(data_files) == live
+
+
+def test_failed_write_is_invisible(spark, sink):
+    _write(_df(spark, 0, 10), sink, "append")
+    before = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
+
+    @F.udf("bigint")
+    def boom(x):
+        if x >= 20:
+            raise ValueError("injected task failure")
+        return x
+
+    bad = spark.range(18, 25).select(boom("id").alias("id"), F.lit("x").alias("name"))
+    with pytest.raises(Exception):
+        _write(bad, sink, "append")
+    after = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
+    assert after == before
+    assert not os.path.isdir(os.path.join(sink, ".staging")) or not any(
+        os.scandir(os.path.join(sink, ".staging"))
+    )
