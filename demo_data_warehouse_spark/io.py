@@ -658,6 +658,36 @@ class SnapshotLog:
         )
         return dest
 
+    def fast_forward(self, branch: "SnapshotLog", version: int | None = None) -> int:
+        """Adopt a branch's version as this log's next version by
+        manifest reference — the PUBLISH step of write-audit-publish:
+        data files written (and audited) under the branch become
+        visible here in one O(#files) metadata commit; nothing is
+        copied or rewritten, and until this commit lands no reader of
+        this log can see the branch's writes. The inverse hazard of
+        clone() applies: vacuum() on the branch can orphan files this
+        log now references — deep-copy (commit(read())) to sever."""
+        existing = branch.versions()
+        if not existing:
+            raise FileNotFoundError(f"no commits under {branch.root}")
+        if version is None:
+            version = existing[-1]
+        abs_files = [
+            f if os.path.isabs(f) else os.path.join(branch.root, f)
+            for f in branch._manifest(version)["files"]
+        ]
+        mine = self.versions()
+        next_v = (mine[-1] + 1) if mine else 0
+        return self._publish(
+            {
+                "version": next_v,
+                "mode": "fast_forward",
+                "files": abs_files,
+                "source": branch.root,
+                "source_version": version,
+            }
+        )
+
     # -- maintenance ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:

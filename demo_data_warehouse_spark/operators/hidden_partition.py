@@ -1,0 +1,148 @@
+"""Iceberg-style hidden partitioning: partition TRANSFORMS as table
+metadata, with automatic predicate → partition-filter rewrite.
+
+The reference (and this repo's Warehouse) partitions by an explicit
+`partition_value` column the writer must derive and the reader must
+know to filter on — the classic Hive leak: forget the redundant
+`WHERE partition_value = ...` and the query full-scans. Hidden
+partitioning (Iceberg spec §Partitioning) stores the TRANSFORM
+(days(ts), bucket(n, key), truncate(w, col)) in table metadata; the
+writer derives partition values silently, the user queries ONLY data
+columns, and the engine injects the implied partition predicates, so
+directory pruning (PartitionFilters, not just row-group skipping)
+happens for free and can never be forgotten. At 100 TB this is the
+difference between reading one day's directories and listing the
+world.
+
+Derived columns are written as strings with ISO/day formats so
+lexicographic order == semantic order (partition-type inference can't
+mis-type them), and bucket() uses the portable md5-60 hash so the
+rewrite can compute a literal's bucket in pure Python, identical to
+the engine's write-side expression.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import hash60_sql
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    ">=": lambda c, v: c >= v,
+    ">": lambda c, v: c > v,
+    "<=": lambda c, v: c <= v,
+    "<": lambda c, v: c < v,
+}
+
+
+def _h60_py(s: str) -> int:
+    """Pure-Python twin of operators/dedup.py::hash60_sql."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class HiddenPartitionTable:
+    """A parquet table whose partition layout is derived from a
+    transform spec kept in <root>/_partition_spec.json.
+
+    spec entries: {"kind": "days", "col": "ts"}
+                  {"kind": "bucket", "col": "user_id", "n": 8}
+                  {"kind": "truncate", "col": "x", "w": 100}
+    """
+
+    def __init__(self, spark: SparkSession, root: str, spec: Sequence[dict] | None = None):
+        self.spark = spark
+        self.root = root
+        self.data = os.path.join(root, "data")
+        spec_file = os.path.join(root, "_partition_spec.json")
+        if spec is None:
+            with open(spec_file) as fh:
+                self.spec = json.load(fh)
+        else:
+            self.spec = list(spec)
+            os.makedirs(root, exist_ok=True)
+            with open(spec_file, "w") as fh:
+                json.dump(self.spec, fh)
+
+    @staticmethod
+    def _pcol(t: dict) -> str:
+        return f"_p_{t['kind']}_{t['col']}"
+
+    def _derive(self, t: dict) -> Column:
+        kind, col = t["kind"], t["col"]
+        if kind == "days":
+            return F.date_format(col, "yyyy-MM-dd")
+        if kind == "bucket":
+            return F.expr(
+                f"cast(pmod({hash60_sql(f'cast({col} as string)')}, {t['n']}) as string)"
+            )
+        if kind == "truncate":
+            return F.expr(f"cast(({col} div {t['w']}) * {t['w']} as string)")
+        raise ValueError(f"unknown transform {kind!r}")
+
+    # -- write ------------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        out = df
+        for t in self.spec:
+            out = out.withColumn(self._pcol(t), self._derive(t))
+        out.write.mode(mode).partitionBy(*[self._pcol(t) for t in self.spec]).parquet(
+            self.data
+        )
+
+    # -- read -------------------------------------------------------------
+
+    def _rewrite(self, t: dict, op: str, value) -> Column | None:
+        """Partition predicate implied by (data-column op literal)
+        under transform t, or None when the transform can't bound it.
+        Always a WIDENING of the data predicate (day truncation keeps
+        the boundary day; the data filter re-tightens)."""
+        p = F.col(self._pcol(t))
+        kind = t["kind"]
+        if kind == "days":
+            day = str(value)[:10]
+            if op in (">=", ">"):
+                return p >= day
+            if op in ("<=", "<"):
+                return p <= day
+            if op == "=":
+                return p == day
+        elif kind == "bucket":
+            if op == "=":
+                return p == str(_h60_py(str(value)) % t["n"])
+        elif kind == "truncate":
+            w = t["w"]
+            b = (int(value) // w) * w
+            if op in (">=", ">"):
+                return p >= str(b)
+            if op in ("<=", "<"):
+                return p <= str(b)
+            if op == "=":
+                return p == str(b)
+        return None
+
+    def scan(self, filters: Sequence[tuple[str, str, object]]) -> DataFrame:
+        """Read with data-column predicates only; the spec's implied
+        partition filters are injected automatically. Returns data
+        columns (derived partition columns stay hidden)."""
+        df = self.spark.read.parquet(self.data)
+        data_cols = [c for c in df.columns if not c.startswith("_p_")]
+        cond = F.lit(True)
+        for col, op, value in filters:
+            field = df.schema[col].dataType.simpleString()
+            lit = F.lit(value)
+            if field.startswith("timestamp"):
+                lit = lit.cast(field)
+            cond = cond & _OPS[op](F.col(col), lit)
+            for t in self.spec:
+                if t["col"] == col:
+                    pp = self._rewrite(t, op, value)
+                    if pp is not None:
+                        cond = cond & pp
+        return df.where(cond).select(*data_cols)

@@ -4237,3 +4237,59 @@ def scan_python_sink(spark, sf_dir):
     return read_jsonl_sink(
         spark, out, "event_id bigint, event_type string, cents bigint"
     )
+
+
+@query(
+    "scan_hidden_partitioning",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS q, event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    UNION ALL
+    SELECT 2, event_id, user_id, CAST(round(value * 100) AS BIGINT)
+    FROM events WHERE user_id = 77
+    """,
+)
+def scan_hidden_partitioning(spark, sf_dir):
+    """Iceberg-style hidden partitioning
+    (operators/hidden_partition.py): the table's layout is derived
+    from TRANSFORMS in metadata (days(ts), bucket(8, user_id)); the
+    user filters ONLY data columns and the scan injects the implied
+    partition predicates, so a ts range prunes day directories and a
+    user_id equality prunes to one hash bucket — asserted on both
+    plans' PartitionFilters (directory pruning, not just row-group
+    skipping). Fixes the Hive-style leak the reference lives with
+    (readers must remember the redundant partition_value filter,
+    dags/utils/common/data_helper.py partition loads). At 100 TB a
+    forgotten partition predicate is a full listing of the world;
+    hidden partitioning makes it unforgettable."""
+    from ..operators.hidden_partition import HiddenPartitionTable
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = HiddenPartitionTable(
+        spark,
+        scratch_dir("hidden_part"),
+        [{"kind": "days", "col": "ts"}, {"kind": "bucket", "col": "user_id", "n": 8}],
+    )
+    t.write(ev)
+
+    q1 = t.scan(
+        [("ts", ">=", "2024-01-10 00:00:00"), ("ts", "<", "2024-01-20 00:00:00")]
+    )
+    q2 = t.scan([("user_id", "=", 77)])
+    p1 = q1._jdf.queryExecution().executedPlan().toString()
+    p2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p1 and "_p_days_ts" in p1, p1
+    assert "PartitionFilters" in p2 and "_p_bucket_user_id" in p2, p2
+
+    one = q1.select(F.lit(1).cast("bigint").alias("q"), "event_id", "user_id", "cents")
+    two = q2.select(F.lit(2).cast("bigint").alias("q"), "event_id", "user_id", "cents")
+    return one.unionAll(two)

@@ -1247,3 +1247,68 @@ def maintenance_analyze_cbo(spark, sf_dir):
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
     return df
+
+
+@query(
+    "maintenance_wap",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def maintenance_wap(spark, sf_dir):
+    """Write-Audit-Publish (io.py::SnapshotLog.fast_forward): deltas
+    land on a zero-copy BRANCH (clone), a DQ audit runs against the
+    branch's full view, and only a passing audit publishes — one
+    manifest fast-forward, no data copied; a failing audit leaves the
+    branch stranded and main's readers never see a byte of it (both
+    arms asserted in-query, final table hash-checked). This is the
+    quarantine pattern (dq_quarantine) lifted from row level to
+    COMMIT level — the production shape for 'don't let a bad load
+    into the table a 1000-dashboard fleet reads'. The reference's
+    all-or-nothing Airflow retry (dags/etl/run_etl.py:22) approximates
+    this with task boundaries; WAP gives the same guarantee inside
+    the table format."""
+    from ..io import SnapshotLog
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cutoff_ids = ev.where(
+        F.col("event_id") % 4 != 0
+    )  # "history" already in main
+    delta_good = ev.where(F.col("event_id") % 4 == 0)
+    delta_bad = delta_good.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 8 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+
+    def audit(df):
+        return df.where(F.col("event_type").isNull()).count() == 0
+
+    main = SnapshotLog(spark, scratch_dir("wap_main"))
+    main.commit(cutoff_ids)
+
+    # arm 1: good delta → branch, audit passes, fast-forward publishes
+    b1 = main.clone(scratch_dir("wap_b1"))
+    b1.commit(delta_good, mode="append")
+    assert audit(b1.read())
+    main.fast_forward(b1)
+    assert main.read().count() == ev.count()
+
+    # arm 2: corrupted delta → audit fails → never published
+    b2 = main.clone(scratch_dir("wap_b2"))
+    b2.commit(delta_bad, mode="append")
+    assert not audit(b2.read())
+    # no fast_forward: main must be byte-identical to the good publish
+    assert main.read().count() == ev.count()
+    assert main.read().where(F.col("event_type").isNull()).count() == 0
+
+    return main.read()
