@@ -336,6 +336,14 @@ class JsonlSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return JsonlSinkWriter(self.options["path"], overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        from pyspark.sql.datasource import DataSourceStreamWriter
+
+        class _W(JsonlStreamSinkWriter, DataSourceStreamWriter):
+            pass
+
+        return _W(self.options["path"])
+
 
 def read_jsonl_sink(spark, path: str, schema: str):
     """Manifest-resolved read of a jsonl_sink directory: only committed
@@ -349,3 +357,57 @@ def read_jsonl_sink(spark, path: str, schema: str):
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+class JsonlStreamSinkWriter:
+    """Streaming twin of JsonlSinkWriter: one commit per epoch, keyed
+    by batchId in the manifest — Structured Streaming replays a failed
+    epoch with the SAME batchId, and a batch already in the manifest
+    commits as a no-op (staged files swept), which is exactly-once
+    visibility over an at-least-once execution. Same staging + manifest
+    os.replace discipline as the batch writer."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._batch = JsonlSinkWriter(path, overwrite=False)
+
+    def write(self, iterator):
+        return self._batch.write(iterator)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+        import shutil
+        import uuid
+
+        manifest = os.path.join(self.path, "_manifest.json")
+        state = {"files": [], "batches": []}
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                state = json.load(fh)
+                state.setdefault("batches", [])
+        if batchId in state["batches"]:
+            # replayed epoch: already visible, publishing again would
+            # double rows — sweep the replay's staged output instead
+            shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
+            return
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self.path, os.path.basename(m.staged))
+            os.rename(m.staged, final)
+            state["files"].append(
+                {"file": os.path.basename(final), "rows": m.rows, "batch": batchId}
+            )
+        state["batches"].append(batchId)
+        tmp = manifest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, manifest)
+        shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
+
+    def abort(self, messages, batchId):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)

@@ -969,3 +969,79 @@ def stream_snapshot_source(spark, sf_dir):
     log.commit(o.where(F.col("key") % 3 == 2), mode="append")
     drain()  # restart discovers version 2 — and must NOT re-emit 0/1
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_python_sink",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def stream_python_sink(spark, sf_dir):
+    """The STREAMING half of the pluggable sink surface
+    (lark/pydatasource.py::JsonlStreamSinkWriter): readStream →
+    writeStream.format("jsonl_sink") with availableNow drain. Each
+    epoch commits under its batchId in the manifest; a replayed epoch
+    (Structured Streaming's at-least-once execution) must commit as a
+    no-op — exercised here by re-invoking commit for an
+    already-committed batchId with freshly staged files and asserting
+    nothing new became visible. The manifest-resolved read-back is
+    hash-checked, so staging, per-epoch commit, idempotent replay, and
+    JSON round-tripping are all under the oracle. Completes the DSv2
+    matrix: batch/stream read (paged_api, snapshot_stream) and
+    batch/stream write (jsonl_sink)."""
+    import json
+    import os
+
+    from ..lark.pydatasource import (
+        JsonlSinkDataSource,
+        JsonlStreamSinkWriter,
+        read_jsonl_sink,
+    )
+    from ..streaming.pipeline import scratch_dir
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = scratch_dir("jsonl_stream_sink")
+    ckpt = scratch_dir("jsonl_stream_ckpt")
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        state = json.load(fh)
+    committed = list(state["batches"])
+    n_files = len(state["files"])
+    assert committed, state
+
+    # simulate the replayed epoch: same batchId, fresh staged file
+    w = JsonlStreamSinkWriter(out)
+    staging = os.path.join(out, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    ghost = os.path.join(staging, "replay-ghost.jsonl")
+    with open(ghost, "w") as fh:
+        fh.write('{"event_id": -1, "event_type": "ghost", "cents": 0}\n')
+
+    class _Msg:
+        staged = ghost
+        rows = 1
+
+    w.commit([_Msg()], committed[-1])
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        after = json.load(fh)
+    assert after["batches"] == committed and len(after["files"]) == n_files
+    assert not os.path.exists(ghost)
+
+    return read_jsonl_sink(
+        spark, out, "event_id bigint, event_type string, cents bigint"
+    )
