@@ -1,0 +1,99 @@
+"""File-level bloom-filter index for point lookups on unsorted,
+high-cardinality keys — the Delta bloom-index / Iceberg puffin analog.
+
+Min/max footer stats (io.py::parquet_footer_stats) and clustering
+(scan_clustered_skip, zorder) skip files only when the key is SORTED
+into the layout; a point lookup on a key the table is NOT laid out by
+(the second access path: event_id when the table is day-partitioned)
+reads every file. A bloom index fixes that: per data file, k hashed
+bit positions per key value; a lookup probes its k positions and reads
+only files where all k are set. No false negatives (every file truly
+containing the value matches), bounded false positives (a stray file
+read, never a wrong answer — the data filter re-checks).
+
+Representation is relational on purpose: the index is a (file, bit)
+parquet table, built in ONE distributed pass (input_file_name +
+explode(k positions) + distinct), and probing is a tiny aggregation on
+the index — no driver-side bitset assembly, so building the index over
+a 100 TB table is an ordinary shuffle bounded by k·|distinct keys per
+file|, and the index itself can be partitioned by bit range if it
+grows. Hashing is the portable md5-60 family (operators/dedup.py) so
+tests can recompute positions anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import hash60_sql
+from .hidden_partition import _h60_py
+
+K_HASHES = 7
+M_BITS = 1 << 15
+
+
+def _positions_expr(col: str) -> str:
+    """k bloom positions of a column value: md5-60 over value#seed."""
+    pos = [
+        f"pmod({hash60_sql(f'concat(cast({col} as string), chr(35), {j})')}, {M_BITS})"
+        for j in range(K_HASHES)
+    ]
+    return f"array({', '.join(pos)})"
+
+
+def positions_py(value) -> list[int]:
+    return [
+        _h60_py(f"{value}#{j}") % M_BITS for j in range(K_HASHES)
+    ]
+
+
+def build_bloom_index(
+    spark: SparkSession, data_root: str, col: str, index_root: str
+) -> None:
+    """One pass over the table: per file, the distinct set bits of all
+    its values. Written as a (file, bit) parquet index."""
+    df = spark.read.parquet(data_root)
+    idx = (
+        df.select(
+            F.input_file_name().alias("file"),
+            F.explode(F.expr(_positions_expr(col))).alias("bit"),
+        )
+        .distinct()
+    )
+    idx.write.mode("overwrite").parquet(index_root)
+
+
+def bloom_candidate_files(
+    spark: SparkSession, index_root: str, value
+) -> list[str]:
+    """Files whose bloom has ALL k bits of `value` set."""
+    probes = positions_py(value)
+    idx = spark.read.parquet(index_root)
+    hits = (
+        idx.where(F.col("bit").isin(*{int(p) for p in probes}))
+        .groupBy("file")
+        .agg(F.countDistinct("bit").alias("n"))
+        .where(F.col("n") == len(set(probes)))
+    )
+    return [r.file for r in hits.collect()]
+
+
+def bloom_point_lookup(
+    spark: SparkSession, data_root: str, index_root: str, col: str, value
+) -> tuple[DataFrame, int, int]:
+    """Point lookup via the index: returns (rows, files_read,
+    files_total). The data-side equality filter re-checks, so bloom
+    false positives cost IO only, never correctness."""
+    files = bloom_candidate_files(spark, index_root, value)
+    total = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(data_root)
+    )
+    if not files:
+        empty = spark.read.parquet(data_root).where(F.lit(False))
+        return empty, 0, total
+    df = spark.read.parquet(*files).where(F.col(col) == value)
+    return df, len(files), total

@@ -4293,3 +4293,48 @@ def scan_hidden_partitioning(spark, sf_dir):
     one = q1.select(F.lit(1).cast("bigint").alias("q"), "event_id", "user_id", "cents")
     two = q2.select(F.lit(2).cast("bigint").alias("q"), "event_id", "user_id", "cents")
     return one.unionAll(two)
+
+
+@query(
+    "scan_bloom_index",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_id IN (17, 971, 3003)
+    """,
+)
+def scan_bloom_index(spark, sf_dir):
+    """File-level bloom index (operators/bloom_index.py — the Delta
+    bloom-index analog): the table is laid out in 16 unsorted files, so
+    min/max stats and clustering can't skip anything for an event_id
+    point lookup; the index stores k=7 md5-60 bit positions per file
+    and a probe reads only files with all k bits set. Built in one
+    distributed pass (input_file_name + explode, a k·|file-distincts|
+    shuffle); probing is a tiny index aggregation. Asserted in-query:
+    every lookup reads fewer files than the table has (pruning is
+    real), and the final rows hash against the plain IN-list oracle (no
+    false negatives — bloom misses would drop rows and fail the
+    gate)."""
+    from ..operators.bloom_index import bloom_point_lookup, build_bloom_index
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    data = scratch_dir("bloom_data")
+    idx = scratch_dir("bloom_idx")
+    ev.repartition(16).write.mode("overwrite").parquet(data)
+    build_bloom_index(spark, data, "event_id", idx)
+
+    parts = []
+    for eid in (17, 971, 3003):
+        rows, n_read, n_total = bloom_point_lookup(spark, data, idx, "event_id", eid)
+        assert n_read < n_total, (eid, n_read, n_total)
+        parts.append(rows.select("event_id", "user_id", "event_type", "cents"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1,0 +1,55 @@
+"""Bloom index laws: the Python position twin matches the engine
+expression, present values are ALWAYS found (no false negatives),
+absent values prune to (almost) nothing, and lookups equal plain
+filters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from demo_data_warehouse_spark.operators.bloom_index import (
+    _positions_expr,
+    bloom_candidate_files,
+    bloom_point_lookup,
+    build_bloom_index,
+    positions_py,
+)
+from demo_data_warehouse_spark.streaming.pipeline import scratch_dir
+
+
+def _table(spark):
+    data = scratch_dir("bloomt_data")
+    idx = scratch_dir("bloomt_idx")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    df.repartition(12).write.mode("overwrite").parquet(data)
+    build_bloom_index(spark, data, "k", idx)
+    return data, idx
+
+
+def test_positions_python_twin_matches_engine(spark):
+    for value in (0, 17, 999999, -5):
+        got = spark.range(1).select(
+            F.expr(_positions_expr(f"cast({value} as bigint)")).alias("p")
+        ).collect()[0].p
+        assert list(got) == positions_py(value)
+
+
+def test_no_false_negatives_and_filter_equivalence(spark):
+    data, idx = _table(spark)
+    base = spark.read.parquet(data)
+    for k in (0, 1, 499, 2500, 4999):
+        rows, n_read, n_total = bloom_point_lookup(spark, data, idx, "k", k)
+        got = {(r.k, r.v) for r in rows.collect()}
+        want = {(r.k, r.v) for r in base.where(F.col("k") == k).collect()}
+        assert got == want and want, k
+        assert 1 <= n_read < n_total
+
+
+def test_absent_value_prunes_everything(spark):
+    data, idx = _table(spark)
+    # 5000 keys * 7 bits / 12 files ≈ 2.9k of 32768 bits per file:
+    # P(all 7 set by accident) ≈ 1e-8 — an absent key matches no file
+    for k in (10_000, 123_456, -1):
+        assert bloom_candidate_files(spark, idx, k) == []
