@@ -2906,3 +2906,68 @@ def graph_components_star(spark, sf_dir):
     docs, edges = _minhash_edges(spark, sf_dir)
     comps = graph.connected_components_star(docs.select("doc_id"), edges)
     return comps.select(F.col("id").alias("doc_id"), F.col("comp"))
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) AS BIGINT) AS tf_probe
+    FROM toks WHERE term IN ('vector', 'merge', 'stream')
+    GROUP BY doc_id
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Materialized inverted index with partition-pruned term lookup —
+    the missing half of text_bm25 (S78), which re-tokenizes the corpus
+    per query: postings (term, doc_id, tf) are built ONCE and written
+    partitioned by pmod(md5-60(term), 64) buckets; a query computes its
+    terms' buckets in pure Python (the portable-hash twin) and the
+    lookup reads ONLY those partitions (PartitionFilters asserted
+    in-query — directory pruning, the corpus is never re-read). The
+    shuffle to build is the classic postings sort; at 100 TB the index
+    is the search-engine artifact: term-bucketed, mergeable across
+    corpus deltas (append new postings, same buckets). Lookup output
+    (per-doc matched-term count) is hash-gated against the direct
+    tokenize-and-filter oracle."""
+    import hashlib
+
+    from ..streaming.pipeline import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "pmod(cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint), 64)"
+            ),
+        )
+    )
+    idx = scratch_dir("inv_idx")
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(idx)
+
+    terms = ["vector", "merge", "stream"]
+    buckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64 for t in terms}
+    )
+    assert len(buckets) < 64
+    probe = (
+        spark.read.parquet(idx)
+        .where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+    return probe.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.sum("tf").cast("bigint").alias("tf_probe"),
+    )
