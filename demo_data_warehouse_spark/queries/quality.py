@@ -628,3 +628,123 @@ def dq_join_guard(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, dim_mult bigint, n_left bigint, n_joined bigint"
     )
+
+
+@query(
+    "fn_crypto_shred",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events)
+    SELECT user_id,
+           CASE WHEN user_id % 13 = 0 THEN NULL
+                ELSE concat('contact-', CAST(user_id AS VARCHAR)) END AS pii,
+           user_id % 13 = 0 AS shredded
+    FROM users
+    """,
+)
+def fn_crypto_shred(spark, sf_dir):
+    """Crypto-shredding — the GDPR erasure pattern that never rewrites
+    data: PII is stored AES-GCM-encrypted under a per-user key held in
+    a separate key vault; right-to-erasure deletes the user's KEY ROW
+    (an O(1) vault delete), after which the ciphertext — still sitting
+    in every file, backup, and clone — is unrecoverable. The
+    complement of merge_on_read_delete (which physically erases): at
+    100 TB, shredding turns an erasure wave from a table rewrite into
+    a vault merge. Here users ≡ 0 (mod 13) are shredded; decryption
+    via vault join must recover every retained user's PII exactly and
+    NULL for shredded users (the ciphertext column is asserted
+    non-readable without the key) — hash-gated against the plaintext
+    truth."""
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    pii = users.select(
+        "user_id",
+        F.concat(F.lit("contact-"), F.col("user_id").cast("string")).alias("pii"),
+    )
+    # per-user data key: 16-byte derived key (stand-in for a KMS key)
+    vault_all = users.select(
+        "user_id", F.expr("substr(md5(concat('key#', cast(user_id as string))), 1, 16)").alias("dek")
+    )
+    encrypted = (
+        pii.join(vault_all, "user_id")
+        .select(
+            "user_id",
+            F.expr("aes_encrypt(cast(pii as binary), dek, 'GCM')").alias("ct"),
+        )
+    )
+    # the erasure wave: keys for user_id % 13 == 0 are destroyed
+    vault = vault_all.where(F.col("user_id") % 13 != 0)
+    recovered = (
+        encrypted.join(F.broadcast(vault), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(
+                F.col("dek").isNotNull(),
+                F.expr("cast(aes_decrypt(ct, dek, 'GCM') as string)"),
+            ).alias("pii"),
+            F.col("dek").isNull().alias("shredded"),
+        )
+    )
+    return recovered
+
+
+@query(
+    "agg_dp_noise",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+      GROUP BY event_type),
+    u01 AS (
+      SELECT event_type, n,
+             (CAST(CAST(concat('0x', substr(md5(concat('dp-seed-1#', event_type)), 1, 15))
+                   AS BIGINT) % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+      FROM counts)
+    SELECT event_type, n,
+           CAST(ROUND((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0) AS BIGINT)
+             AS noise_micro,
+           n * 1000000 + CAST(ROUND((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0) AS BIGINT)
+             AS noisy_micro
+    FROM u01
+    """,
+)
+def agg_dp_noise(spark, sf_dir):
+    """Differentially-private release of group counts: Laplace(1/ε)
+    noise (ε=1, sensitivity 1) via inverse-CDF sampling
+    x = −b·sgn(u−½)·ln(1−2|u−½|) from a SEEDED uniform — the portable
+    md5-60 hash of (release-seed, group) over a 2²⁰ grid, offset by
+    half a cell so u ∈ (0,1) and u ≠ ½ exactly. Reproducible noise
+    per (seed, group) is the auditable-DP deployment shape (a fresh
+    release = a fresh seed; replaying a release must give identical
+    noise, or the privacy accounting is fiction). The one scalar ln
+    per GROUP is rounded to micro-units before any arithmetic — the
+    same engine-agreement discipline as text_bm25's idf. Noise rides
+    the census aggregation: |groups| state, zero extra passes."""
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    u = (
+        (
+            F.expr(
+                "cast(pmod(cast(conv(substr(md5(concat('dp-seed-1#', event_type)), 1, 15), 16, 10) as bigint), 1048576) as double)"
+            )
+            + F.lit(0.5)
+        )
+        / F.lit(1048576.0)
+    ).alias("u")
+    noise = F.round(
+        F.when(F.col("u") >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("u") - F.lit(0.5)))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        counts.select("event_type", "n", u)
+        .withColumn("noise_micro", noise)
+        .select(
+            "event_type",
+            "n",
+            "noise_micro",
+            (F.col("n") * 1000000 + F.col("noise_micro")).alias("noisy_micro"),
+        )
+    )
