@@ -29,6 +29,14 @@ QUERIES = [
     "sample_temperature",
     "embed_kmeans",
     "ml_logreg_gd",
+    # round-7 families: skyline two-phase prune, CM-sketch cells,
+    # shared-expression DOUBLE stats, DP seeded noise, bloom pruning
+    "window_skyline",
+    "agg_cms_rollup",
+    "ml_decision_stump",
+    "agg_chisq_abtest",
+    "agg_dp_noise",
+    "scan_bloom_index",
 ]
 
 
