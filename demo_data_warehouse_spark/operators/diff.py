@@ -63,3 +63,25 @@ def snapshot_diff(
             *[f"new_{c}" for c in compare_cols],
         )
     )
+
+
+def repair_replica(
+    authority: DataFrame,
+    replica: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Anti-entropy repair: converge `replica` to `authority` touching
+    ONLY divergent keys — the cross-region replica-sync pattern. The
+    diff (delta-sized) names the keys; the patch is kept = replica
+    ⟕anti divergent-keys, plus authority's rows for those keys (covers
+    inserted + updated; deleted drops out naturally). Rows already in
+    agreement are carried as-is — at 100 TB a repair wave moves the
+    divergence, never the table. Returns (repaired, diff) so callers
+    can audit what moved; repair_replica(repair_replica(...)) is a
+    fixed point (re-diff is empty — pinned by the driver query)."""
+    diff = snapshot_diff(replica, authority, keys=keys, compare_cols=compare_cols)
+    divergent = diff.select(*keys)
+    kept = replica.join(divergent, on=list(keys), how="left_anti")
+    patched = authority.join(divergent, on=list(keys), how="left_semi")
+    return kept.unionByName(patched), diff

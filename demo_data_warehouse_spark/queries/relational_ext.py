@@ -4338,3 +4338,66 @@ def scan_bloom_index(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "join_auto_salt",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(event_type), 1, 15)) AS BIGINT) % 500 + 1
+               AS rate_bps
+      FROM (SELECT DISTINCT event_type FROM events))
+    SELECT e.event_id, e.event_type, d.rate_bps,
+           CAST(round(e.value * 100) AS BIGINT) * d.rate_bps AS weighted
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def join_auto_salt(spark, sf_dir):
+    """Measured-skew auto-salting: join_salted (2.3) hardcodes the salt
+    factor; here the engine MEASURES the key histogram first (a
+    census-sized aggregate — |keys| rows, here 5) and derives the salt
+    k = ⌈max_key_rows / target_rows_per_task⌉ clamped to [1, 32], so a
+    uniform table pays zero overhead (k=1, plan identical to the plain
+    join) and a hot key is split into exactly the parallelism it
+    needs. The fact side salts by row hash; the broadcast dim explodes
+    ×k — algebraically the plain join for ANY k, which the oracle (the
+    unsalted join) pins. This is AQE's skew-join decision re-expressed
+    as an explicit, testable operator for engines/joins AQE can't
+    reach (broadcast path, custom sinks)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "rate_bps",
+            F.expr(
+                "pmod(cast(conv(substr(md5(event_type), 1, 15), 16, 10) as bigint), 500) + 1"
+            ),
+        )
+    )
+    # measure: census of the join key (5 rows back to the driver)
+    hist = ev.groupBy("event_type").count().collect()
+    max_rows = max(r["count"] for r in hist)
+    target = 2000
+    k = max(1, min(32, -(-max_rows // target)))
+    assert k > 1, (k, max_rows)  # this corpus IS skewed vs the target
+
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    out = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(k)).cast("int"))
+        .join(F.broadcast(salted_dim), ["event_type", "salt"])
+        .select(
+            "event_id",
+            "event_type",
+            "rate_bps",
+            (F.col("cents") * F.col("rate_bps")).alias("weighted"),
+        )
+    )
+    return out

@@ -1312,3 +1312,135 @@ def maintenance_wap(spark, sf_dir):
     assert main.read().where(F.col("event_type").isNull()).count() == 0
 
     return main.read()
+
+
+@query(
+    "maintenance_repair",
+    oracle="""
+    SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           event_type
+    FROM events
+    """,
+)
+def maintenance_repair(spark, sf_dir):
+    """Anti-entropy replica repair (operators/diff.py::repair_replica):
+    a replica that diverged from the authority — 1/13 of rows missing,
+    1/7 with corrupted values, plus phantom rows the authority never
+    had — is converged by diff→patch, touching ONLY divergent keys
+    (the convergence move of a cross-region sync / disaster-recovery
+    backfill, built on table_diff's classification). Asserted
+    in-query: the re-diff after repair is EMPTY (fixed point), and the
+    repaired table hash-matches the authority bit-for-bit."""
+    from ..operators.diff import repair_replica, snapshot_diff
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_type",
+    )
+    phantom = ev.where(F.col("event_id") % 17 == 0).select(
+        (F.col("event_id") + 1000000).alias("event_id"), "cents", "event_type"
+    )
+    replica = (
+        ev.where(F.col("event_id") % 13 != 0)  # lost rows
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 7 == 0, F.col("cents") + 1)
+            .otherwise(F.col("cents"))
+            .alias("cents"),  # corrupted values
+            "event_type",
+        )
+        .unionByName(phantom)  # rows the authority never had
+    )
+    repaired, diff = repair_replica(
+        ev, replica, keys=["event_id"], compare_cols=["cents", "event_type"]
+    )
+    assert diff.count() > 0
+    rediff = snapshot_diff(
+        repaired, ev, keys=["event_id"], compare_cols=["cents", "event_type"]
+    )
+    assert rediff.count() == 0  # repair is a fixed point
+    return repaired
+
+
+@query(
+    "maintenance_lifecycle",
+    oracle="""
+    SELECT 'mv' AS section, event_type AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'lookup', CAST(event_id AS VARCHAR), CAST(1 AS BIGINT),
+           CAST(round(value * 100) AS BIGINT)
+    FROM events WHERE event_id = 42
+    """,
+)
+def maintenance_lifecycle(spark, sf_dir):
+    """Lakehouse-lifecycle capstone — the round-7 primitives composed
+    as one pipeline, every seam hash-gated: history lands on a
+    SnapshotLog, the delta goes through WRITE-AUDIT-PUBLISH (branch +
+    fast-forward; audit asserted), the published snapshot is laid out
+    with HIDDEN PARTITIONING (days(ts)), a MATERIALIZED VIEW is
+    refreshed from it and the dashboard rollup is answered by QUERY
+    REWRITE (state files only, asserted), and a point lookup goes
+    through the file-level BLOOM INDEX (pruned, asserted). One
+    authority (the raw events), five engine features, one oracle."""
+    from ..io import SnapshotLog
+    from ..operators.bloom_index import bloom_point_lookup, build_bloom_index
+    from ..operators.hidden_partition import HiddenPartitionTable
+    from ..operators.mv import MaterializedView
+    from ..streaming.pipeline import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+
+    # 1. history + write-audit-publish of the delta
+    main = SnapshotLog(spark, scratch_dir("lc_main"))
+    main.commit(ev.where(F.col("ts") <= cutoff))
+    branch = main.clone(scratch_dir("lc_branch"))
+    branch.commit(ev.where(F.col("ts") > cutoff), mode="append")
+    assert branch.read().where(F.col("event_id").isNull()).count() == 0
+    main.fast_forward(branch)
+    published = main.read()
+
+    # 2. hidden-partitioned serving layout
+    hp = HiddenPartitionTable(
+        spark, scratch_dir("lc_hp"), [{"kind": "days", "col": "ts"}]
+    )
+    hp.write(published)
+
+    # 3. materialized view + rewrite
+    mv = MaterializedView(
+        spark,
+        scratch_dir("lc_mv"),
+        ["event_type"],
+        "value",
+    )
+    mv.refresh_full(hp.scan([]))
+    rollup, used = mv.answer(["event_type"], ["count", "sum"])
+    assert used and all(mv.state_path in f for f in rollup.inputFiles())
+    mv_rows = rollup.select(
+        F.lit("mv").alias("section"),
+        F.col("event_type").alias("grp"),
+        "n_rows",
+        F.round(F.col("sum_value") * 100).cast("bigint").alias("val"),
+    )
+
+    # 4. bloom-indexed point lookup on the serving files
+    idx = scratch_dir("lc_bloom")
+    build_bloom_index(spark, hp.data, "event_id", idx)
+    hit, n_read, n_total = bloom_point_lookup(
+        spark, hp.data, idx, "event_id", 42
+    )
+    assert 1 <= n_read < n_total, (n_read, n_total)
+    lk_rows = hit.select(
+        F.lit("lookup").alias("section"),
+        F.col("event_id").cast("string").alias("grp"),
+        F.lit(1).cast("bigint").alias("n_rows"),
+        F.round(F.col("value") * 100).cast("bigint").alias("val"),
+    )
+    return mv_rows.unionAll(lk_rows)
