@@ -612,31 +612,86 @@ def agg_grouping_sets(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimate isn't portable SQL;
-def agg_approx_distinct(spark, sf_dir):  # ±5% vs exact asserted in tests
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS within_tolerance
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_approx_distinct(spark, sf_dir):
     """Approx distinct (HyperLogLog++) — the 100 TB path for cardinality:
-    one pass, fixed memory, no distinct shuffle (SURVEY §2.4/§4)."""
+    one pass, fixed memory, no distinct shuffle (SURVEY §2.4/§4).
+
+    Tolerance-twin oracle pattern (the sketch estimate isn't portable
+    SQL): the SAME query also computes the exact cardinality and returns
+    a deterministic ``within_tolerance`` boolean (all-integer ±5%
+    comparison), so the driver hash-verifies both the exact values and
+    that the HLL estimate landed inside its bound. The exact twin is the
+    verification harness; production code would ship the approx column
+    alone."""
+    exact = F.count_distinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_cust_approx"),
+            exact.alias("n_cust_exact"),
             F.count("*").alias("n_orders"),
+            # all-integer: |approx-exact|*100 <= 5*exact OR |diff| <= 2
+            (
+                (F.abs(approx - exact) * 100 <= exact * 5)
+                | (F.abs(approx - exact) <= 2)
+            ).alias("within_tolerance"),
         )
     )
 
 
-@query("agg_approx_median")  # rows-only: sketch estimate isn't portable SQL;
-def agg_approx_median(spark, sf_dir):  # ±2% vs exact asserted in tests
-    """Approx percentiles (KLL-style sketch) — the 100 TB path for
+@query(
+    "agg_approx_median",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) * 2
+                AS BIGINT) AS p50_halfcents,
+           TRUE AS p50_within_tolerance,
+           TRUE AS p90_within_tolerance
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_median(spark, sf_dir):
+    """Approx percentiles (Greenwald-Khanna sketch) — the 100 TB path for
     quantiles: one pass, fixed memory, mergeable partial sketches.
-    agg_median is the exact verification baseline (SURVEY §2.5 note)."""
+
+    Tolerance-twin oracle pattern: exact p50 crosses engines as an
+    integer (half-cent units — 0.5-interpolation of bigints is an exact
+    binary fraction in both engines), the sketch estimates stay
+    Spark-side as deterministic ±2% booleans (exact p90's interpolated
+    value carries float dirt at fraction 0.9, so only its verdict is
+    returned). agg_median is the exact verification baseline (§2.5)."""
+    ev = table(spark, sf_dir, "events")
+    v_c = F.round(F.col("value") * 100).cast("bigint")
+    p50_exact_hc = (F.expr("percentile(v_c, 0.5)") * 2).cast("bigint")
+    p90_exact = F.expr("percentile(v_c, 0.9)")
+    p50_approx = F.expr("approx_percentile(v_c, 0.5, 10000)")
+    p90_approx = F.expr("approx_percentile(v_c, 0.9, 10000)")
     return (
-        table(spark, sf_dir, "events")
+        ev.select("event_type", v_c.alias("v_c"))
         .groupBy("event_type")
         .agg(
-            F.expr("approx_percentile(value, 0.5, 10000)").alias("median_approx"),
-            F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
+            F.count("*").alias("n"),
+            p50_exact_hc.alias("p50_halfcents"),
+            (
+                F.abs(p50_approx * 2 - p50_exact_hc)
+                <= F.greatest(p50_exact_hc * 0.02, F.lit(100.0))
+            ).alias("p50_within_tolerance"),
+            (
+                F.abs(p90_approx - p90_exact)
+                <= F.greatest(p90_exact * 0.02, F.lit(50.0))
+            ).alias("p90_within_tolerance"),
         )
     )
 

@@ -4340,6 +4340,13 @@ def scan_bloom_index(spark, sf_dir):
     return out
 
 
+def derive_salt_factor(max_key_rows: int, target: int = 2000, cap: int = 32) -> int:
+    """Salt factor for measured-skew auto-salting: k = ceil(max/target),
+    clamped to [1, cap]. k=1 means "no skew vs the target" and must
+    degenerate to the plain (unsalted) join plan."""
+    return max(1, min(cap, -(-max_key_rows // target)))
+
+
 @query(
     "join_auto_salt",
     oracle="""
@@ -4383,9 +4390,11 @@ def join_auto_salt(spark, sf_dir):
     # measure: census of the join key (5 rows back to the driver)
     hist = ev.groupBy("event_type").count().collect()
     max_rows = max(r["count"] for r in hist)
-    target = 2000
-    k = max(1, min(32, -(-max_rows // target)))
-    assert k > 1, (k, max_rows)  # this corpus IS skewed vs the target
+    # k=1 (no measured skew vs the target) is a designed degenerate path:
+    # salt column is constant 0 and the plan is the plain broadcast join.
+    # "skew fixture ⇒ k>1" lives in tests/unit/test_auto_salt.py, not here —
+    # an in-query assert would couple correctness to the scale factor.
+    k = derive_salt_factor(max_rows, target=2000)
 
     salted_dim = dim.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))

@@ -45,12 +45,10 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir, duck):
-    got = (
-        QUERIES["agg_approx_distinct"](spark, sf_dir)
-        .toPandas()
-        .set_index("o_orderstatus")
-        .n_cust_approx
-    )
+    # tolerance-twin pattern: the query itself computes exact + approx
+    # and returns the ±5% verdict; the oracle hash pins exact + TRUE.
+    got = QUERIES["agg_approx_distinct"](spark, sf_dir).toPandas()
+    assert got.within_tolerance.all(), got
     exact = (
         duck.execute(
             "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n FROM orders"
@@ -60,25 +58,22 @@ def test_approx_distinct_within_tolerance(spark, sf_dir, duck):
         .set_index("o_orderstatus")
         .n
     )
-    for status, n in exact.items():
-        assert abs(got[status] - n) <= max(0.05 * n, 2), (status, got[status], n)
+    for _, row in got.iterrows():
+        assert row.n_cust_exact == exact[row.o_orderstatus], row
 
 
 def test_approx_median_within_tolerance(spark, sf_dir, duck):
-    got = (
-        QUERIES["agg_approx_median"](spark, sf_dir)
-        .toPandas()
-        .set_index("event_type")
-    )
+    got = QUERIES["agg_approx_median"](spark, sf_dir).toPandas()
+    assert got.p50_within_tolerance.all(), got
+    assert got.p90_within_tolerance.all(), got
     exact = (
         duck.execute(
-            "SELECT event_type, quantile_cont(value, 0.5) AS p50,"
-            " quantile_cont(value, 0.9) AS p90 FROM events GROUP BY event_type"
+            "SELECT event_type, CAST(quantile_cont(CAST(round(value*100) AS"
+            " BIGINT), 0.5) * 2 AS BIGINT) AS p50_hc FROM events GROUP BY event_type"
         )
         .fetchdf()
         .set_index("event_type")
+        .p50_hc
     )
-    for et in exact.index:
-        for approx_col, exact_col in (("median_approx", "p50"), ("p90_approx", "p90")):
-            a, e = got.loc[et, approx_col], exact.loc[et, exact_col]
-            assert abs(a - e) <= max(0.02 * abs(e), 0.5), (et, approx_col, a, e)
+    for _, row in got.iterrows():
+        assert row.p50_halfcents == exact[row.event_type], row
