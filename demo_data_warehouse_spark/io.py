@@ -578,6 +578,21 @@ class SnapshotLog:
             if n.endswith(".parquet")
         )
 
+    def _ref_path(self, abs_file: str) -> str:
+        """Manifest entry for an absolute file path: files under this
+        log's own root are stored RELATIVE (so vacuum() recognizes
+        their v-dirs as referenced); foreign files (clone /
+        fast-forward sources outside this root) stay absolute.
+
+        Publishing a same-root file absolutely is the vacuum-corruption
+        hazard: `fast_forward(branch)` where the branch was cloned FROM
+        this log would otherwise re-reference this log's own v-dirs by
+        absolute path, vacuum's first-component resolution would see
+        '' instead of 'v0000000N', and a subsequent self-vacuum would
+        delete data the live manifest still references."""
+        rel = os.path.relpath(abs_file, self.root)
+        return abs_file if rel.startswith(os.pardir) else rel
+
     # -- write path -------------------------------------------------------
 
     def commit(self, df: DataFrame, mode: str = "replace") -> int:
@@ -644,7 +659,7 @@ class SnapshotLog:
         if dest.versions():
             raise FileExistsError(f"clone target {dest_root} already has commits")
         abs_files = [
-            f if os.path.isabs(f) else os.path.join(self.root, f)
+            dest._ref_path(f if os.path.isabs(f) else os.path.join(self.root, f))
             for f in self._manifest(version)["files"]
         ]
         dest._publish(
@@ -673,7 +688,7 @@ class SnapshotLog:
         if version is None:
             version = existing[-1]
         abs_files = [
-            f if os.path.isabs(f) else os.path.join(branch.root, f)
+            self._ref_path(f if os.path.isabs(f) else os.path.join(branch.root, f))
             for f in branch._manifest(version)["files"]
         ]
         mine = self.versions()
@@ -702,9 +717,17 @@ class SnapshotLog:
             if v not in keep:
                 os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
                 dropped_manifests += 1
-        referenced_dirs = {
-            f.split(os.sep, 1)[0] for v in keep for f in self._manifest(v)["files"]
-        }
+        # resolve absolute entries (older manifests predating _ref_path, or
+        # hand-edited ones) back under root before taking the v-dir name;
+        # files outside root can never name one of our v-dirs — skip them.
+        referenced_dirs = set()
+        for v in keep:
+            for f in self._manifest(v)["files"]:
+                if os.path.isabs(f):
+                    f = os.path.relpath(f, self.root)
+                    if f.startswith(os.pardir):
+                        continue
+                referenced_dirs.add(f.split(os.sep, 1)[0])
         dropped_dirs = 0
         for name in sorted(os.listdir(self.root)):
             if not name.startswith("v") or name == "_log":

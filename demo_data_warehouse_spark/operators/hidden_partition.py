@@ -83,7 +83,12 @@ class HiddenPartitionTable:
                 f"cast(pmod({hash60_sql(f'cast({col} as string)')}, {t['n']}) as string)"
             )
         if kind == "truncate":
-            return F.expr(f"cast(({col} div {t['w']}) * {t['w']} as string)")
+            # floor semantics (Iceberg truncate spec), matching _rewrite's
+            # Python `//`: x - pmod(x, w) == floor(x/w)*w in exact integer
+            # arithmetic. `div` truncates toward zero, so a negative value
+            # (x=-5, w=100) would land in partition '0' while scan() injects
+            # p == '-100' — silently dropping the row.
+            return F.expr(f"cast(({col} - pmod({col}, {t['w']})) as string)")
         raise ValueError(f"unknown transform {kind!r}")
 
     # -- write ------------------------------------------------------------

@@ -51,9 +51,14 @@ def reaggregate(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
 class MaterializedView:
     """An aggregate MV over one measure column, stored as partial state.
 
-    path layout: <root>/state/ holds the current parquet state; refresh
-    writes <root>/.staging-* then swaps via rename (readers never see a
-    torn state).
+    path layout: versioned state dirs <root>/state-v0000N plus a
+    <root>/_current pointer file swapped with os.replace — the same
+    pointer-swap discipline as io.py's jsonl sink. Readers resolve the
+    pointer to a COMPLETE directory at every point in time; a crash
+    mid-publish leaves the previous version live (the orphan staging /
+    superseded dirs are reclaimed on the next publish). A single
+    state/ + rename-away scheme would expose a no-state window between
+    the two renames.
     """
 
     def __init__(
@@ -72,18 +77,45 @@ class MaterializedView:
         os.makedirs(root, exist_ok=True)
 
     @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    @property
     def state_path(self) -> str:
+        """Directory of the CURRENT published state (resolves _current;
+        falls back to the legacy unversioned state/ dir)."""
+        if os.path.exists(self._pointer):
+            with open(self._pointer) as fh:
+                return os.path.join(self.root, fh.read().strip())
         return os.path.join(self.root, "state")
 
     def _publish(self, state: DataFrame) -> None:
+        versions = sorted(
+            int(n.rsplit("v", 1)[1])
+            for n in os.listdir(self.root)
+            if n.startswith("state-v")
+        )
+        name = f"state-v{(versions[-1] + 1) if versions else 0:05d}"
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
         state.write.mode("overwrite").parquet(staging)
-        old = os.path.join(self.root, f".old-{uuid.uuid4().hex}")
-        if os.path.exists(self.state_path):
-            os.rename(self.state_path, old)
-        os.rename(staging, self.state_path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        os.rename(staging, os.path.join(self.root, name))
+        # atomic pointer swap: readers see the old complete state until
+        # this instant, the new complete state after — never neither
+        tmp = os.path.join(self.root, f".ptr-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, self._pointer)
+        # reclaim superseded versions and any crash-orphaned staging dirs
+        for n in os.listdir(self.root):
+            if (n.startswith("state-v") and n != name) or n.startswith((".staging-", ".ptr-")):
+                p = os.path.join(self.root, n)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+        legacy = os.path.join(self.root, "state")
+        if os.path.isdir(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
 
     def refresh_full(self, base: DataFrame) -> None:
         self._publish(rollup_partials(base, self.group_cols, self.measure, self.dp))

@@ -1224,6 +1224,13 @@ def maintenance_analyze_cbo(spark, sf_dir):
         spark.sql(f"CREATE TABLE {nm} USING parquet LOCATION '{loc}'")
         spark.sql(f"ANALYZE TABLE {nm} COMPUTE STATISTICS FOR ALL COLUMNS")
         names[t] = nm
+    # restore the CALLER's conf values, not hardcoded 'false' — a session
+    # that deliberately enabled CBO must not come out of this query with
+    # it silently disabled
+    prior = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     try:
@@ -1244,8 +1251,13 @@ def maintenance_analyze_cbo(spark, sf_dir):
         assert stats.rowCount().isDefined(), "CBO stats missing from plan"
         df = df.localCheckpoint(eager=True)  # pin rows before confs reset
     finally:
-        spark.conf.set("spark.sql.cbo.enabled", "false")
-        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+        # drop the per-run catalog entries (external tables: metadata
+        # only, the scratch parquet stays for the checkpointed read) —
+        # repeated runs must not leak cbo_* tables into the catalog
+        for nm in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {nm}")
     return df
 
 

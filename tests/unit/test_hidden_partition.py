@@ -86,6 +86,36 @@ def test_truncate_transform(spark):
     assert got == want
 
 
+def test_truncate_transform_negative_values(spark):
+    # write side must use FLOOR (x=-5, w=100 → partition '-100'), matching
+    # the scan rewrite's Python `//`; `div` truncation would write it to
+    # '0' and the injected p == '-100' filter would silently drop the row.
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") - 200).alias("x")
+    )
+    t = HiddenPartitionTable(
+        spark, scratch_dir("hp_tr_neg"), [{"kind": "truncate", "col": "x", "w": 100}]
+    )
+    t.write(df)
+    for filters in (
+        [("x", "=", -5)],
+        [("x", ">=", -150), ("x", "<", 50)],
+        [("x", "<=", -1)],
+    ):
+        got = {r.id for r in t.scan(filters).collect()}
+        cond = F.lit(True)
+        for col, op, v in filters:
+            cond = cond & {
+                "=": F.col(col) == v,
+                ">=": F.col(col) >= v,
+                ">": F.col(col) > v,
+                "<=": F.col(col) <= v,
+                "<": F.col(col) < v,
+            }[op]
+        want = {r.id for r in df.where(cond).collect()}
+        assert got == want, filters
+
+
 def test_spec_reloads_from_metadata(spark, sf_dir):
     _, t = _events_table(spark, sf_dir)
     reopened = HiddenPartitionTable(spark, t.root)  # no spec passed

@@ -63,3 +63,48 @@ def test_mv_answer_scans_only_state(spark, sf_dir):
     assert used
     files = out.inputFiles()
     assert files and all(mv.state_path in f for f in files)
+
+
+def test_mv_publish_never_leaves_no_state_window(spark, sf_dir):
+    # versioned dirs + pointer swap: at every moment between and after
+    # refreshes, state_path resolves to a complete readable directory;
+    # superseded versions and staging dirs are reclaimed.
+    import os
+
+    ev = _events(spark, sf_dir)
+    root = scratch_dir("mv_t5")
+    mv = MaterializedView(spark, root, ["event_type"], "value")
+    mv.refresh_full(ev)
+    first = mv.state_path
+    assert os.path.isdir(first) and mv.state().count() > 0
+    mv.refresh_incremental(ev.limit(0))  # no-op delta, new version published
+    second = mv.state_path
+    assert second != first
+    assert os.path.isdir(second) and mv.state().count() > 0
+    leftovers = [n for n in os.listdir(root) if n.startswith((".staging-", ".ptr-"))]
+    assert leftovers == []
+    assert [n for n in os.listdir(root) if n.startswith("state-v")] == [
+        os.path.basename(second)
+    ]
+
+
+def test_mv_reads_legacy_unversioned_state(spark, sf_dir):
+    # an MV published by the pre-pointer layout (root/state) must stay
+    # readable, and the next publish must migrate it to versioned form.
+    import os
+    import shutil
+
+    ev = _events(spark, sf_dir)
+    root = scratch_dir("mv_t6")
+    mv = MaterializedView(spark, root, ["event_type"], "value")
+    mv.refresh_full(ev)
+    # simulate legacy layout: move current state to root/state, drop pointer
+    shutil.move(mv.state_path, os.path.join(root, "state"))
+    os.remove(os.path.join(root, "_current"))
+    assert mv.state_path == os.path.join(root, "state")
+    n_legacy = mv.state().count()
+    assert n_legacy > 0
+    mv.refresh_incremental(ev.limit(0))
+    assert os.path.basename(mv.state_path).startswith("state-v")
+    assert not os.path.exists(os.path.join(root, "state"))
+    assert mv.state().count() == n_legacy

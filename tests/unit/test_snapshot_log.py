@@ -143,6 +143,40 @@ def test_clone_survives_source_vacuum_after_deep_copy(spark, log):
         shutil.rmtree(dst_root, ignore_errors=True)
 
 
+def test_self_vacuum_after_fast_forward_from_own_clone(spark, log):
+    # WAP round-trip: branch cloned FROM main references main's v-dirs;
+    # after main.fast_forward(branch), main's manifest must reference its
+    # OWN v-dirs relatively — otherwise vacuum resolves the first path
+    # component of an absolute entry as '' and deletes live data dirs.
+    log.commit(_df(spark, 0, 5))
+    dst_root = scratch_dir("snaplog_wap_v")
+    try:
+        branch = log.clone(dst_root)
+        branch.commit(_df(spark, 10, 12), mode="append")
+        log.fast_forward(branch)
+        log.vacuum(keep_last=1)
+        assert sorted(r.k for r in log.read().collect()) == [0, 1, 2, 3, 4, 10, 11]
+    finally:
+        shutil.rmtree(dst_root, ignore_errors=True)
+
+
+def test_vacuum_skips_foreign_absolute_refs(spark, log):
+    # a fast-forward from a branch whose files live OUTSIDE this root
+    # stays absolute in the manifest; vacuum must not let relpath('..')
+    # leak into the referenced set nor delete unrelated local dirs.
+    log.commit(_df(spark, 0, 3))
+    other_root = scratch_dir("snaplog_foreign_v")
+    try:
+        other = SnapshotLog(spark, other_root)
+        other.commit(_df(spark, 50, 53))
+        log.fast_forward(other)
+        stats = log.vacuum(keep_last=1)
+        assert stats["data_dirs_dropped"] == 1  # only main's own stale v0
+        assert sorted(r.k for r in log.read().collect()) == [50, 51, 52]
+    finally:
+        shutil.rmtree(other_root, ignore_errors=True)
+
+
 def test_transaction_log_atomicity_and_carry(spark):
     from demo_data_warehouse_spark.io import TransactionLog
 
