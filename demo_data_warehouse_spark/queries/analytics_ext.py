@@ -57,6 +57,28 @@ def pareto_frontier(df, minimize: str, maximize: str, *extra_partition):
     )
 
 
+def frontier_survivor_guard(df, limit: int, what: str = "pareto phase-2"):
+    """Loud upper bound on a frontier survivor set before an
+    unpartitioned exact pass. Phase 1's salted prune bounds survivors
+    in any realistic distribution (a point dominated within its salt is
+    dominated globally), but an adversarial all-on-the-frontier input —
+    both axes monotone — keeps EVERY row, and phase 2 would sort n rows
+    on one partition. This is an UPPER-bound guard on adversarial data,
+    deliberately not a lower bound (a lower bound is the scale-coupled
+    in-query-assert failure mode join_auto_salt had): small inputs pass
+    trivially, and at scale the degenerate case raises instead of
+    silently serializing. Costs one extra pass over the (pruned,
+    dim-sized) survivor plan."""
+    n = df.count()
+    if n > limit:
+        raise RuntimeError(
+            f"{what}: {n} frontier survivors exceed the single-partition "
+            f"bound {limit}; the input is adversarially monotone — raise the "
+            "salt fan-out or refine with a distributed skyline pass"
+        )
+    return df
+
+
 @query(
     "window_skyline",
     oracle="""
@@ -93,6 +115,7 @@ def window_skyline(spark, sf_dir):
         p.withColumn("salt", F.pmod(F.xxhash64("p_partkey"), F.lit(32))),
         "cents", "p_size", "salt",
     ).drop("salt")
+    local = frontier_survivor_guard(local, 100_000, "window_skyline phase-2")
     return pareto_frontier(local, "cents", "p_size").select(
         "p_partkey", "cents", "p_size"
     )

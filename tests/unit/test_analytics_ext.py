@@ -130,3 +130,27 @@ def test_k_anonymity_flags_only_small_classes(spark, sf_dir):
         .collect()
     )
     assert len(out) == sum(1 for r in full if r["count"] < _K_ANON)
+
+
+def test_frontier_guard_raises_on_adversarial_monotone_input(spark):
+    # degenerate all-on-the-frontier input: both axes strictly monotone
+    # in the same direction, so NO point dominates any other and phase 1
+    # prunes nothing — the survivor guard must fail loudly instead of
+    # letting phase 2 sort everything on one partition.
+    import pytest
+
+    from demo_data_warehouse_spark.queries.analytics_ext import (
+        frontier_survivor_guard,
+        pareto_frontier,
+    )
+
+    n = 5000
+    monotone = spark.range(n).select(
+        F.col("id").alias("cost"), F.col("id").alias("size")
+    ).withColumn("salt", F.pmod(F.xxhash64("cost"), F.lit(32)))
+    local = pareto_frontier(monotone, "cost", "size", "salt").drop("salt")
+    with pytest.raises(RuntimeError, match="frontier survivors exceed"):
+        frontier_survivor_guard(local, limit=n - 1, what="test phase-2")
+    # a realistic (dominating) input passes the same guard untouched
+    ok = frontier_survivor_guard(local.limit(10), limit=100)
+    assert ok.count() == 10

@@ -751,3 +751,64 @@ def test_partsupp_trio_stays_equi_joined(spark, sf_dir, qs):
         plan = physical_plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_skyline_two_phase_salted_then_survivors(spark, sf_dir, qs):
+    # S109: phase 1 must be the salt-partitioned local prune (32 bounded
+    # parallel sorts — Window partitioned by salt), phase 2 the exact
+    # pass over survivors; never a cartesian dominance join or Python.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["window_skyline"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Window (") >= 2, plan  # local prune + exact phase
+    assert "salt" in plan, plan  # phase 1 partitions by the salt key
+    assert "CartesianProduct" not in plan, plan
+    assert_no_rowwise_python(df)
+
+
+def test_spatial_grid_is_broadcast_equi_join(spark, sf_dir, qs):
+    # S112: the 2-D nearest join must ride the (cell-lat, cell-lon)
+    # EQUI-key with the supplier side broadcast — the only fan-out is
+    # the constant x9 neighborhood explode, never |L|x|R| (no nested
+    # loop, no cartesian).
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["join_spatial_grid"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_no_rowwise_python(df)
+
+
+def test_cms_rollup_partial_aggregation(spark, sf_dir, qs):
+    # S110: sketch cells must combine map-side — partial+final
+    # HashAggregate pairs, so the shuffle moves |cells| counters
+    # (depth x width bounded), never raw event rows.
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["agg_cms_rollup"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_no_rowwise_python(df)
+
+
+def test_auto_salt_broadcasts_salted_dim_fact_unshuffled(spark, sf_dir, qs):
+    # S127: the exploded dim must broadcast and the fact side must NOT
+    # shuffle on the join key — at sf0.001 k degenerates to 1 and the
+    # plan is the plain broadcast join (constant salt), same shape.
+    import re
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = qs["join_auto_salt"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    details = re.findall(r"\(\d+\) Exchange\n.*?Arguments: (.*)", plan)
+    assert all("hashpartitioning(event_type" not in a for a in details), plan
+    assert_no_rowwise_python(df)
