@@ -37,6 +37,13 @@ QUERIES = [
     "agg_chisq_abtest",
     "agg_dp_noise",
     "scan_bloom_index",
+    # round-8 (driver round 4) touched families: measured-skew salting
+    # (census + salted join), tolerance-twin sketch verdicts (the
+    # returned booleans/exact twins must not depend on how the HLL/GK
+    # partial sketches were partitioned before merging)
+    "join_auto_salt",
+    "agg_approx_distinct",
+    "agg_approx_median",
 ]
 
 
