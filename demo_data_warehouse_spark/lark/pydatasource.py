@@ -316,7 +316,11 @@ class JsonlSinkWriter(DataSourceWriter):
         # sweep ALL of staging, not just the messaged files: the task
         # that failed never returned a message, but may have left a
         # partial file. Safe under the sink's single-writer discipline
-        # (same assumption as io.py's staging+swap sinks).
+        # (same assumption as io.py's staging+swap sinks). Best-effort
+        # only: Spark cancels the job's other tasks ASYNCHRONOUSLY, so a
+        # straggler may re-create .staging after this sweep — harmless
+        # (staged files are never visible; the next commit() sweeps
+        # them), so emptiness after abort is NOT part of the contract.
         import os
         import shutil
 

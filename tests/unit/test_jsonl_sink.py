@@ -69,6 +69,19 @@ def test_failed_write_is_invisible(spark, sink):
         _write(bad, sink, "append")
     after = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
     assert after == before
+    # The visibility contract is manifest-only: staging may transiently
+    # hold straggler files (Spark cancels sibling tasks of a failed job
+    # ASYNCHRONOUSLY, so a task can re-create .staging after abort()'s
+    # sweep — asserting empty-after-abort is a race). The durable
+    # guarantee is that the NEXT successful commit sweeps all orphans
+    # and exposes only committed rows.
+    _write(_df(spark, 30, 32), sink, "append")
+    got = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
+    assert got == before | {(30, "n30"), (31, "n31")}
     assert not os.path.isdir(os.path.join(sink, ".staging")) or not any(
         os.scandir(os.path.join(sink, ".staging"))
     )
+    data_files = {f for f in os.listdir(sink) if f.endswith(".jsonl")}
+    with open(os.path.join(sink, "_manifest.json")) as fh:
+        live = {e["file"] for e in json.load(fh)["files"]}
+    assert data_files == live
