@@ -2662,7 +2662,7 @@ def ml_naive_bayes(spark, sf_dir):
     seed AS (SELECT MIN(src) AS s FROM sym),
     paths(id, dist) AS (
       SELECT s, 0 FROM seed
-      UNION ALL
+      UNION
       SELECT e.dst, p.dist + 1
       FROM sym e JOIN paths p ON e.src = p.id
       WHERE p.dist < 3
@@ -2678,8 +2678,13 @@ def graph_bfs_distance(spark, sf_dir):
     contaminated doc?") asked after any dedup/contamination hit
     (operators/graph.py::bfs_distances: fixed relaxation rounds, one
     edge-key equi-join each). The oracle replays it as a bounded
-    recursive CTE over the identical portable-hash pairs."""
+    recursive CTE (UNION, so the frontier dedups (id, dist) pairs
+    instead of enumerating every path) over the identical
+    portable-hash pairs. The LSH edge list is checkpointed ONCE here,
+    shared by the seed lookup and every relaxation round — without it
+    the candidate-generation pipeline re-runs twice."""
     docs, edges = _minhash_edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
     seed = int(edges.agg(F.min("src").alias("s")).collect()[0]["s"])
     return graph.bfs_distances(docs.select("doc_id"), edges, seed, max_hops=3)
 
