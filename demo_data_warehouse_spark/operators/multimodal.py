@@ -1,9 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake behind ``fake=True`` (real decode raises
-NotImplementedError, clearly marked). Everything Spark-side is real and
-tested: schema, Arrow-batched mapInPandas, batch shapes, partitioning.
+Decode paths:
+  - ``fake=True`` (default for the synthetic testdata, whose payloads
+    are not valid images): deterministic pseudo-decode, so the
+    distributed plumbing — schema, Arrow-batched mapInPandas, batch
+    shapes, partitioning — is fully exercised and testable.
+  - ``fake=False``: REAL decode. Netpbm (P5/P6) and uncompressed
+    24-bit BMP are decoded in pure numpy (no codec library needed —
+    tested in-repo); any other format falls through to PIL when it is
+    installed, else raises NotImplementedError naming the gap.
+    ``frame_sample`` additionally treats a payload of CONCATENATED
+    netpbm images as a frame stream — exactly the byte format ffmpeg's
+    ``-f image2pipe -vcodec ppm`` emits — so real video frame sampling
+    works wherever a PPM pipe can be materialized, codec-free.
+
+The real-path closures reference this module's decoder functions, so
+the package must be importable on executors (standard deployment:
+--py-files / pip-installed image), unlike the fake paths, which stay
+self-contained.
 
 At scale: binary payloads ride in parquet binary columns; mapInPandas
 streams Arrow batches so one partition never materializes fully as
@@ -24,6 +38,142 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# ---------------------------------------------------------------------------
+# real decoders (pure numpy; PIL only as optional fallback)
+
+
+def _netpbm_header(b: bytes, off: int = 0):
+    """Parse a netpbm binary header starting at `off`: returns
+    (magic, width, height, maxval, data_offset). Comments (#...) and
+    arbitrary whitespace between tokens per the spec; exactly one
+    whitespace byte after maxval."""
+    magic = bytes(b[off : off + 2])
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload at {off}: {magic!r}")
+    i, tokens = off + 2, []
+    n = len(b)
+    while len(tokens) < 3:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # the single whitespace byte separating header from raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    return magic, w, h, maxval, i
+
+
+def decode_image_bytes(b):
+    """bytes -> uint8 ndarray, H×W (grayscale P5) or H×W×3 (P6 / BMP /
+    PIL-decoded). Pure numpy for netpbm and uncompressed 24-bit BMP;
+    other formats require PIL (optional)."""
+    import numpy as np
+
+    if b is None or len(b) < 2:
+        raise ValueError("empty payload")
+    b = bytes(b)
+    magic = b[:2]
+    if magic in (b"P5", b"P6"):
+        m, w, h, _maxval, off = _netpbm_header(b)
+        ch = 3 if m == b"P6" else 1
+        need = w * h * ch
+        raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+        arr = raster.reshape(h, w, ch)
+        return arr[:, :, 0] if ch == 1 else arr
+    if magic == b"BM":
+        data_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bitcount = int.from_bytes(b[28:30], "little")
+        compression = int.from_bytes(b[30:34], "little")
+        if bitcount != 24 or compression != 0:
+            raise ValueError(
+                f"only uncompressed 24-bit BMP supported ({bitcount}-bit, "
+                f"compression {compression})"
+            )
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        return rgb[::-1] if flip else rgb
+    try:
+        import io as _io
+
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            f"no pure-python decoder for image magic {magic!r} and PIL is "
+            "not installed; install Pillow for compressed formats"
+        ) from None
+    return np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"))
+
+
+def encode_ppm(arr) -> bytes:
+    """uint8 H×W or H×W×3 ndarray -> binary netpbm bytes (P5/P6)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        return b"P5 %d %d 255\n" % (w, h) + arr.tobytes()
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError(f"expected 3 channels, got {ch}")
+    return b"P6 %d %d 255\n" % (w, h) + arr.tobytes()
+
+
+def iter_netpbm_frames(b):
+    """Yield uint8 arrays for each image in a CONCATENATED netpbm
+    stream (ffmpeg image2pipe ppm output format)."""
+    import numpy as np
+
+    b = bytes(b)
+    off = 0
+    while off < len(b):
+        m, w, h, _maxval, data = _netpbm_header(b, off)
+        ch = 3 if m == b"P6" else 1
+        need = w * h * ch
+        raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=data)
+        arr = raster.reshape(h, w, ch)
+        yield arr[:, :, 0] if ch == 1 else arr
+        off = data + need
+
+
+def _to_gray(arr):
+    """Integer ITU-R 601 luma — deterministic, no float rounding."""
+    import numpy as np
+
+    if arr.ndim == 2:
+        return arr
+    a = arr.astype(np.int64)
+    return (
+        (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
+    ).astype(np.uint8)
+
+
+def _nn_resize(arr, width: int, height: int):
+    """Nearest-neighbor resample by exact integer index mapping."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return arr[yi][:, xi]
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -36,9 +186,9 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("n_bytes", LongType(), True),
-        StructField("fake_width", LongType(), True),
-        StructField("fake_height", LongType(), True),
-        StructField("fake_checksum", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("checksum", LongType(), True),
     ]
 )
 
@@ -57,33 +207,35 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode/feature-extract via Arrow-batched mapInPandas.
 
     fake=True computes deterministic pseudo-features (sizes + checksum)
-    so the distributed plumbing is fully exercised and testable. The
-    closure is self-contained so workers don't need this package on
-    their PYTHONPATH.
+    in a self-contained closure (workers don't need this package).
+    fake=False REALLY decodes (netpbm/BMP in pure numpy, PIL fallback)
+    and emits actual width/height plus the integer pixel-sum checksum.
     """
-
-    def _decode_real(payload):
-        raise NotImplementedError(
-            "real image/audio decode requires codec libraries not present in "
-            "this environment; use fake=True for the deterministic stub"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                pdf["content"].map(_decode_real)  # raises — clearly-marked stub
             content = pdf["content"]
             n_bytes = content.map(lambda b: 0 if b is None else len(b)).astype("int64")
-            checksum = content.map(
-                lambda b: 0 if b is None else sum(b[:64]) % 1_000_003
-            ).astype("int64")
+            if fake:
+                checksum = content.map(
+                    lambda b: 0 if b is None else sum(b[:64]) % 1_000_003
+                ).astype("int64")
+                width = (checksum % 640) + 1
+                height = (checksum % 480) + 1
+            else:
+                arrs = content.map(decode_image_bytes)
+                width = arrs.map(lambda a: a.shape[1]).astype("int64")
+                height = arrs.map(lambda a: a.shape[0]).astype("int64")
+                checksum = arrs.map(
+                    lambda a: int(a.sum(dtype="int64")) % 1_000_003
+                ).astype("int64")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "n_bytes": n_bytes,
-                    "fake_width": (checksum % 640) + 1,
-                    "fake_height": (checksum % 480) + 1,
-                    "fake_checksum": checksum,
+                    "width": width,
+                    "height": height,
+                    "checksum": checksum,
                 }
             )
 
@@ -106,27 +258,30 @@ def resize(media: DataFrame, width: int, height: int, fake: bool = True) -> Data
 
     fake=True produces a deterministic payload: the input bytes cycled
     to exactly width*height bytes (a stand-in for a w×h grayscale
-    buffer) — size contracts and batch plumbing are real. Real decode+
-    resample needs codec libs absent here → NotImplementedError.
+    buffer) — size contracts and batch plumbing are real. fake=False
+    REALLY decodes, nearest-neighbor resamples by exact integer index
+    mapping (deterministic — no resampling-kernel float variance), and
+    re-encodes as binary netpbm.
     """
 
     target = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires codec libraries not present in "
-                    "this environment; use fake=True for the deterministic stub"
-                )
+            if fake:
 
-            def _cycle(b):
-                if b is None or len(b) == 0:
-                    return bytes(target)
-                reps = -(-target // len(b))  # ceil
-                return (bytes(b) * reps)[:target]
+                def _one(b):
+                    if b is None or len(b) == 0:
+                        return bytes(target)
+                    reps = -(-target // len(b))  # ceil
+                    return (bytes(b) * reps)[:target]
 
-            out = pdf["content"].map(_cycle)
+            else:
+
+                def _one(b):
+                    return encode_ppm(_nn_resize(decode_image_bytes(b), width, height))
+
+            out = pdf["content"].map(_one)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -157,21 +312,31 @@ def frame_sample(media: DataFrame, n_frames: int, fake: bool = True) -> DataFram
     batch in, a frames batch out, no driver involvement, and the fan-out
     never materializes a whole partition of decoded frames at once.
     fake=True slices the raw payload into n_frames even chunks.
+    fake=False REALLY parses the payload as a concatenated netpbm
+    stream (the ffmpeg ``image2pipe -vcodec ppm`` byte format), samples
+    n_frames evenly across the decoded frames, and re-emits each as a
+    standalone netpbm image.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real video frame extraction requires codec libraries not "
-                    "present in this environment; use fake=True for the stub"
-                )
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 b = b if b is not None else b""
-                step = max(len(b) // n_frames, 1)
-                for i in range(n_frames):
-                    chunk = bytes(b[i * step : (i + 1) * step])
+                if fake:
+                    step = max(len(b) // n_frames, 1)
+                    chunks = [
+                        bytes(b[i * step : (i + 1) * step]) for i in range(n_frames)
+                    ]
+                else:
+                    decoded = list(iter_netpbm_frames(b))
+                    # even temporal sampling: frame j comes from position
+                    # floor(j * n_decoded / n_frames)
+                    chunks = [
+                        encode_ppm(decoded[(i * len(decoded)) // n_frames])
+                        for i in range(n_frames)
+                    ]
+                for i, chunk in enumerate(chunks):
                     ids.append(int(mid))
                     idxs.append(i)
                     frames.append(chunk)
@@ -199,32 +364,37 @@ def perceptual_hash(media: DataFrame, n_pixels: int = 60, fake: bool = True) -> 
     """(media_id, phash) — average-hash perceptual fingerprint of the
     decoded payload, Arrow-batched.
 
-    Real path (stubbed — no codec libs in this environment): decode,
-    resize to a tiny grid, hash = bits 'pixel above grid mean'. Fake
-    path: the first `n_pixels` payload BYTES are the grid, so the hash
+    Real path (fake=False): decode (netpbm/BMP pure numpy, PIL
+    fallback), integer-luma grayscale, nearest-neighbor resample to a
+    10×6 grid — the classic average-hash, sized to 60 bits. Fake path:
+    the first `n_pixels` payload BYTES are the grid, so the hash
     pipeline — mean threshold, bit packing, downstream hamming
-    bucketing — runs bit-for-bit real. n_pixels defaults to 60 so the
-    packed hash stays a non-negative bigint (the same 60-bit register
-    convention as dedup.hash60). The mean is an integer floor; payloads
-    shorter than the grid hash to NULL (callers filter) rather than a
-    padded pretend-image.
+    bucketing — runs bit-for-bit real either way. n_pixels defaults to
+    60 so the packed hash stays a non-negative bigint (the same 60-bit
+    register convention as dedup.hash60). The mean is an integer floor;
+    fake-path payloads shorter than the grid hash to NULL (callers
+    filter) rather than a padded pretend-image.
     """
-
-    def _decode_real(payload):
-        raise NotImplementedError(
-            "real image decode requires codec libraries not present in "
-            "this environment; use fake=True for the deterministic stub"
-        )
+    grid_w, grid_h = 10, n_pixels // 10
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                pdf["content"].map(_decode_real)  # raises — clearly-marked stub
+
+            def _grid(b):
+                if fake:
+                    if b is None or len(b) < n_pixels:
+                        return None
+                    return bytes(b[:n_pixels])
+                return bytes(
+                    _nn_resize(_to_gray(decode_image_bytes(b)), grid_w, grid_h)
+                    .reshape(-1)
+                    .tobytes()
+                )
 
             def _hash(b):
-                if b is None or len(b) < n_pixels:
+                px = _grid(b)
+                if px is None:
                     return None
-                px = b[:n_pixels]
                 mean = sum(px) // n_pixels
                 h = 0
                 for i, v in enumerate(px):

@@ -26,7 +26,7 @@ def test_fake_features_deterministic(spark, media):
     assert a.equals(b)
     row = a[a.media_id == 1].iloc[0]
     assert row.n_bytes == len(b"hello world")
-    assert 1 <= row.fake_width <= 640 and 1 <= row.fake_height <= 480
+    assert 1 <= row.width <= 640 and 1 <= row.height <= 480
 
 
 def test_null_payload_survives(media):
@@ -34,10 +34,13 @@ def test_null_payload_survives(media):
     assert out[0].n_bytes == 0
 
 
-def test_real_decode_is_stubbed(spark, media):
+def test_real_decode_rejects_non_image_payloads(spark, media):
+    # the media fixture payloads are text, not images: the REAL path
+    # must fail loudly (unknown magic, PIL absent), never silently
+    # fall back to pseudo-features
     with pytest.raises(Exception) as ei:
         multimodal.extract_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "real image/audio decode" in str(ei.value)
+    assert "decoder" in str(ei.value) or "ValueError" in str(ei.value)
 
 
 def test_resize_size_contract(media):
@@ -63,10 +66,10 @@ def test_frame_sample_fanout(media):
     assert (f3.n_bytes == 0).all()
 
 
-def test_resize_real_is_stubbed(spark, media):
+def test_resize_real_rejects_non_image_payloads(spark, media):
     with pytest.raises(Exception) as ei:
         multimodal.resize(media, 8, 4, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "real image resize" in str(ei.value)
+    assert "netpbm" in str(ei.value) or "decoder" in str(ei.value) or "empty" in str(ei.value)
 
 
 def test_perceptual_hash_and_pairs_exact(spark):
@@ -88,3 +91,148 @@ def test_perceptual_hash_and_pairs_exact(spark):
     }
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
     assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths (pure-numpy netpbm/BMP — no codec library involved)
+
+
+def _ppm_bytes(arr):
+    return multimodal.encode_ppm(arr)
+
+
+def _gradient(w, h):
+    import numpy as np
+
+    x = np.arange(w, dtype=np.uint8)
+    img = np.stack(
+        [
+            np.tile(x, (h, 1)),
+            np.tile((x[::-1]), (h, 1)),
+            np.full((h, w), 7, dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+    return img
+
+
+def _bmp_bytes(arr):
+    """Hand-roll an uncompressed 24-bit bottom-up BMP from H×W×3 RGB."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pixel_data = rows.tobytes()
+    data_off = 14 + 40
+    size = data_off + len(pixel_data)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pixel_data
+
+
+def test_decode_ppm_and_bmp_roundtrip():
+    import numpy as np
+
+    img = _gradient(5, 3)
+    got_ppm = multimodal.decode_image_bytes(_ppm_bytes(img))
+    assert got_ppm.shape == (3, 5, 3) and (got_ppm == img).all()
+    got_bmp = multimodal.decode_image_bytes(_bmp_bytes(img))
+    assert got_bmp.shape == (3, 5, 3) and (got_bmp == img).all()
+    # P5 grayscale with header comments
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    p5 = b"P5\n# a comment\n4 3\n255\n" + gray.tobytes()
+    got_p5 = multimodal.decode_image_bytes(p5)
+    assert got_p5.shape == (3, 4) and (got_p5 == gray).all()
+
+
+def test_decode_unknown_magic_names_pil_gap():
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: compressed formats decode for real")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_image_bytes(png_magic)
+
+
+def test_extract_features_real_dimensions(spark):
+    rows = [(1, _ppm_bytes(_gradient(6, 4))), (2, _bmp_bytes(_gradient(10, 2)))]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    out = (
+        multimodal.extract_features(df, fake=False)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (6, 4)
+    assert (out.loc[2, "width"], out.loc[2, "height"]) == (10, 2)
+    img = _gradient(6, 4)
+    assert out.loc[1, "checksum"] == int(img.sum()) % 1_000_003
+
+
+def test_resize_real_nearest_neighbor(spark):
+    import numpy as np
+
+    img = _gradient(8, 4)
+    df = spark.createDataFrame([(1, _ppm_bytes(img))], "media_id bigint, content binary")
+    out = multimodal.resize(df, 4, 2, fake=False).collect()[0]
+    resized = multimodal.decode_image_bytes(bytes(out.content))
+    assert resized.shape == (2, 4, 3)
+    # exact integer index mapping: out[y][x] = in[y*4//2... -> (y*h)//H]
+    yi = (np.arange(2) * 4) // 2
+    xi = (np.arange(4) * 8) // 4
+    assert (resized == img[yi][:, xi]).all()
+
+
+def test_frame_sample_real_ppm_stream(spark):
+    # three concatenated PPM frames (the ffmpeg image2pipe byte format),
+    # sampled down to 2: frames 0 and 1 of 3 at even spacing
+    frames = [_gradient(4, 2), _gradient(4, 2) + 1, _gradient(4, 2) + 2]
+    stream = b"".join(_ppm_bytes(f) for f in frames)
+    df = spark.createDataFrame([(1, stream)], "media_id bigint, content binary")
+    out = multimodal.frame_sample(df, 2, fake=False).toPandas().sort_values("frame_idx")
+    assert list(out.frame_idx) == [0, 1]
+    got0 = multimodal.decode_image_bytes(bytes(out.iloc[0].frame))
+    got1 = multimodal.decode_image_bytes(bytes(out.iloc[1].frame))
+    assert (got0 == frames[0]).all()
+    assert (got1 == frames[(1 * 3) // 2]).all()
+
+
+def test_perceptual_hash_real_images(spark):
+    import numpy as np
+
+    rng_img = _gradient(40, 24)
+    # same image at a different size hashes identically (grid-resample
+    # invariance — the point of a perceptual hash)
+    bigger = rng_img.repeat(2, axis=0).repeat(2, axis=1)
+    flat = np.full((24, 40, 3), 128, dtype=np.uint8)
+    rows = [
+        (1, _ppm_bytes(rng_img)),
+        (2, _ppm_bytes(bigger)),
+        (3, _ppm_bytes(flat)),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.perceptual_hash(df, fake=False).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] is not None and got[1] >= 0
+    assert got[3] == 0  # flat image: no pixel above the mean
