@@ -1036,6 +1036,57 @@ def multimodal_frames(spark, sf_dir):
 
 
 @query(
+    "multimodal_real_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ), s AS (
+      SELECT doc_id,
+             SUM(CAST(concat('0x', substr(h, CAST(2 * t.i + 1 AS INT), 2))
+                      AS BIGINT)) AS digest_sum
+      FROM px CROSS JOIN range(16) AS t(i)
+      GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST((2 * digest_sum) % 1000003 AS BIGINT) AS checksum,
+           CAST(19 AS BIGINT) AS resized_bytes
+    FROM s
+    """,
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL image decode, hash-verified end-to-end: each document gets a
+    deterministic 8×4 grayscale netpbm payload (pixels = its md5 digest
+    twice), assembled JVM-side as true binary; executors then REALLY
+    parse the header + raster in pure numpy (operators/multimodal.py::
+    decode_image_bytes — no codec library, no fake path) and report
+    decoded width/height and the integer pixel-sum checksum, plus the
+    byte size of a real 4×2 nearest-neighbor resize re-encoded as
+    netpbm. DuckDB never decodes anything: it derives the SAME expected
+    dims and checksum arithmetically from the md5 hex — so a hash match
+    proves the distributed decode pipeline (binary column → Arrow batch
+    → numpy parse → features) reproduced the ground truth exactly. This
+    closes the multimodal family's last gap: decode itself is now
+    oracle-verified, not just plumbing-tested (the fake-mode queries
+    keep exercising the synthetic payload path)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    digest = F.unhex(F.md5(F.col("doc_id").cast("string")))
+    payload = F.concat(F.lit(b"P5 8 4 255\n"), digest, digest)
+    media = multimodal.to_media_table(
+        docs.withColumn("payload", payload), "doc_id", "payload"
+    )
+    feats = multimodal.extract_features(media, fake=False).select(
+        F.col("media_id").alias("doc_id"), "width", "height", "checksum"
+    )
+    resized = multimodal.resize(media, 4, 2, fake=False).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_bytes").alias("resized_bytes"),
+    )
+    return feats.join(resized, "doc_id")
+
+
+@query(
     "text_scrub",
     oracle="""
     SELECT event_id,
