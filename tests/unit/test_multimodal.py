@@ -236,3 +236,46 @@ def test_perceptual_hash_real_images(spark):
     assert got[1] == got[2]
     assert got[1] is not None and got[1] >= 0
     assert got[3] == 0  # flat image: no pixel above the mean
+
+
+def test_codec_roundtrip_property():
+    # property: encode->decode is identity for arbitrary small images
+    # (both channels counts), and resize geometry always lands exactly
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 23),
+        h=st.integers(1, 17),
+        ch=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+        ow=st.integers(1, 9),
+        oh=st.integers(1, 9),
+    )
+    def check(w, h, ch, seed, ow, oh):
+        rng = np.random.RandomState(seed)
+        arr = rng.randint(0, 256, size=(h, w) if ch == 1 else (h, w, 3)).astype(
+            np.uint8
+        )
+        blob = multimodal.encode_ppm(arr)
+        back = multimodal.decode_image_bytes(blob)
+        assert back.shape == arr.shape and (back == arr).all()
+        rs = multimodal._nn_resize(arr, ow, oh)
+        assert rs.shape[:2] == (oh, ow)
+        # every resized pixel exists in the source (nearest-neighbor law)
+        again = multimodal.decode_image_bytes(multimodal.encode_ppm(rs))
+        assert (again == rs).all()
+
+    check()
+
+
+def test_bmp_padding_property():
+    # BMP rows pad to 4 bytes: widths 1..8 exercise every padding case
+    import numpy as np
+
+    for w in range(1, 9):
+        arr = np.arange(w * 2 * 3, dtype=np.uint8).reshape(2, w, 3)
+        got = multimodal.decode_image_bytes(_bmp_bytes(arr))
+        assert got.shape == (2, w, 3) and (got == arr).all(), w
