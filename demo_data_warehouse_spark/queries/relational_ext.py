@@ -1311,7 +1311,10 @@ def subquery_correlated(spark, sf_dir):
     totals, so the raw comparison would be vacuously empty). Catalyst decorrelates both
     subqueries into one aggregate + left-outer join (no per-row
     re-execution — the thing a naive engine gets wrong). Cross-
-    multiplied to integer cents so the boundary comparison is exact."""
+    multiplied to integer cents so the boundary comparison is exact.
+    No final ORDER BY (driver compare is order-insensitive; a global
+    sort over the survivor set is the one non-scalable node —
+    scripts/plan_audit.py flags it)."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
@@ -1322,7 +1325,6 @@ def subquery_correlated(spark, sf_dir):
                 * (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey)
               > (SELECT COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
                  FROM orders_v o WHERE o.o_custkey = c.c_custkey)
-        ORDER BY c_custkey
         """
     )
 
@@ -1343,7 +1345,10 @@ def subquery_exists(spark, sf_dir):
     """Correlated EXISTS / NOT EXISTS — parts with a max-quantity
     shipment but never a near-empty one. Catalyst rewrites to left-semi
     + left-anti joins on the correlation key (plan-asserted in
-    tests/unit/test_plans.py — no nested-loop re-execution)."""
+    tests/unit/test_plans.py — no nested-loop re-execution). No final
+    ORDER BY: the driver compare is order-insensitive, and a global
+    sort over the (unboundedly large) survivor set would be the one
+    non-scalable node in the plan (scripts/plan_audit.py flags it)."""
     table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql(
@@ -1354,7 +1359,6 @@ def subquery_exists(spark, sf_dir):
                       WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 50)
           AND NOT EXISTS (SELECT 1 FROM lineitem_v l
                           WHERE l.l_partkey = p.p_partkey AND l.l_quantity <= 2)
-        ORDER BY p_partkey
         """
     )
 
