@@ -105,16 +105,25 @@ class MaterializedView:
         with open(tmp, "w") as fh:
             fh.write(name)
         os.replace(tmp, self._pointer)
-        # reclaim superseded versions and any crash-orphaned staging dirs
+        # reclaim old versions and crash-orphaned staging dirs, but KEEP
+        # the immediately-previous version: an in-flight reader that
+        # resolved the pointer just before the swap may still be
+        # scanning it (the same reason table formats vacuum with a
+        # retention window, never at commit time)
+        keep = {name, f"state-v{(versions[-1]):05d}" if versions else name}
         for n in os.listdir(self.root):
-            if (n.startswith("state-v") and n != name) or n.startswith((".staging-", ".ptr-")):
+            if (n.startswith("state-v") and n not in keep) or n.startswith(
+                (".staging-", ".ptr-")
+            ):
                 p = os.path.join(self.root, n)
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
                 else:
                     os.remove(p)
         legacy = os.path.join(self.root, "state")
-        if os.path.isdir(legacy):
+        if os.path.isdir(legacy) and versions:
+            # legacy layout already superseded by a versioned publish —
+            # it is at least two generations old, safe to drop
             shutil.rmtree(legacy, ignore_errors=True)
 
     def refresh_full(self, base: DataFrame) -> None:

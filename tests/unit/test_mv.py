@@ -83,9 +83,15 @@ def test_mv_publish_never_leaves_no_state_window(spark, sf_dir):
     assert os.path.isdir(second) and mv.state().count() > 0
     leftovers = [n for n in os.listdir(root) if n.startswith((".staging-", ".ptr-"))]
     assert leftovers == []
-    assert [n for n in os.listdir(root) if n.startswith("state-v")] == [
-        os.path.basename(second)
-    ]
+    # retention: current + immediately-previous version are kept (an
+    # in-flight reader may still be scanning the previous one); older
+    # generations are reclaimed
+    assert os.path.isdir(first)
+    mv.refresh_incremental(ev.limit(0))
+    third = mv.state_path
+    assert sorted(n for n in os.listdir(root) if n.startswith("state-v")) == sorted(
+        [os.path.basename(second), os.path.basename(third)]
+    )
 
 
 def test_mv_reads_legacy_unversioned_state(spark, sf_dir):
@@ -106,5 +112,9 @@ def test_mv_reads_legacy_unversioned_state(spark, sf_dir):
     assert n_legacy > 0
     mv.refresh_incremental(ev.limit(0))
     assert os.path.basename(mv.state_path).startswith("state-v")
+    # the legacy dir survives the FIRST versioned publish (an in-flight
+    # legacy reader may still be scanning it) and is reclaimed on the next
+    assert os.path.exists(os.path.join(root, "state"))
+    mv.refresh_incremental(ev.limit(0))
     assert not os.path.exists(os.path.join(root, "state"))
     assert mv.state().count() == n_legacy
