@@ -279,3 +279,34 @@ def test_bmp_padding_property():
         arr = np.arange(w * 2 * 3, dtype=np.uint8).reshape(2, w, 3)
         got = multimodal.decode_image_bytes(_bmp_bytes(arr))
         assert got.shape == (2, w, 3) and (got == arr).all(), w
+
+
+def test_decoder_rejects_garbage_without_hanging():
+    # fuzz the header parser: arbitrary byte soup must raise a clean
+    # ValueError / NotImplementedError, never hang, overread, or return
+    # an array (only a structurally-valid payload may decode)
+    import numpy as np
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=64))
+    def check(blob):
+        try:
+            out = multimodal.decode_image_bytes(blob)
+        except (ValueError, NotImplementedError):
+            return
+        # decoded: must be a real array whose raster fit in the payload
+        assert isinstance(out, np.ndarray) and out.size <= len(blob)
+
+    check()
+
+
+def test_decoder_rejects_truncated_raster():
+    # header promises 4x4 RGB (48 bytes) but the raster has 10: the
+    # numpy frombuffer count must fail loudly, not read out of bounds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_image_bytes(b"P6 4 4 255\n" + b"\x01" * 10)

@@ -812,3 +812,22 @@ def test_auto_salt_broadcasts_salted_dim_fact_unshuffled(spark, sf_dir, qs):
     details = re.findall(r"\(\d+\) Exchange\n.*?Arguments: (.*)", plan)
     assert all("hashpartitioning(event_type" not in a for a in details), plan
     assert_no_rowwise_python(df)
+
+
+def test_tier2_bench_set_no_cartesian_no_rowwise_python(spark, sf_dir, qs):
+    # the tier-2 bench headliners (perf-tracked from driver round 4) must
+    # keep their scale shapes: keyed joins only, Python confined to
+    # sanctioned Arrow batches.
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    for name in (
+        "maintenance_mv_rewrite",
+        "scan_bloom_index",
+        "text_inverted_index",
+        "ml_dbscan",
+        "corpus_curate_mix",
+    ):
+        df = qs[name](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython (" not in plan, (name, plan)
