@@ -118,3 +118,40 @@ def test_mv_reads_legacy_unversioned_state(spark, sf_dir):
     mv.refresh_incremental(ev.limit(0))
     assert not os.path.exists(os.path.join(root, "state"))
     assert mv.state().count() == n_legacy
+
+
+def test_mv_reader_survives_concurrent_publishes(spark, sf_dir):
+    # the retention claim, exercised for real: a reader loop running
+    # while another thread publishes back-to-back refreshes must never
+    # see a missing/torn state (the previous version stays on disk
+    # until the next publish, and the pointer swap is atomic)
+    import threading
+
+    ev = _events(spark, sf_dir)
+    mv = MaterializedView(spark, scratch_dir("mv_t7"), ["event_type"], "value")
+    mv.refresh_full(ev)
+    expected = mv.state().count()
+    stop = threading.Event()
+    errors = []
+
+    def publisher():
+        try:
+            for _ in range(6):
+                mv.refresh_incremental(ev.limit(0))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=publisher)
+    t.start()
+    reads = 0
+    try:
+        while not stop.is_set():
+            assert mv.state().count() == expected
+            reads += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    assert reads > 0  # the loop actually overlapped the publishes
+    assert mv.state().count() == expected
