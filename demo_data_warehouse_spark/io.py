@@ -944,20 +944,28 @@ def input_fingerprint(paths: list[str]) -> str:
     return h.hexdigest()[:32]
 
 
-def cached_result(spark, inputs: list[str], cache_root: str, compute):
+def cached_result(spark, inputs: list[str], cache_root: str, compute, query_key: str = ""):
     """Query-result cache: serve a previously materialized result when
     the input fingerprint is unchanged (Snowflake/Databricks result
     cache, reduced to its core). Returns (DataFrame, hit: bool).
 
-    The cache key is input_fingerprint(inputs) — file-metadata only, so
-    a hit costs one directory stat walk and zero scans, while ANY
-    change to the inputs (new file, overwrite, compaction) misses and
-    recomputes. Results publish via write-then-rename, so a crashed
-    fill never produces a readable half-entry; concurrent fillers race
-    benignly (same key → same content). At 100 TB the win is the
-    repeated dashboard/report query: seconds of metadata stat instead
-    of a full scan."""
+    The cache key is input_fingerprint(inputs) ⊕ query_key — so a hit
+    costs one directory stat walk and zero scans, while ANY change to
+    the inputs (new file, overwrite, compaction) misses and recomputes.
+    `query_key` must identify the COMPUTATION (query text / plan
+    fingerprint) whenever one cache_root is shared by more than one
+    query: with the default empty key, two different queries over the
+    same inputs would collide and cross-serve each other's results —
+    only safe with a per-query cache_root. Results publish via
+    write-then-rename, so a crashed fill never produces a readable
+    half-entry; concurrent fillers race benignly (same key → same
+    content). At 100 TB the win is the repeated dashboard/report
+    query: seconds of metadata stat instead of a full scan."""
+    import hashlib
+
     fp = input_fingerprint(inputs)
+    if query_key:
+        fp = hashlib.sha256((fp + "\x00" + query_key).encode()).hexdigest()[:32]
     dest = os.path.join(cache_root, fp)
     if os.path.isdir(dest):
         return spark.read.parquet(dest), True

@@ -173,3 +173,37 @@ def test_quantile_saturates_out_of_range(spark):
     assert bins == [(0, 2), (9, 1)]  # clamped into edge bins, visible
     est = finalize_quantile(st, ["g"], 0.0, 0.5).collect()[0].quantile_est
     assert est == 0.25  # median falls in the low edge bin
+
+
+def test_cached_result_query_key_prevents_cross_serving(spark, tmp_path):
+    # two DIFFERENT computations over the SAME inputs in one shared
+    # cache_root: with distinct query_keys they fill separate entries;
+    # re-asking with the same key hits the right one.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.io import cached_result
+
+    tbl = str(tmp_path / "t")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(tbl)
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache, exist_ok=True)
+
+    def q_sum():
+        return spark.read.parquet(tbl).agg(F.sum("v").alias("x"))
+
+    def q_cnt():
+        return spark.read.parquet(tbl).agg(F.count("*").alias("x"))
+
+    r1, hit1 = cached_result(spark, [tbl], cache, q_sum, query_key="sum_v")
+    r2, hit2 = cached_result(spark, [tbl], cache, q_cnt, query_key="count")
+    assert not hit1 and not hit2  # distinct entries, no collision
+    assert r1.collect()[0].x == 9900 and r2.collect()[0].x == 100
+    r1b, hit1b = cached_result(spark, [tbl], cache, q_sum, query_key="sum_v")
+    assert hit1b and r1b.collect()[0].x == 9900
+    # the documented pitfall: same root, empty key → second query would
+    # be served the FIRST query's materialized rows
+    a, _ = cached_result(spark, [tbl], cache, q_sum)
+    b, hb = cached_result(spark, [tbl], cache, q_cnt)
+    assert hb and b.collect()[0].x == 9900  # cross-served — why query_key exists
