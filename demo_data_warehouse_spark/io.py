@@ -1012,6 +1012,20 @@ class MergeOnReadTable:
     def write(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self.data_dir)
 
+    def _recover(self) -> None:
+        """Heal an apply_deletes crash window (same two-rename swap and
+        rules as Warehouse._recover): data.old alone → restore it;
+        data.old alongside data → post-swap debris → drop it. Without
+        this, a crash between the renames leaves NO data_dir and every
+        read fails until manual repair."""
+        old = self.data_dir + ".old"
+        if not os.path.isdir(old):
+            return
+        if os.path.isdir(self.data_dir):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, self.data_dir)
+
     def delete_keys(self, keys: DataFrame) -> None:
         """O(|keys|) append of an equality-delete file — no data moves."""
         keys.select(F.col(self.key_col)).write.mode("append").parquet(self.del_dir)
@@ -1026,6 +1040,7 @@ class MergeOnReadTable:
         return self.spark.read.parquet(self.del_dir)
 
     def read(self) -> DataFrame:
+        self._recover()
         df = self.spark.read.parquet(self.data_dir)
         dels = self._deletes()
         if dels is None:
@@ -1049,6 +1064,7 @@ class MergeOnReadTable:
         )
         if dels is None:
             return {"delete_files_applied": 0}
+        self._recover()
         staging = os.path.join(self.root, f"_tmp-{uuid.uuid4().hex[:8]}")
         self.read().write.mode("overwrite").parquet(staging)
         old = self.data_dir + ".old"

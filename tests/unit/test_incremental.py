@@ -207,3 +207,28 @@ def test_cached_result_query_key_prevents_cross_serving(spark, tmp_path):
     a, _ = cached_result(spark, [tbl], cache, q_sum)
     b, hb = cached_result(spark, [tbl], cache, q_cnt)
     assert hb and b.collect()[0].x == 9900  # cross-served — why query_key exists
+
+
+def test_merge_on_read_crash_recovery(spark, tmp_path):
+    # simulate the apply_deletes crash window: data renamed to .old,
+    # staging not yet renamed in. The next read must restore .old
+    # (rule: .old alone -> restore); post-swap debris is dropped.
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from demo_data_warehouse_spark.io import MergeOnReadTable
+
+    t = MergeOnReadTable(spark, str(tmp_path / "mor"), "id")
+    t.write(spark.range(50).withColumn("v", F.col("id") * 3))
+    t.delete_keys(spark.range(5).select(F.col("id")))
+    assert t.read().count() == 45
+    # crash half-way: data -> data.old, no staging promoted
+    os.rename(t.data_dir, t.data_dir + ".old")
+    assert t.read().count() == 45  # healed transparently
+    # post-swap debris: .old alongside a live data dir is swept
+    shutil.copytree(t.data_dir, t.data_dir + ".old")
+    assert t.apply_deletes()["delete_files_applied"] >= 1  # per part-file count
+    assert not os.path.isdir(t.data_dir + ".old")
+    assert t.read().count() == 45
