@@ -55,9 +55,12 @@ def rollup_partials(
 def merge_partials(
     stored: DataFrame, delta: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
-    """Merge two partial-state tables. Associative + commutative, so a
-    nightly delta, a replayed delta batch, or a 1000-way tree merge all
-    produce identical state."""
+    """Merge two partial-state tables. Associative + commutative, so
+    any merge ORDER or grouping (nightly deltas, a 1000-way tree merge)
+    produces identical state. NOT idempotent: merging the same delta
+    twice double-counts n_rows/sum_c — replay protection is the SINK's
+    job (streaming/pipeline.py's _applied_batch marker / TransactionLog
+    meta batch_id), never the algebra's."""
     keys = list(keys)
     cols = keys + list(STATE_COLS)
     both = stored.select(*cols).unionByName(delta.select(*cols))
