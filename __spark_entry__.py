@@ -69,6 +69,12 @@ def _driver_recorded() -> set[str]:
 # fixed 50-query prefix; 213/313 registry queries have never been recorded.
 # Order the unrecorded bucket by the mandate-weighted module priority —
 # training (LLM-pipeline) first — instead of module load order.
+
+# Names that must land in THIS round's window regardless of module rank:
+# the approx twins just gained oracles (VERDICT r3 item 4 — their ledger
+# entries must flip from err:no_oracle to hash rows in CORRECTNESS_r04).
+_RECORD_FIRST = ["agg_approx_distinct", "agg_approx_median"]
+
 _MODULE_PRIORITY = [
     "training",
     "streams",
@@ -95,8 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green = _driver_recorded()
     names = list(allq)
     unrecorded = [n for n in names if n not in green]
-    # stable sort: module priority first, registration order within module
-    unrecorded.sort(key=lambda n: _module_rank(allq[n]))
+    # stable sort: explicit front-of-window names, then module priority,
+    # registration order within module
+    unrecorded.sort(
+        key=lambda n: (
+            _RECORD_FIRST.index(n) if n in _RECORD_FIRST else len(_RECORD_FIRST),
+            _module_rank(allq[n]),
+        )
+    )
     ordered = unrecorded + [n for n in names if n in green]
     return {n: allq[n] for n in ordered}
 
