@@ -5,10 +5,13 @@ Decode paths:
     are not valid images): deterministic pseudo-decode, so the
     distributed plumbing — schema, Arrow-batched mapInPandas, batch
     shapes, partitioning — is fully exercised and testable.
-  - ``fake=False``: REAL decode. Netpbm (P5/P6) and uncompressed
-    24-bit BMP are decoded in pure numpy (no codec library needed —
-    tested in-repo); any other format falls through to PIL when it is
-    installed, else raises NotImplementedError naming the gap.
+  - ``fake=False``: REAL decode. Netpbm (P5/P6), uncompressed 24-bit
+    BMP, and 8-bit non-interlaced PNG (gray/RGB/palette/alpha; stdlib
+    zlib inflate + numpy unfiltering, all five spec filters) are
+    decoded in pure numpy (no codec library needed — tested in-repo);
+    any other format falls through to PIL when it is installed, else
+    raises NotImplementedError naming the gap. WAV PCM audio (8/16-bit)
+    decodes in pure numpy too (decode_audio_bytes/audio_features).
     ``frame_sample`` additionally treats a payload of CONCATENATED
     netpbm images as a frame stream — exactly the byte format ffmpeg's
     ``-f image2pipe -vcodec ppm`` emits — so real video frame sampling
@@ -90,6 +93,8 @@ def decode_image_bytes(b):
         raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
         arr = raster.reshape(h, w, ch)
         return arr[:, :, 0] if ch == 1 else arr
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(b)
     if magic == b"BM":
         data_off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -120,6 +125,165 @@ def decode_image_bytes(b):
             "not installed; install Pillow for compressed formats"
         ) from None
     return np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"))
+
+
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Reverse PNG per-row filtering (spec §9, public): `raw` is the
+    zlib-decompressed byte stream, one filter-type byte then `stride`
+    filtered bytes per row. Returns uint8 (h, stride). Filters None/Up
+    are fully vectorized and Sub vectorizes as a per-lane cumsum (our
+    own encoder emits None only, so repo-produced payloads never leave
+    the vectorized path); Average/Paeth are inherently sequential in
+    the left neighbor and fall back to a per-byte loop."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — cumsum per lane
+            cur = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = row
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = row
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b_up = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b_up - c
+                pa, pb, pc = abs(p - a), abs(p - b_up), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b_up
+                else:
+                    pred = c
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(b: bytes):
+    """Pure numpy + stdlib-zlib PNG decode (no codec library): 8-bit
+    grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6),
+    non-interlaced. Alpha is dropped (PIL's convert('RGB') contract).
+    Raises ValueError on anything outside that envelope so callers can
+    fall through to PIL when present."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    n = len(b)
+    while pos + 8 <= n:
+        length = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR or IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported (depth {bit_depth}, "
+            f"interlace {interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color_type == 0:
+        return px[:, :, 0]
+    if color_type == 2:
+        return px
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[px[:, :, 0]]
+    if color_type == 4:
+        return px[:, :, 0]  # drop alpha
+    return px[:, :, :3]  # RGBA: drop alpha
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr) -> bytes:
+    """uint8 H×W or H×W×3 ndarray -> PNG bytes (8-bit gray/RGB, filter
+    None on every row, stdlib zlib). Counterpart of _decode_png for
+    tests and payload assembly; compressed bytes are zlib-version
+    dependent, so contracts must compare DECODED pixels, never the
+    encoded stream."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        color_type, stride = 0, w
+    else:
+        h, w, ch = arr.shape
+        if ch != 3:
+            raise ValueError(f"expected 3 channels, got {ch}")
+        color_type, stride = 2, w * 3
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    flat = arr.reshape(h, stride)
+    raster = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raster))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(arr) -> bytes:
