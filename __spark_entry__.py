@@ -54,14 +54,19 @@ def _driver_recorded() -> set[str]:
                 continue
             # latest round's record wins: a query green in r1 but failed in
             # r2 needs re-recording, so it must sort back into the window.
+            # Oracle-backed names count as green ONLY on hash_match — a
+            # rows_match-only row (e.g. the r4 dtype failures) must sort
+            # back into the window for re-recording (VERDICT r4 wrong #3).
             # A rows-only record counts as green only while the query still
             # has no oracle — once one is added (e.g. the approx twins),
             # the query needs a fresh hash-matched row.
-            latest[name] = row.get("rows_match") is True or (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-                and name not in q.ORACLES
-            )
+            if name in q.ORACLES:
+                latest[name] = row.get("hash_match") is True
+            else:
+                latest[name] = row.get("rows_match") is True or (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
     return {n for n, ok in latest.items() if ok}
 
 
@@ -71,9 +76,22 @@ def _driver_recorded() -> set[str]:
 # training (LLM-pipeline) first — instead of module load order.
 
 # Names that must land in THIS round's window regardless of module rank:
-# the approx twins just gained oracles (VERDICT r3 item 4 — their ledger
-# entries must flip from err:no_oracle to hash rows in CORRECTNESS_r04).
-_RECORD_FIRST = ["agg_approx_distinct", "agg_approx_median"]
+# the 9 r4 driver-red queries (7 dtype + 2 array-column, now fixed) plus
+# the 2 latent array-output queries the judge flagged (VERDICT r4 items
+# 1–2) — their ledger rows must flip to hash_match:true in r5.
+_RECORD_FIRST = [
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "sample_domain_quota",
+    "filter_quality_linear",
+    "ann_pq_codes",
+    "ann_ivf_pq",
+    "text_zipf_fit",
+    "embed_normalize",
+    "embed_quantize",
+    "fn_array_topk",
+    "embed_random_projection",
+]
 
 _MODULE_PRIORITY = [
     "training",

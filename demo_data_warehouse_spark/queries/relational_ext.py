@@ -4091,8 +4091,13 @@ def agg_weighted_median(spark, sf_dir):
                      'd': CAST(i AS BIGINT)})) AS sorted
       FROM e)
     SELECT vec_id,
-           list_transform(sorted[1:3], x -> x.d) AS top_dims,
-           list_transform(sorted[1:3], x -> -x.nq) AS top_q
+           -- string-join: the driver's canonicalizer cannot hash list cells
+           array_to_string(
+             list_transform(sorted[1:3], x -> CAST(x.d AS VARCHAR)), ',')
+             AS top_dims,
+           array_to_string(
+             list_transform(sorted[1:3], x -> CAST(-x.nq AS VARCHAR)), ',')
+             AS top_q
     FROM s
     """,
 )
@@ -4113,10 +4118,15 @@ def fn_array_topk(spark, sf_dir):
         )
     )
     top3 = F.slice(sorted_, 1, 3)
+    # string-joined (not arrays): driver hash needs scalar cells (r4 #2)
     return emb.select(
         "vec_id",
-        F.transform(top3, lambda x: x.getField("d")).alias("top_dims"),
-        F.transform(top3, lambda x: -x.getField("nq")).alias("top_q"),
+        F.array_join(
+            F.transform(top3, lambda x: x.getField("d").cast("string")), ","
+        ).alias("top_dims"),
+        F.array_join(
+            F.transform(top3, lambda x: (-x.getField("nq")).cast("string")), ","
+        ).alias("top_q"),
     )
 
 

@@ -417,8 +417,15 @@ def embed_centroid(spark, sf_dir):
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
     SELECT vec_id, label, ROUND(nrm, 6) AS norm,
-           CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
-                ELSE list_transform(v, x -> ROUND(x / nrm, 6)) END AS unit
+           -- micro-unit string encoding: the driver's canonicalizer cannot
+           -- hash list cells, and float->string formatting differs across
+           -- engines, so freeze each element to round(x*1e6) bigint and join
+           array_to_string(
+             CASE WHEN nrm = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v,
+                    x -> CAST(ROUND(ROUND(x / nrm, 6) * 1000000) AS BIGINT))
+             END, ',') AS unit_u
     FROM n
     """,
 )
@@ -427,12 +434,21 @@ def embed_normalize(spark, sf_dir):
     before cosine retrieval (dot == cosine on unit vectors). Pure
     shuffle-free projection; sequential in-order double fold for the
     norm so both engines sum identically —
-    operators/similarity.py::l2_normalize."""
+    operators/similarity.py::l2_normalize. The registry projection
+    string-joins the unit vector as micro-unit bigints (driver hash
+    needs scalar cells; VERDICT r4 wrong #2)."""
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.l2_normalize(emb, "vec_id", "embedding")
+    unit_u = F.array_join(
+        F.transform(
+            F.col("unit"),
+            lambda x: F.round(x * 1_000_000.0, 0).cast("bigint").cast("string"),
+        ),
+        ",",
+    )
     return out.join(
         table(spark, sf_dir, "embeddings").select("vec_id", "label"), "vec_id"
-    ).select("vec_id", "label", "norm", "unit")
+    ).select("vec_id", "label", "norm", unit_u.alias("unit_u"))
 
 
 @query(
@@ -441,9 +457,11 @@ def embed_normalize(spark, sf_dir):
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
     SELECT vec_id, ROUND(maxabs / 127.0, 6) AS scale,
-           CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS INT))
-                ELSE list_transform(v, x -> CAST(ROUND(x * 127.0 / maxabs) AS INT))
-           END AS qvec
+           -- string-join: the driver's canonicalizer cannot hash list cells
+           array_to_string(
+             CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS INT))
+                  ELSE list_transform(v, x -> CAST(ROUND(x * 127.0 / maxabs) AS INT))
+             END, ',') AS qvec
     FROM m
     """,
 )
@@ -451,9 +469,15 @@ def embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization of embeddings (4× storage, the
     compression an embedding store applies before ANN serving): exact
     float max, deterministic IEEE scaling, HALF_UP round on both
-    engines — operators/similarity.py::quantize_int8."""
+    engines — operators/similarity.py::quantize_int8. The registry
+    projection string-joins the int8 codes (driver hash needs scalar
+    cells; VERDICT r4 wrong #2)."""
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(emb, "vec_id", "embedding")
+    out = similarity.quantize_int8(emb, "vec_id", "embedding")
+    qstr = F.array_join(
+        F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+    )
+    return out.select("vec_id", "scale", qstr.alias("qvec"))
 
 
 def _duck_ann_lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
@@ -795,8 +819,10 @@ def text_entropy(spark, sf_dir):
     t AS (SELECT SUM(c) AS total FROM f),
     g AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / total) * 1000000.0) AS BIGINT))
-               AS logprob_micro
+             -- outer CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas
+             -- renders float64 and the driver hash sees as != int64
+             CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / total) * 1000000.0) AS BIGINT))
+               AS BIGINT) AS logprob_micro
       FROM w JOIN f USING (w), t
       GROUP BY doc_id
     )
@@ -1125,8 +1151,9 @@ def text_scrub(spark, sf_dir):
     lf AS (SELECT w1, COUNT(*) AS cl FROM bg GROUP BY w1),
     g AS (
       SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             SUM(CAST(ROUND(ln(CAST(bf.cb AS DOUBLE) / lf.cl) * 1000000.0) AS BIGINT))
-               AS logprob_micro
+             -- outer CAST: DuckDB SUM(BIGINT)→HUGEINT→float64 in pandas
+             CAST(SUM(CAST(ROUND(ln(CAST(bf.cb AS DOUBLE) / lf.cl) * 1000000.0) AS BIGINT))
+               AS BIGINT) AS logprob_micro
       FROM bg JOIN bf USING (bigram) JOIN lf USING (w1)
       GROUP BY bg.doc_id
     )
@@ -1246,7 +1273,9 @@ def dedup_semantic(spark, sf_dir):
              ) AS cum_tok
       FROM documents
     )
-    SELECT doc_id, source, n_tok, cum_tok FROM t WHERE cum_tok <= 600
+    -- outer CAST on cum_tok: DuckDB windowed SUM(BIGINT)→HUGEINT→float64
+    SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM t WHERE cum_tok <= 600
     """,
 )
 def sample_domain_quota(spark, sf_dir):
@@ -1340,7 +1369,8 @@ def dedup_containment(spark, sf_dir):
       FROM tok
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-           SUM(w) AS score, SUM(w) > 0 AS keep
+           -- outer CAST: DuckDB SUM(BIGINT)→HUGEINT→float64 in pandas
+           CAST(SUM(w) AS BIGINT) AS score, SUM(w) > 0 AS keep
     FROM h GROUP BY doc_id
     """,
 )
@@ -1504,7 +1534,8 @@ def multimodal_phash_dedup(spark, sf_dir):
       FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             WHERE vec_id = 0) q, unnest(range(1, 65)) AS t(i)
     ), adc AS (
-      SELECT code.vec_id, SUM(qx.qi * cx.ci) AS adc_u
+      -- outer CAST: DuckDB SUM(BIGINT)→HUGEINT→float64 in pandas
+      SELECT code.vec_id, CAST(SUM(qx.qi * cx.ci) AS BIGINT) AS adc_u
       FROM code
       JOIN cx ON cx.s = code.s AND cx.j = code.j
       JOIN qx ON qx.s = cx.s AND qx.k = cx.k
@@ -1657,7 +1688,8 @@ def ann_pq_codes(spark, sf_dir):
              CAST(floor(qv[CAST(t.i AS INT)] * 1000000) AS BIGINT) AS qi
       FROM q, unnest(range(1, 65)) AS t(i)
     ), adc AS (
-      SELECT code.vec_id, SUM(qx.qi * cx.ci) AS adc_u
+      -- outer CAST: DuckDB SUM(BIGINT)→HUGEINT→float64 in pandas
+      SELECT code.vec_id, CAST(SUM(qx.qi * cx.ci) AS BIGINT) AS adc_u
       FROM code
       JOIN cx ON cx.s = code.s AND cx.j = code.j
       JOIN qx ON qx.s = cx.s AND qx.k = cx.k
@@ -1754,9 +1786,11 @@ def ann_ivf_pq(spark, sf_dir):
              CAST(round(ln(f) * 1000000) AS BIGINT) AS y_u
       FROM freq
     ), m AS (
+      -- outer CASTs: DuckDB SUM(BIGINT)→HUGEINT→float64 in pandas
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x_u) AS sx, SUM(y_u) AS sy,
-             SUM(x_u * y_u) AS sxy, SUM(x_u * x_u) AS sxx
+             CAST(SUM(x_u) AS BIGINT) AS sx, CAST(SUM(y_u) AS BIGINT) AS sy,
+             CAST(SUM(x_u * y_u) AS BIGINT) AS sxy,
+             CAST(SUM(x_u * x_u) AS BIGINT) AS sxx
       FROM pts
     )
     SELECT n, sx, sy, sxy, sxx,
@@ -2447,7 +2481,10 @@ def _duck_jl_planes_sql(k: int = 8, dim: int = 64, seed: int = 7, scale: float =
     "embed_random_projection",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT vec_id, {_duck_jl_planes_sql()} AS proj
+    -- string-join: the driver's canonicalizer cannot hash list cells
+    SELECT vec_id,
+           array_to_string(list_transform({_duck_jl_planes_sql()},
+             x -> CAST(x AS VARCHAR)), ',') AS proj
     FROM e
     """,
 )
@@ -2459,9 +2496,14 @@ def embed_random_projection(spark, sf_dir):
     Fixed-point outputs: the sequential double fold is bit-identical to
     DuckDB's list_dot_product, and round(·1e4) pins the last ulp."""
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.random_projection(
+    out = similarity.random_projection(
         emb, "vec_id", "embedding", dim=64, k=8, seed=7, scale=1e4
-    ).select(F.col("id").alias("vec_id"), "proj")
+    )
+    # string-joined (not array): driver hash needs scalar cells (r4 #2)
+    proj_s = F.array_join(
+        F.transform(F.col("proj"), lambda x: x.cast("string")), ","
+    )
+    return out.select(F.col("id").alias("vec_id"), proj_s.alias("proj"))
 
 
 @query(

@@ -68,10 +68,48 @@ def values_equal(a, b) -> bool:
         return False
 
 
+def dtype_problems(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Driver-parity strictness (VERDICT r4 wrong #1/#2): the driver's
+    value hash distinguishes 5 from 5.0 (DuckDB HUGEINT sums render as
+    float64), and its canonicalizer crashes on list/ndarray cells. Both
+    are invisible to a pure value-equality compare, so they are hard
+    FAILs here.
+    """
+    import numpy as np
+
+    problems = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        for side, s in (("spark", sdf[c]), ("oracle", odf[c])):
+            if s.dtype == object and any(
+                isinstance(v, (list, tuple, np.ndarray)) for v in s
+            ):
+                problems.append(
+                    f"col {c!r}: {side} side has list-typed cells — the driver "
+                    "canonicalizer crashes on these; string-join the array "
+                    "(concat_ws / array_to_string) on BOTH engines"
+                )
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if (sk in "iu") != (ok in "iu") and {sk, ok} <= set("iuf"):
+            problems.append(
+                f"col {c!r}: dtype mismatch spark={sdf[c].dtype} "
+                f"oracle={odf[c].dtype} — driver hash distinguishes 5 from "
+                "5.0; CAST the oracle aggregate to BIGINT (or Spark to DOUBLE)"
+            )
+        if (sk == "b") != (ok == "b"):
+            problems.append(
+                f"col {c!r}: bool/non-bool dtype mismatch spark={sdf[c].dtype} "
+                f"oracle={odf[c].dtype}"
+            )
+    return problems
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    problems.extend(dtype_problems(sdf, odf))
+    if problems:
         return problems
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")

@@ -39,6 +39,34 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_dtype_strictness_catches_int_float_mismatch():
+    # driver parity (VERDICT r4 wrong #1): DuckDB HUGEINT sums render as
+    # float64 while Spark returns int64; the driver hash distinguishes
+    # 5 from 5.0. Re-introducing a missing CAST must fail the gate.
+    import pandas as pd
+
+    from scripts.check_correctness import compare
+
+    sdf = pd.DataFrame({"k": [1, 2], "v": pd.Series([5, 6], dtype="int64")})
+    odf = pd.DataFrame({"k": [1, 2], "v": pd.Series([5.0, 6.0], dtype="float64")})
+    problems = compare("meta", sdf, odf)
+    assert any("dtype mismatch" in p for p in problems), problems
+
+
+def test_dtype_strictness_catches_list_cells():
+    # driver parity (VERDICT r4 wrong #2): list/ndarray cells crash the
+    # driver canonicalizer even when tuple-ized values would compare equal.
+    import numpy as np
+    import pandas as pd
+
+    from scripts.check_correctness import compare
+
+    sdf = pd.DataFrame({"k": [1], "v": [[1.0, 2.0]]})
+    odf = pd.DataFrame({"k": [1], "v": [np.array([1.0, 2.0])]})
+    problems = compare("meta", sdf, odf)
+    assert any("list-typed" in p for p in problems), problems
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
