@@ -119,6 +119,11 @@ def asof_join_cogrouped(
     """
     import pandas as pd
 
+    # the join key always rides along from the left side; listing it in
+    # right_cols would duplicate the output label (and the pandas frame
+    # labels inside merge_asof), so treat it as a no-op (ADVICE r4)
+    right_cols = [c for c in right_cols if c != key]
+
     num_buckets = 64
     lschema = left.schema
     rtypes = dict(zip(right.schema.fieldNames(), right.schema.fields))
@@ -148,11 +153,12 @@ def asof_join_cogrouped(
             rpdf[right_ts] = pd.to_datetime(rpdf[right_ts]).astype(
                 lpdf[left_ts].dtype
             )
-            rpdf[key] = rpdf[key].astype(lpdf[key].dtype)
+            # null asof-ts or null-key rows can never match, and a null
+            # key would crash the integer-dtype cast below (ADVICE r4)
+            rpdf = rpdf.dropna(subset=[right_ts, key])
         if len(rpdf):
-            rpdf = rpdf.dropna(subset=[right_ts]).sort_values(
-                right_ts, kind="mergesort"
-            )
+            rpdf[key] = rpdf[key].astype(lpdf[key].dtype)
+            rpdf = rpdf.sort_values(right_ts, kind="mergesort")
         if not len(rpdf):
             out = lpdf.copy()
             for c in right_cols:

@@ -93,8 +93,15 @@ def decode_image_bytes(b):
         raster = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
         arr = raster.reshape(h, w, ch)
         return arr[:, :, 0] if ch == 1 else arr
+    png_err = None
     if b[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(b)
+        try:
+            return _decode_png(b)
+        except ValueError as e:
+            # variant outside the pure-python envelope (16-bit, interlaced,
+            # truncated): fall through to PIL, which handles the exotic
+            # cases and raises its own error on genuinely corrupt bytes
+            png_err = e
     if magic == b"BM":
         data_off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -120,10 +127,11 @@ def decode_image_bytes(b):
 
         from PIL import Image
     except ImportError:
+        detail = f" ({png_err})" if png_err is not None else ""
         raise NotImplementedError(
-            f"no pure-python decoder for image magic {magic!r} and PIL is "
-            "not installed; install Pillow for compressed formats"
-        ) from None
+            f"no pure-python decoder for image magic {magic!r}{detail} and "
+            "PIL is not installed; install Pillow for compressed formats"
+        ) from png_err
     return np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"))
 
 
@@ -495,11 +503,12 @@ def frame_sample(media: DataFrame, n_frames: int, fake: bool = True) -> DataFram
                 else:
                     decoded = list(iter_netpbm_frames(b))
                     # even temporal sampling: frame j comes from position
-                    # floor(j * n_decoded / n_frames)
+                    # floor(j * n_decoded / n_frames); an empty payload
+                    # yields zero frames for this media_id, not a crash
                     chunks = [
                         encode_ppm(decoded[(i * len(decoded)) // n_frames])
                         for i in range(n_frames)
-                    ]
+                    ] if decoded else []
                 for i, chunk in enumerate(chunks):
                     ids.append(int(mid))
                     idxs.append(i)
@@ -539,6 +548,11 @@ def perceptual_hash(media: DataFrame, n_pixels: int = 60, fake: bool = True) -> 
     fake-path payloads shorter than the grid hash to NULL (callers
     filter) rather than a padded pretend-image.
     """
+    if n_pixels < 10 or n_pixels % 10 != 0:
+        # the 10-wide grid only tiles exactly for multiples of 10; any
+        # other size would silently hash fewer bits than requested and
+        # bias the mean threshold (ADVICE r4)
+        raise ValueError(f"n_pixels must be a multiple of 10 and >= 10, got {n_pixels}")
     grid_w, grid_h = 10, n_pixels // 10
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -559,7 +573,7 @@ def perceptual_hash(media: DataFrame, n_pixels: int = 60, fake: bool = True) -> 
                 px = _grid(b)
                 if px is None:
                     return None
-                mean = sum(px) // n_pixels
+                mean = sum(px) // len(px)  # divisor = actual grid size
                 h = 0
                 for i, v in enumerate(px):
                     if v > mean:

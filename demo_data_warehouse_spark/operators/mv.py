@@ -95,6 +95,15 @@ class MaterializedView:
             for n in os.listdir(self.root)
             if n.startswith("state-v")
         )
+        # resolve what the pointer ACTUALLY references before anything
+        # else: after a crash between the state rename and the pointer
+        # swap, the max-numbered dir is an orphan and the pointed dir is
+        # the one in-flight readers are scanning — retention must keep
+        # the pointed one, not the orphan (ADVICE r4)
+        pointed = None
+        if os.path.exists(self._pointer):
+            with open(self._pointer) as fh:
+                pointed = fh.read().strip()
         name = f"state-v{(versions[-1] + 1) if versions else 0:05d}"
         staging = os.path.join(self.root, f".staging-{uuid.uuid4().hex}")
         state.write.mode("overwrite").parquet(staging)
@@ -110,7 +119,7 @@ class MaterializedView:
         # resolved the pointer just before the swap may still be
         # scanning it (the same reason table formats vacuum with a
         # retention window, never at commit time)
-        keep = {name, f"state-v{(versions[-1]):05d}" if versions else name}
+        keep = {name, pointed if pointed is not None else name}
         for n in os.listdir(self.root):
             if (n.startswith("state-v") and n not in keep) or n.startswith(
                 (".staging-", ".ptr-")

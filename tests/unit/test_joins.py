@@ -213,3 +213,34 @@ def test_interval_overlap_property_matches_naive(spark):
         ).collect()
     )
     assert got == naive
+
+
+def test_cogrouped_asof_key_in_right_cols(spark):
+    # ADVICE r4: listing the join key in right_cols must not produce a
+    # duplicate-labeled pandas frame inside merge_asof
+    from demo_data_warehouse_spark.operators.joins import asof_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, _ts(5), "e1")], "k bigint, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0)], "k bigint, rts timestamp, price double"
+    )
+    out = asof_join_cogrouped(left, right, "k", "ts", "rts", ["k", "price"]).collect()
+    assert len(out) == 1 and out[0].price == 10.0
+
+
+def test_cogrouped_asof_null_right_key(spark):
+    # ADVICE r4: a null right-side key must be dropped, not crash the
+    # integer key-dtype cast
+    from demo_data_warehouse_spark.operators.joins import asof_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, _ts(5), "e1")], "k bigint, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(0), 99.0), (1, _ts(0), 10.0)],
+        "k bigint, rts timestamp, price double",
+    )
+    out = asof_join_cogrouped(left, right, "k", "ts", "rts", ["price"]).collect()
+    assert len(out) == 1 and out[0].price == 10.0

@@ -161,15 +161,27 @@ def test_decode_ppm_and_bmp_roundtrip():
 
 
 def test_decode_unknown_magic_names_pil_gap():
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
     try:
         import PIL  # noqa: F401
 
         pytest.skip("PIL present: compressed formats decode for real")
     except ImportError:
         pass
+    # genuinely unsupported magics: JPEG and GIF87a have no pure-python path
+    for blob in (b"\xff\xd8\xff\xe0" + b"\x00" * 16, b"GIF87a" + b"\x00" * 16):
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal.decode_image_bytes(blob)
+    # PNG outside the pure-python envelope falls through to the PIL gap
+    # (ADVICE r4: decode_image_bytes catches _decode_png's ValueError)
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.decode_image_bytes(png_magic)
+        multimodal.decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_truncated_png_raises_value_error():
+    # the pure decoder itself reports corruption as ValueError; the
+    # PIL fall-through in decode_image_bytes is layered on top of it
+    with pytest.raises(ValueError, match="truncated PNG"):
+        multimodal._decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
 def test_extract_features_real_dimensions(spark):
@@ -303,6 +315,130 @@ def test_decoder_rejects_garbage_without_hanging():
     check()
 
 
+def _png_forward_filter(arr, ft, bpp):
+    """Apply the PNG forward filter `ft` to recon rows (h, stride) —
+    the test-side inverse of multimodal._png_unfilter."""
+    import numpy as np
+
+    h, stride = arr.shape
+    out = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].astype(np.int32)
+        f = np.zeros(stride, dtype=np.uint8)
+        for i in range(stride):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            up = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) >> 1
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+            f[i] = (int(cur[i]) - pred) & 0xFF
+        out += bytes([ft]) + f.tobytes()
+        prev = cur
+    return out
+
+
+def _png_bytes(color_type, w, h, raster, plte=None):
+    import zlib
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color_type, 0, 0, 0])
+    )
+    blob = b"\x89PNG\r\n\x1a\n" + multimodal._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += multimodal._png_chunk(b"PLTE", plte)
+    return (
+        blob
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raster))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_encode_decode():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(5, 7)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(4, 6, 3)).astype(np.uint8)
+    assert (multimodal.decode_image_bytes(multimodal.encode_png(gray)) == gray).all()
+    assert (multimodal.decode_image_bytes(multimodal.encode_png(rgb)) == rgb).all()
+
+
+def test_png_filters_and_color_types_property():
+    # fuzz the decoder over every filter type (0-4) and color type
+    # (gray / RGB / palette / gray+alpha / RGBA): forward-filter known
+    # pixels in the test, decode must reconstruct them exactly
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 11),
+        h=st.integers(1, 9),
+        ft=st.integers(0, 4),
+        color_type=st.sampled_from([0, 2, 3, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, ft, color_type, seed):
+        rng = np.random.RandomState(seed)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        stride = w * channels
+        px = rng.randint(0, 256, size=(h, stride)).astype(np.uint8)
+        plte = None
+        if color_type == 3:
+            plte = rng.randint(0, 256, size=(256, 3)).astype(np.uint8).tobytes()
+        raster = _png_forward_filter(px, ft, channels)
+        got = multimodal.decode_image_bytes(_png_bytes(color_type, w, h, raster, plte))
+        shaped = px.reshape(h, w, channels)
+        if color_type == 0:
+            expect = shaped[:, :, 0]
+        elif color_type == 2:
+            expect = shaped
+        elif color_type == 3:
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            expect = pal[shaped[:, :, 0]]
+        elif color_type == 4:
+            expect = shaped[:, :, 0]  # alpha dropped
+        else:
+            expect = shaped[:, :, :3]  # alpha dropped
+        assert got.shape == expect.shape and (got == expect).all()
+
+    check()
+
+
+def test_png_rejects_unsupported_variants():
+    import zlib
+
+    import numpy as np
+
+    px = np.zeros((2, 2), dtype=np.uint8)
+    raster = _png_forward_filter(px, 0, 1)
+    # 16-bit depth is outside the pure-python envelope
+    with pytest.raises(ValueError, match="8-bit"):
+        multimodal._decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(
+                b"IHDR",
+                (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0]),
+            )
+            + multimodal._png_chunk(b"IDAT", zlib.compress(raster))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="palette PNG without PLTE"):
+        multimodal._decode_png(_png_bytes(3, 2, 2, raster, plte=None))
+
+
 def test_decoder_rejects_truncated_raster():
     # header promises 4x4 RGB (48 bytes) but the raster has 10: the
     # numpy frombuffer count must fail loudly, not read out of bounds
@@ -310,3 +446,21 @@ def test_decoder_rejects_truncated_raster():
 
     with _pytest.raises(ValueError):
         multimodal.decode_image_bytes(b"P6 4 4 255\n" + b"\x01" * 10)
+
+
+def test_frame_sample_real_empty_payload_yields_no_frames(spark):
+    # ADVICE r4: an empty/null payload decodes to zero netpbm frames and
+    # must emit zero rows for that media_id, not IndexError the task
+    df = spark.createDataFrame(
+        [(1, b""), (2, None), (3, _ppm_bytes(_gradient(4, 2)))],
+        "media_id bigint, content binary",
+    )
+    out = multimodal.frame_sample(df, 2, fake=False).toPandas()
+    assert set(out.media_id) == {3} and len(out) == 2
+
+
+def test_perceptual_hash_rejects_bad_n_pixels():
+    with pytest.raises(ValueError, match="multiple of 10"):
+        multimodal.perceptual_hash(None, n_pixels=55, fake=True)
+    with pytest.raises(ValueError, match="multiple of 10"):
+        multimodal.perceptual_hash(None, n_pixels=5, fake=True)

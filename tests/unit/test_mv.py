@@ -155,3 +155,29 @@ def test_mv_reader_survives_concurrent_publishes(spark, sf_dir):
     assert not errors, errors
     assert reads > 0  # the loop actually overlapped the publishes
     assert mv.state().count() == expected
+
+
+def test_mv_crash_orphan_retention_keeps_pointed_version(spark, sf_dir):
+    # crash window (ADVICE r4): a publish that renamed its state dir but
+    # died BEFORE the pointer swap leaves an orphan max-numbered dir.
+    # The next publish must retain the dir the pointer references (which
+    # in-flight readers resolved), not the orphan.
+    import os
+    import shutil
+
+    ev = _events(spark, sf_dir)
+    mv = MaterializedView(spark, scratch_dir("mv_crash"), ["event_type"], "value")
+    mv.refresh_full(ev)  # publishes state-v00000, pointer -> v00000
+    pointed_before = os.path.basename(mv.state_path)
+    assert pointed_before == "state-v00000"
+    # simulate the crashed publish: orphan state-v00001, pointer untouched
+    orphan = os.path.join(mv.root, "state-v00001")
+    shutil.copytree(mv.state_path, orphan)
+    # next successful publish becomes v00002; it must keep v00000 (the
+    # version readers may still be scanning) and may reclaim the orphan
+    mv.refresh_full(ev)
+    assert os.path.basename(mv.state_path) == "state-v00002"
+    assert os.path.isdir(os.path.join(mv.root, pointed_before)), (
+        "pointed version was deleted while readers could still be scanning it"
+    )
+    assert not os.path.isdir(orphan), "crash orphan should be reclaimed"
