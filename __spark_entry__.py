@@ -91,6 +91,12 @@ _RECORD_FIRST = [
     "embed_quantize",
     "fn_array_topk",
     "embed_random_projection",
+    # newly-oracled multimodal rows (VERDICT r4 items 5-6): their ledger
+    # entries must flip from err:no_oracle to hash rows in r5
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_real_decode_png",
 ]
 
 _MODULE_PRIORITY = [
