@@ -2288,7 +2288,9 @@ def agg_percentile_disc(spark, sf_dir):
              CAST(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
                          - epoch_us(MAX(ts))) / 86400000000) AS BIGINT) AS recency_days,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+             -- outer CAST: DuckDB SUM(BIGINT)->HUGEINT->float64 in pandas
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id
     )
@@ -2598,7 +2600,9 @@ def agg_benford(spark, sf_dir):
     oracle="""
     WITH p AS (
       SELECT l_partkey,
-             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+             -- outer CAST: DuckDB SUM(BIGINT)->HUGEINT->float64 in pandas
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
       FROM lineitem GROUP BY l_partkey
     ), r AS (
       SELECT l_partkey, rev_cents,
@@ -2887,7 +2891,8 @@ def _pagerank_oracle(n_iter: int = 3, scale: int = 1_000_000) -> str:
         GROUP BY e.dst
       ) agg ON agg.id = n.id)"""
     txt += f"""
-    SELECT id, pr FROM pr{n_iter}
+    -- outer CAST: the iterated HUGEINT arithmetic renders float64 in pandas
+    SELECT id, CAST(pr AS BIGINT) AS pr FROM pr{n_iter}
     """
     return txt
 

@@ -276,9 +276,12 @@ def ts_mad_outlier(spark, sf_dir):
       WHERE days.d + INTERVAL 1 DAY
             <= (SELECT MAX(date_trunc('day', ts)) FROM events)
     ), m AS (
+      -- outer CASTs: DuckDB SUM(BIGINT)->HUGEINT->float64 in pandas
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
-             SUM(x*x) AS sxx, SUM(y*y) AS syy
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy
       FROM pairs
     )
     SELECT n, sx, sy, sxy, sxx, syy,
@@ -367,9 +370,11 @@ def ts_lag_corr(spark, sf_dir):
                   THEN 1 ELSE 0 END AS first_seen
       FROM events
     )
+    -- outer CAST: DuckDB windowed SUM(int)->HUGEINT->float64 in pandas
     SELECT user_id, event_id,
-           SUM(first_seen) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS distinct_types
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS distinct_types
     FROM flags
     """,
 )
