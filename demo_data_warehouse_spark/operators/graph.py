@@ -66,24 +66,29 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    ckpt = labels
     for _ in range(max_iter):
+        # the previous label rides the SAME aggregation as the new one
+        # (min over the is_old-tagged rows — labels has one row per id),
+        # so convergence detection is a shuffle-free filter+count over
+        # the checkpointed result instead of a per-round join job
+        old = labels.select("id", "comp", F.lit(True).alias("is_old"))
         prop = sym.join(labels, sym["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("comp")
+            F.col("dst").alias("id"), F.col("comp"), F.lit(False).alias("is_old")
         )
-        new = (
-            labels.select("id", "comp")
-            .unionByName(prop)
+        merged = (
+            old.unionByName(prop)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("is_old"), F.col("comp"))).alias("prev"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.select("id", F.col("comp").alias("prev")), "id")
-            .where(F.col("comp") != F.col("prev"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
+        changed = merged.where(F.col("comp") != F.col("prev")).count()
+        ckpt.unpersist()
+        ckpt = merged
+        labels = merged.select("id", "comp")
         if changed == 0:
             return labels.select(F.col("id"), F.col("comp"))
     raise RuntimeError(

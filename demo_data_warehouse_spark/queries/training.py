@@ -3073,9 +3073,13 @@ def corpus_curate_mix(spark, sf_dir):
     ).where(F.col("n_tokens").between(20, 200))
     rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
     keep = q.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
-    # NOT checkpointed: measured at sf0.1, materializing `keep` for its
-    # three consumers costs more than recomputing the cheap
-    # scan+filter+window subtree (2.9s -> 4.0s warm)
+    # lazily CACHED (not localCheckpoint): keep has three consumers
+    # (signatures, component nodes, keep-best join). localCheckpoint was
+    # measured SLOWER at sf0.1 (2.9s -> 4.0s warm — eager materialization
+    # + lineage cut cost more than recompute), but a lazy .cache() wins
+    # ~0.2s median over 5-rep interleaved A/B (3.48 -> 3.26, 3.19 -> 3.07)
+    # by reusing the scan+filter+window subtree without an extra job.
+    keep = keep.cache()
     pairs = dedup.minhash_lsh_pairs(
         keep, "doc_id", "text", threshold=0.3, hash_mode="portable",
         cache_signatures=True,
