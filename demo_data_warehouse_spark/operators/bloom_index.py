@@ -81,6 +81,37 @@ def bloom_candidate_files(
     return [r.file for r in hits.collect()]
 
 
+def bloom_candidate_files_multi(
+    spark: SparkSession, index_root: str, values: list
+) -> dict:
+    """Candidate files for a BATCH of values in one index scan.
+
+    The scale shape for IN-list / multi-key point lookups: the (value,
+    bit) probe set broadcasts against the index once, so N lookups cost
+    one aggregation instead of N — the index read is amortized exactly
+    like a data-file scan amortizes over an IN-list. Returns
+    {value: [files with all k bits set]} (missing values → empty list).
+    """
+    need = {str(v): len(set(positions_py(v))) for v in values}
+    probes = [
+        (str(v), int(b)) for v in values for b in sorted(set(positions_py(v)))
+    ]
+    pdf = spark.createDataFrame(probes, "value string, bit bigint")
+    idx = spark.read.parquet(index_root)
+    hits = (
+        idx.join(F.broadcast(pdf), "bit")
+        .groupBy("value", "file")
+        .agg(F.countDistinct("bit").alias("n"))
+        .collect()
+    )
+    out: dict = {v: [] for v in values}
+    by_str = {str(v): v for v in values}
+    for r in hits:
+        if r["n"] == need[r["value"]]:
+            out[by_str[r["value"]]].append(r["file"])
+    return out
+
+
 def bloom_point_lookup(
     spark: SparkSession, data_root: str, index_root: str, col: str, value
 ) -> tuple[DataFrame, int, int]:

@@ -4334,7 +4334,9 @@ def scan_bloom_index(spark, sf_dir):
     real), and the final rows hash against the plain IN-list oracle (no
     false negatives — bloom misses would drop rows and fail the
     gate)."""
-    from ..operators.bloom_index import bloom_point_lookup, build_bloom_index
+    import os
+
+    from ..operators.bloom_index import bloom_candidate_files_multi, build_bloom_index
     from ..streaming.pipeline import scratch_dir
 
     ev = table(spark, sf_dir, "events").select(
@@ -4348,10 +4350,20 @@ def scan_bloom_index(spark, sf_dir):
     ev.repartition(16).write.mode("overwrite").parquet(data)
     build_bloom_index(spark, data, "event_id", idx)
 
+    # ONE batched probe for all three lookups (bloom_candidate_files_multi):
+    # the index scan amortizes over the IN-list exactly as it would over a
+    # multi-key lookup batch at 100 TB — 1 probe job instead of 3
+    cand = bloom_candidate_files_multi(spark, idx, [17, 971, 3003])
+    n_total = sum(
+        len([f for f in fs if f.endswith(".parquet")]) for _, _, fs in os.walk(data)
+    )
     parts = []
-    for eid in (17, 971, 3003):
-        rows, n_read, n_total = bloom_point_lookup(spark, data, idx, "event_id", eid)
-        assert n_read < n_total, (eid, n_read, n_total)
+    for eid, files in cand.items():
+        assert len(files) < n_total, (eid, len(files), n_total)  # pruning is real
+        if files:
+            rows = spark.read.parquet(*files).where(F.col("event_id") == eid)
+        else:
+            rows = spark.read.parquet(data).where(F.lit(False))
         parts.append(rows.select("event_id", "user_id", "event_type", "cents"))
     out = parts[0]
     for p in parts[1:]:
