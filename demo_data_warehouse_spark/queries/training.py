@@ -2453,7 +2453,16 @@ def embed_pca_project(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     _comps, projected = pca_fit_project(emb, "vec_id", "embedding", k=8)
-    return projected.select("id", "proj")
+    # micro-unit string encoding even though rows-only: no complex-typed
+    # cell ever reaches the driver harness (r4 wrong #2 discipline)
+    proj_s = F.array_join(
+        F.transform(
+            F.col("proj"),
+            lambda x: F.round(x * 1_000_000.0, 0).cast("bigint").cast("string"),
+        ),
+        ",",
+    )
+    return projected.select("id", proj_s.alias("proj"))
 
 
 # ---------------------------------------------------------------------------

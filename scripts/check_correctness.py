@@ -81,12 +81,12 @@ def dtype_problems(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in sorted(set(sdf.columns) & set(odf.columns)):
         for side, s in (("spark", sdf[c]), ("oracle", odf[c])):
             if s.dtype == object and any(
-                isinstance(v, (list, tuple, np.ndarray)) for v in s
+                isinstance(v, (list, tuple, dict, np.ndarray)) for v in s
             ):
                 problems.append(
-                    f"col {c!r}: {side} side has list-typed cells — the driver "
-                    "canonicalizer crashes on these; string-join the array "
-                    "(concat_ws / array_to_string) on BOTH engines"
+                    f"col {c!r}: {side} side has list/map-typed cells — the "
+                    "driver canonicalizer crashes on these; string-join the "
+                    "array (concat_ws / array_to_string) on BOTH engines"
                 )
         sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
         if (sk in "iu") != (ok in "iu") and {sk, ok} <= set("iuf"):

@@ -53,3 +53,16 @@ def test_absent_value_prunes_everything(spark):
     # P(all 7 set by accident) ≈ 1e-8 — an absent key matches no file
     for k in (10_000, 123_456, -1):
         assert bloom_candidate_files(spark, idx, k) == []
+
+
+def test_multi_probe_equals_single_probes(spark):
+    from demo_data_warehouse_spark.operators.bloom_index import (
+        bloom_candidate_files_multi,
+    )
+
+    data, idx = _table(spark)
+    values = [0, 17, 2500, 4999, 10_000, -1]  # present, absent, negative
+    got = bloom_candidate_files_multi(spark, idx, values)
+    assert set(got) == set(values)
+    for v in values:
+        assert sorted(got[v]) == sorted(bloom_candidate_files(spark, idx, v)), v

@@ -64,7 +64,7 @@ def test_dtype_strictness_catches_list_cells():
     sdf = pd.DataFrame({"k": [1], "v": [[1.0, 2.0]]})
     odf = pd.DataFrame({"k": [1], "v": [np.array([1.0, 2.0])]})
     problems = compare("meta", sdf, odf)
-    assert any("list-typed" in p for p in problems), problems
+    assert any("list/map-typed" in p for p in problems), problems
 
 
 def test_entry_smoke(spark):
