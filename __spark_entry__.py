@@ -97,6 +97,8 @@ _RECORD_FIRST = [
     "multimodal_resize",
     "multimodal_frames",
     "multimodal_real_decode_png",
+    # tolerance-twin oracle added in r5 (was rows-only): flip its ledger row
+    "agg_sketch_rollup",
 ]
 
 _MODULE_PRIORITY = [

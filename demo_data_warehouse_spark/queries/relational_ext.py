@@ -3375,7 +3375,25 @@ def fn_xml_extract(spark, sf_dir):
     )
 
 
-@query("agg_sketch_rollup")  # rows-only: DuckDB has no DataSketches HLL
+@query(
+    "agg_sketch_rollup",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events, exact_users,
+           TRUE AS within_tolerance, TRUE AS merge_consistent
+    FROM d
+    UNION ALL
+    SELECT 'ALL',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events),
+           TRUE, TRUE
+    """,
+)
 def agg_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch pre-aggregation — THE 100 TB distinct-count
     architecture: per-day HLL sketches of the user population are built
@@ -3384,23 +3402,52 @@ def agg_sketch_rollup(spark, sf_dir):
     total — is a sketch MERGE over blobs, never a fact re-read. Spark's
     hll_sketch_agg/hll_union_agg are Apache DataSketches HLL: hash-
     deterministic (no RNG), so merge-of-parts equals sketch-of-whole
-    EXACTLY — pinned in tests/unit/test_sketch.py together with a 2%
-    accuracy envelope vs the exact count; rows-only here because DuckDB
-    carries a different HLL implementation."""
+    EXACTLY in the sparse regime (pinned at sf0.001 in
+    tests/unit/test_sketch.py; past sparse promotion the two builds can
+    differ inside the error envelope — observed at sf0.1). Hash-gated
+    here via the tolerance-twin pattern (the agg_approx_distinct
+    discipline, was rows-only until r5): the query itself computes the
+    exact distinct, the ±2%% envelope verdict, and a merge-vs-whole
+    consistency verdict (merged estimate within 2%% of the single-pass
+    estimate); DuckDB (whose HLL differs) pins the exact counts and
+    both booleans."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
         F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    tol = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= F.lit(0.02) * F.col("exact_users")
+    ).alias("within_tolerance")
     per_day = daily.select(
         F.col("day").cast("string").alias("day"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
         "n_events",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("est"),
+    ).select(
+        "day", "n_events", "exact_users", tol, F.lit(True).alias("merge_consistent")
     )
-    total = daily.agg(
+    whole = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"))
+        ).alias("whole_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    total = merged.crossJoin(whole).select(
         F.lit("ALL").alias("day"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-        F.sum("n_events").alias("n_events"),
+        "n_events",
+        "exact_users",
+        tol,
+        (
+            F.abs(F.col("est") - F.col("whole_est"))
+            <= F.lit(0.02) * F.col("whole_est")
+        ).alias("merge_consistent"),
     )
     return per_day.unionByName(total)
 
