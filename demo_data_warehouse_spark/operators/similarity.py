@@ -442,7 +442,11 @@ def pca_fit_project(
 
     Returns (components, projected): `components` is a k×d numpy array
     (row-major, orthonormal); `projected` a DataFrame
-    (id, proj: array<double>[k]) of mean-centered projections.
+    (id, proj: array<double>[k], cnorm2: double) of mean-centered
+    projections plus the centered squared norm ||x−μ||² (a sequential
+    double fold over the SAME centered array the projections use —
+    engine-portable, so an oracle can pin it exactly even though the
+    eigenbasis itself is driver-side numpy).
     At 100 TB the fit cost is the covariance pass; the driver only
     ever sees d² integers.
     """
@@ -514,8 +518,14 @@ def pca_fit_project(
             )
         ).alias("centered"),
     )
-    projected = centered.select("id", *proj_cols).select(
-        "id", F.array(*[F.col(f"p{ki}") for ki in range(k)]).alias("proj")
+    cnorm2 = F.expr(
+        "aggregate(zip_with(centered, centered, (a, b) -> a * b),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).alias("cnorm2")
+    projected = centered.select("id", *proj_cols, cnorm2).select(
+        "id",
+        F.array(*[F.col(f"p{ki}") for ki in range(k)]).alias("proj"),
+        "cnorm2",
     )
     return comps, projected
 

@@ -2439,30 +2439,75 @@ def embed_covariance(spark, sf_dir):
     )
 
 
-@query("embed_pca_project")  # rows-only: no eigendecomposition in DuckDB
+@query(
+    "embed_pca_project",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+      FROM e
+    ),
+    cnt AS (SELECT COUNT(*) AS n FROM q),
+    pos AS (
+      SELECT t.i AS i, CAST(SUM(qv[CAST(t.i AS INT)]) AS BIGINT) AS sv
+      FROM q, unnest(range(1, 65)) AS t(i) GROUP BY t.i
+    ),
+    muv AS (
+      SELECT list(m ORDER BY i) AS mu
+      FROM (SELECT i, CAST(sv AS DOUBLE) / (n * 10000) AS m FROM pos, cnt)
+    ),
+    c AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(qv[CAST(i AS INT)] AS DOUBLE) / 10000
+                    - mu[CAST(i AS INT)]) AS cv
+      FROM q, muv
+    )
+    SELECT vec_id,
+           CAST(round(list_dot_product(cv, cv) * 1000000) AS BIGINT)
+             AS cnorm2_micro,
+           CAST(8 AS BIGINT) AS n_components,
+           TRUE AS contraction_ok, TRUE AS ortho_ok
+    FROM c
+    """,
+)
 def embed_pca_project(spark, sf_dir):
     """PCA embedding compression (operators/similarity.py::
     pca_fit_project): fit from the exact integer covariance
     (embed_covariance's statistic — so the fitted basis is identical on
     any partitioning), eigendecompose d×d on the driver, project every
-    vector to the top-8 components JVM-side. Rows-only here (DuckDB
-    cannot eigendecompose); orthonormality, variance ordering,
-    reconstruction-error and sign-determinism are pinned in
-    tests/unit/test_similarity.py."""
+    vector to the top-8 components JVM-side. Rows-only until r5 —
+    DuckDB cannot eigendecompose, so the projection VALUES stay
+    SQL-inexpressible — now hash-gated through its invariants instead
+    (the tolerance-twin discipline): the oracle derives ||x−μ||²
+    EXACTLY (μ from the same integer sums the fit uses; the centered
+    fold is the engine-portable sequential list_dot_product), and pins
+    two verdicts the query computes from the real eigenbasis:
+    per-vector energy contraction ||Vx_c||² ≤ ||x_c||² (Bessel — fails
+    if the projection math drifts) and V·Vᵀ = I orthonormality
+    (driver-checked to 1e-9). Sign-determinism, variance ordering, and
+    reconstruction error remain pinned in tests/unit/test_similarity.py;
+    the full projection payload stays available via the operator API."""
+    import numpy as np
+
     from ..operators.similarity import pca_fit_project
 
     emb = table(spark, sf_dir, "embeddings")
-    _comps, projected = pca_fit_project(emb, "vec_id", "embedding", k=8)
-    # micro-unit string encoding even though rows-only: no complex-typed
-    # cell ever reaches the driver harness (r4 wrong #2 discipline)
-    proj_s = F.array_join(
-        F.transform(
-            F.col("proj"),
-            lambda x: F.round(x * 1_000_000.0, 0).cast("bigint").cast("string"),
-        ),
-        ",",
+    comps, projected = pca_fit_project(emb, "vec_id", "embedding", k=8)
+    gram = comps @ comps.T
+    ortho_ok = bool(np.max(np.abs(gram - np.eye(comps.shape[0]))) < 1e-9)
+    pnorm2 = F.expr(
+        "aggregate(zip_with(proj, proj, (a, b) -> a * b),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    return projected.select("id", proj_s.alias("proj"))
+    return projected.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("cnorm2") * 1_000_000.0, 0).cast("bigint").alias("cnorm2_micro"),
+        F.lit(8).cast("bigint").alias("n_components"),
+        (pnorm2 <= F.col("cnorm2") + F.lit(1e-9)).alias("contraction_ok"),
+        F.lit(ortho_ok).alias("ortho_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
