@@ -244,3 +244,37 @@ def test_cogrouped_asof_null_right_key(spark):
     )
     out = asof_join_cogrouped(left, right, "k", "ts", "rts", ["price"]).collect()
     assert len(out) == 1 and out[0].price == 10.0
+
+
+def test_cogrouped_asof_property_matches_native(spark):
+    # randomized law: cogrouped == native over seeded fixtures covering
+    # null right keys, null right timestamps, keys on one side only,
+    # and duplicate left timestamps (right unique per (k, rts) so the
+    # two tie rules coincide). Seeded loop, not hypothesis: each case
+    # costs two Spark jobs, so a handful of diverse draws beats many.
+    import random
+
+    from demo_data_warehouse_spark.operators.joins import asof_join_cogrouped
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        lrows = [
+            (rng.randint(1, 6), _ts(rng.randint(0, 50)), f"e{i}")
+            for i in range(rng.randint(1, 30))
+        ]
+        seen = set()
+        rrows = []
+        for _ in range(rng.randint(0, 25)):
+            k = rng.choice([None] + list(range(1, 8)))
+            ts = rng.choice([None, _ts(rng.randint(0, 50))])
+            if (k, ts) in seen:
+                continue
+            seen.add((k, ts))
+            rrows.append((k, ts, float(rng.randint(1, 100))))
+        left = spark.createDataFrame(lrows, "k bigint, ts timestamp, tag string")
+        right = spark.createDataFrame(rrows, "k bigint, rts timestamp, price double")
+        native = asof_join(left, right, "k", "ts", "rts", ["price"])
+        cg = asof_join_cogrouped(left, right, "k", "ts", "rts", ["price"])
+        n = {r["tag"]: r["price"] for r in native.collect()}
+        c = {r["tag"]: r["price"] for r in cg.collect()}
+        assert n == c, (seed, {t: (n.get(t), c.get(t)) for t in set(n) | set(c) if n.get(t) != c.get(t)})
