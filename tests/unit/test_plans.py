@@ -831,3 +831,43 @@ def test_tier2_bench_set_no_cartesian_no_rowwise_python(spark, sf_dir, qs):
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BatchEvalPython (" not in plan, (name, plan)
+
+
+def test_bloom_multi_probe_broadcasts_probe_set(spark, sf_dir):
+    # the r5 batched probe (bloom_candidate_files_multi): the tiny
+    # (value, bit) probe set must BROADCAST against the (file, bit)
+    # index — at 100 TB the index is the big side and must never
+    # shuffle for a point-lookup batch
+    from demo_data_warehouse_spark.operators.bloom_index import (
+        _positions_expr,
+        build_bloom_index,
+        positions_py,
+    )
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+    from demo_data_warehouse_spark.streaming.pipeline import scratch_dir
+
+    import pyspark.sql.functions as F
+
+    data, idx = scratch_dir("bloomp_data"), scratch_dir("bloomp_idx")
+    spark.range(0, 2000).select(F.col("id").alias("k")).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(data)
+    build_bloom_index(spark, data, "k", idx)
+    values = [3, 977]
+    probes = [(str(v), int(b)) for v in values for b in sorted(set(positions_py(v)))]
+    pdf = spark.createDataFrame(probes, "value string, bit bigint")
+    joined = (
+        spark.read.parquet(idx)
+        .join(F.broadcast(pdf), "bit")
+        .groupBy("value", "file")
+        .agg(F.count_distinct("bit").alias("n"))
+    )
+    plan = physical_plan(joined)
+    assert "broadcasthashjoin" in plan.lower(), plan
+    # only the post-join aggregation shuffles (count_distinct = its
+    # two-phase pair), on the tiny hit set — the index scan itself must
+    # feed the broadcast join with no exchange of its own
+    assert plan.lower().count("+- exchange") <= 2, plan
+    idx_side = plan.lower().split("broadcasthashjoin")[-1]
+    scan_section = idx_side.split("broadcastexchange")[0]
+    assert "+- exchange" not in scan_section, plan
