@@ -533,11 +533,32 @@ def setsim_join_prefix(
     candidates alone, and the τ test cross-multiplies to integers
     (den·∩ >= num·(|A|+|B|−∩)) so the boundary is exact.
 
+    Two further LOSSLESS prunes run at candidate generation, before the
+    dedup shuffle and the verify joins — they matter exactly when
+    duplicate density grows faster than vocabulary (crawl regime),
+    where prefix posting lists fatten and candidates go quadratic:
+
+    - length filter (AllPairs): Jaccard >= τ forces τ·max(|A|,|B|) <=
+      min(|A|,|B|), cross-multiplied to den·min >= num·max.
+    - positional filter (ppjoin, Xiao et al. WWW'08): a shared prefix
+      token at 1-indexed global-order positions (pa, pb) bounds the
+      intersection by 1 + min(|A|−pa, |B|−pb), because every shared
+      token sits at position >= pa in A and >= pb in B. The pair's
+      FIRST shared token carries the loosest bound, so filtering rows
+      where 1 + min(|A|−pa, |B|−pb) < minoverlap and THEN taking
+      DISTINCT pairs never drops a true pair (minoverlap =
+      ceil(num·(|A|+|B|)/(num+den)), the integer form of I >=
+      τ/(1+τ)·(|A|+|B|)).
+
     Scale notes: the global token order needs a vocabulary-sized rank —
     computed with a single-partition window over the DISTINCT vocab
     (bounded by vocabulary, not corpus; swap in a zipWithIndex-style
     two-phase rank if the vocabulary itself outgrows one task). All
     other steps are doc- or token-keyed equi-joins and aggregations.
+    When duplicate CLUSTERS grow with the corpus, the true output is
+    itself quadratic in cluster size — for 100 TB discovery use the
+    bucket-capped minhash path and reserve this exact join for
+    within-bucket verification.
 
     `tokens`: (id, token) pairs, pre-deduplicated per document (set
     semantics). Returns (id_a, id_b, inter, union_sz) with id_a < id_b.
@@ -564,12 +585,39 @@ def setsim_join_prefix(
         <= F.col("sz")
         - F.expr(f"({tau_num} * sz + {tau_den} - 1) DIV {tau_den}")
         + 1
-    ).select("id", "token")
+    ).select("id", "token", "rn", "sz")
+    # minoverlap = ceil(num·(sz_a+sz_b) / (num+den))
+    minoverlap = F.expr(
+        f"({tau_num} * (sz_a + sz_b) + {tau_num} + {tau_den} - 1)"
+        f" DIV ({tau_num} + {tau_den})"
+    )
     cands = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "token")
         .where(F.col("pa.id") < F.col("pb.id"))
-        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .select(
+            F.col("pa.id").alias("id_a"),
+            F.col("pb.id").alias("id_b"),
+            F.col("pa.rn").alias("rn_a"),
+            F.col("pb.rn").alias("rn_b"),
+            F.col("pa.sz").alias("sz_a"),
+            F.col("pb.sz").alias("sz_b"),
+        )
+        # length filter: den·min(sz) >= num·max(sz)
+        .where(
+            F.lit(tau_den) * F.least("sz_a", "sz_b")
+            >= F.lit(tau_num) * F.greatest("sz_a", "sz_b")
+        )
+        # positional filter: 1 + min(sz−rn) >= minoverlap at SOME shared
+        # prefix token (the first shared token passes for any true pair)
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+            )
+            >= minoverlap
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
     inter = (
