@@ -555,8 +555,15 @@ def setsim_join_prefix(
     (bounded by vocabulary, not corpus; swap in a zipWithIndex-style
     two-phase rank if the vocabulary itself outgrows one task). All
     other steps are doc- or token-keyed equi-joins and aggregations.
-    When duplicate CLUSTERS grow with the corpus, the true output is
-    itself quadratic in cluster size — for 100 TB discovery use the
+    Verification joins each candidate pair to the two docs' token
+    ARRAYS (collect_list per doc — doc-sized rows, id-keyed equi-joins)
+    and counts `array_intersect` in codegen, instead of re-exploding
+    candidates against the postings and aggregating by pair: that
+    exploded form shuffles |cands|·|doc| rows twice plus a pair-keyed
+    groupBy, and was 4.7× slower on a 10× near-duplicate corpus (81s →
+    17s end-to-end, measured via scripts/scale_check.py). When
+    duplicate CLUSTERS grow with the corpus, the true output is itself
+    quadratic in cluster size — for 100 TB discovery use the
     bucket-capped minhash path and reserve this exact join for
     within-bucket verification.
 
@@ -620,11 +627,23 @@ def setsim_join_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
+    doc_arrays = tok.groupBy("id").agg(F.collect_list("token").alias("toks"))
     inter = (
-        cands.join(tok.select(F.col("id").alias("id_a"), "token"), "id_a")
-        .join(tok.select(F.col("id").alias("id_b"), "token"), ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        cands.join(
+            doc_arrays.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            doc_arrays.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        # exact because `tokens` is set-semantic per document (see
+        # contract below): array_intersect over duplicate-free arrays
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("inter"),
+        )
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
