@@ -1326,7 +1326,9 @@ _SEMDEDUP_ORACLE = """
     ), cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
-      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                   FROM corpus))
     ), assign AS (
       SELECT vec_id, cell FROM (
         SELECT c.vec_id, ct.cell,
@@ -1363,15 +1365,26 @@ def dedup_semantic(spark, sf_dir):
     tractable at corpus scale, at the cost of missing pairs that
     straddle a cell boundary (the documented SemDedup tradeoff; the
     exact O(n²) anchor dedup_embed_cosine stays in the registry as the
-    recall oracle). Same deterministic first-8 quantizer and
-    sequential-fold arithmetic as ann_cosine_ivf, so DuckDB replays
+    recall oracle). The cell count scales as ceil(sqrt(n)) (min 8): a
+    FIXED cell count collapses Σ m_c² back to n²/|cells| as the corpus
+    grows (measured 14× wall on a 10× near-duplicate twin before this
+    change), while sqrt(n) cells keep expected occupancy sqrt(n), so
+    assignment (n·sqrt(n) broadcast dots) and pair scoring (≈ n·sqrt(n))
+    both stay subquadratic — ivf_assign's broadcast-table form absorbs
+    the longer centroid list without expression-tree blowup. Same
+    deterministic first-K quantizer (count-derived K on both engines)
+    and sequential-fold arithmetic as ann_cosine_ivf, so DuckDB replays
     assignment and pair flags bit-for-bit."""
     import math
 
     emb = table(spark, sf_dir, "embeddings")
+    k_cells = max(8, math.ceil(math.sqrt(emb.count())))
     seeds = [
         [float(x) for x in r["embedding"]]
-        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k_cells)
+        .collect()
     ]
     cents = [[x / math.sqrt(_seq_dot(v, v)) for x in v] for v in seeds]
     flags = similarity.semantic_dup_flags(emb, "vec_id", "embedding", cents, 0.9)

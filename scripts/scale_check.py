@@ -64,10 +64,17 @@ def main() -> None:
 
     results = []
     for name in names:
-        # warm both sides once, then min-of-2 timed passes each
-        run(name, BASE)
-        rows_scaled = run(name, scaled).count()
-        rows_base = qs[name](spark, BASE).count()
+        try:
+            # warm both sides once, then min-of-2 timed passes each
+            run(name, BASE)
+            rows_scaled = run(name, scaled).count()
+            rows_base = qs[name](spark, BASE).count()
+        except Exception as exc:  # guard-railed queries may refuse the twin
+            print(
+                json.dumps({"query": name, "error": str(exc).split("\n")[0][:200]}),
+                flush=True,
+            )
+            continue
         tb = min(
             [(lambda t0: (run(name, BASE), time.time() - t0)[1])(time.time()) for _ in range(2)]
         )
