@@ -533,7 +533,9 @@ _IVF_ORACLE = """
     ), cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
-      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                   FROM corpus))
     ), assign AS (
       SELECT vec_id, cell FROM (
         SELECT c.vec_id, ct.cell,
@@ -576,11 +578,16 @@ def ann_cosine_ivf(spark, sf_dir):
 
     The driver query pins the ENTIRE pipeline (assign → partitioned
     index write/read → probe → exact rerank) against a SQL oracle by
-    using a deterministic quantizer: the first 8 corpus vectors by id,
-    unit-normalized with sequential-fold arithmetic (_seq_dot) so the
-    centroid doubles match DuckDB's list_dot_product exactly; ties in
-    both assignment and probe ranking break toward the higher cell id
-    on both sides. Production quantizer training (sampled k-means,
+    using a deterministic quantizer: the first K corpus vectors by id
+    with K = max(8, ceil(sqrt(n))) — a FIXED cell count would leave
+    each probe scanning a constant fraction n/|cells| of the corpus,
+    while sqrt(n) cells keep a probe at n_probe·sqrt(n) vectors (the
+    standard IVF sizing); the count-derived K replays in DuckDB via a
+    scalar subquery in LIMIT. Centroids are unit-normalized with
+    sequential-fold arithmetic (_seq_dot) so the centroid doubles match
+    DuckDB's list_dot_product exactly; ties in both assignment and
+    probe ranking break toward the higher cell id on both sides.
+    Production quantizer training (sampled k-means,
     ivf_train_centroids) is unchanged and recall-tested in
     tests/unit/test_similarity.py — the oracle pins the machinery, the
     k-means path tunes the recall."""
@@ -591,9 +598,13 @@ def ann_cosine_ivf(spark, sf_dir):
     qrow = emb.where("vec_id = 0").select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     corpus = emb.where("vec_id <> 0")
+    k_cells = max(8, math.ceil(math.sqrt(corpus.count())))
     seeds = [
         [float(x) for x in r["embedding"]]
-        for r in corpus.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+        for r in corpus.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k_cells)
+        .collect()
     ]
     cents = [
         [x / math.sqrt(_seq_dot(v, v)) for x in v] for v in seeds
@@ -1769,7 +1780,9 @@ def ann_pq_codes(spark, sf_dir):
     ), cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
-      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)
+      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id
+            LIMIT (SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                   FROM corpus))
     ), assign AS (
       SELECT vec_id, cell FROM (
         SELECT c.vec_id, ct.cell,
@@ -1830,14 +1843,16 @@ def ann_pq_codes(spark, sf_dir):
 )
 def ann_ivf_pq(spark, sf_dir):
     """The full modern ANN index shape, end to end: IVF coarse probe
-    (3 of 8 cells, partition pruning at scale) feeding a PQ/ADC rerank
-    over only the probed candidates — raw vectors are never touched
-    after indexing, just 8 code lookups per candidate. The integer ADC
-    score makes the top-10 cut deterministic (vec_id tiebreak), so the
-    whole two-stage pipeline — assignment, probing, codes, scores,
-    ranking — is oracle-pinned. Same deterministic first-8/first-4
-    quantizers as ann_cosine_ivf and ann_pq_codes; production trains
-    both with sampled k-means."""
+    (3 of max(8, ceil(sqrt(n))) cells — sqrt-scaled like ann_cosine_ivf,
+    so a probe touches n_probe·sqrt(n) vectors instead of a constant
+    fraction of the corpus; partition pruning at scale) feeding a
+    PQ/ADC rerank over only the probed candidates — raw vectors are
+    never touched after indexing, just 8 code lookups per candidate.
+    The integer ADC score makes the top-10 cut deterministic (vec_id
+    tiebreak), so the whole two-stage pipeline — assignment, probing,
+    codes, scores, ranking — is oracle-pinned. Same deterministic
+    count-derived-K/first-4 quantizers as ann_cosine_ivf and
+    ann_pq_codes; production trains both with sampled k-means."""
     import math
 
     from pyspark.sql import Window
@@ -1846,9 +1861,13 @@ def ann_ivf_pq(spark, sf_dir):
     qrow = emb.where("vec_id = 0").select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     corpus = emb.where("vec_id <> 0")
+    k_cells = max(8, math.ceil(math.sqrt(corpus.count())))
     seeds = [
         [float(x) for x in r["embedding"]]
-        for r in corpus.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+        for r in corpus.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k_cells)
+        .collect()
     ]
     coarse = [[x / math.sqrt(_seq_dot(v, v)) for x in v] for v in seeds]
     assign = similarity.ivf_assign(corpus, "vec_id", "embedding", coarse)
