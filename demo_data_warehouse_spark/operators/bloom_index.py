@@ -23,6 +23,7 @@ tests can recompute positions anywhere.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,45 +33,85 @@ from .dedup import hash60_sql
 from .hidden_partition import _h60_py
 
 K_HASHES = 7
-M_BITS = 1 << 15
+M_BITS = 1 << 15  # floor; build sizes the array up from measured file rows
+BITS_PER_KEY = 10  # m/n ≈ 10 with k=7 → ~1% false-positive rate
+_META_NAME = "_bloom_meta.json"  # "_"-prefixed: invisible to parquet scans
 
 
-def _positions_expr(col: str) -> str:
+def _positions_expr(col: str, m_bits: int = M_BITS) -> str:
     """k bloom positions of a column value: md5-60 over value#seed."""
     pos = [
-        f"pmod({hash60_sql(f'concat(cast({col} as string), chr(35), {j})')}, {M_BITS})"
+        f"pmod({hash60_sql(f'concat(cast({col} as string), chr(35), {j})')}, {m_bits})"
         for j in range(K_HASHES)
     ]
     return f"array({', '.join(pos)})"
 
 
-def positions_py(value) -> list[int]:
+def positions_py(value, m_bits: int = M_BITS) -> list[int]:
     return [
-        _h60_py(f"{value}#{j}") % M_BITS for j in range(K_HASHES)
+        _h60_py(f"{value}#{j}") % m_bits for j in range(K_HASHES)
     ]
+
+
+def _sized_m_bits(data_root: str) -> int:
+    """Bit-array size from MEASURED per-file row counts (parquet footer
+    metadata only — no data pass): a fixed m saturates as files grow
+    (at 10× the keys the false-positive rate hits 1 and every probe
+    matches every file — measured on the 10× scale twin), so m scales
+    as the next power of two ≥ BITS_PER_KEY · max(rows per file),
+    floored at M_BITS so small tables keep the historical positions.
+    Row count over-estimates distinct keys, which only oversizes m —
+    never a saturated filter. At 100 TB this is the same footer listing
+    any planner does; rows-per-file is bounded by the writer's target
+    file size, not the table."""
+    import pyarrow.parquet as pq
+
+    max_rows = 0
+    for root, _, files in os.walk(data_root):
+        for f in files:
+            if f.endswith(".parquet"):
+                nr = pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                max_rows = max(max_rows, nr)
+    m = M_BITS
+    while m < BITS_PER_KEY * max_rows:
+        m <<= 1
+    return m
+
+
+def _read_m_bits(index_root: str) -> int:
+    meta = os.path.join(index_root, _META_NAME)
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return int(json.load(fh)["m_bits"])
+    return M_BITS  # pre-metadata indexes used the fixed floor
 
 
 def build_bloom_index(
     spark: SparkSession, data_root: str, col: str, index_root: str
 ) -> None:
     """One pass over the table: per file, the distinct set bits of all
-    its values. Written as a (file, bit) parquet index."""
+    its values. Written as a (file, bit) parquet index plus a sidecar
+    meta file carrying the measured bit-array size (the probe must hash
+    with the SAME modulus the build used)."""
+    m_bits = _sized_m_bits(data_root)
     df = spark.read.parquet(data_root)
     idx = (
         df.select(
             F.input_file_name().alias("file"),
-            F.explode(F.expr(_positions_expr(col))).alias("bit"),
+            F.explode(F.expr(_positions_expr(col, m_bits))).alias("bit"),
         )
         .distinct()
     )
     idx.write.mode("overwrite").parquet(index_root)
+    with open(os.path.join(index_root, _META_NAME), "w") as fh:
+        json.dump({"m_bits": m_bits, "k": K_HASHES}, fh)
 
 
 def bloom_candidate_files(
     spark: SparkSession, index_root: str, value
 ) -> list[str]:
     """Files whose bloom has ALL k bits of `value` set."""
-    probes = positions_py(value)
+    probes = positions_py(value, _read_m_bits(index_root))
     idx = spark.read.parquet(index_root)
     hits = (
         idx.where(F.col("bit").isin(*{int(p) for p in probes}))
@@ -92,9 +133,12 @@ def bloom_candidate_files_multi(
     like a data-file scan amortizes over an IN-list. Returns
     {value: [files with all k bits set]} (missing values → empty list).
     """
-    need = {str(v): len(set(positions_py(v))) for v in values}
+    m_bits = _read_m_bits(index_root)
+    need = {str(v): len(set(positions_py(v, m_bits))) for v in values}
     probes = [
-        (str(v), int(b)) for v in values for b in sorted(set(positions_py(v)))
+        (str(v), int(b))
+        for v in values
+        for b in sorted(set(positions_py(v, m_bits)))
     ]
     pdf = spark.createDataFrame(probes, "value string, bit bigint")
     idx = spark.read.parquet(index_root)
