@@ -29,11 +29,30 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import glob
+import shutil
+
 from pyspark.sql import functions as F
 
 from demo_data_warehouse_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
+
+
+def write_single_file(df, out_dir: str, name: str) -> None:
+    """Write `df` as ONE parquet FILE at {out_dir}/{name}.parquet —
+    the driver testdata layout (streams glob the exact file name via
+    pathGlobFilter, so a directory-per-table twin breaks them)."""
+    tmp = os.path.join(out_dir, f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dest = os.path.join(out_dir, f"{name}.parquet")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    elif os.path.exists(dest):
+        os.remove(dest)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
 
 KEY_OFFSETS = {
     # table -> columns shifted by copy * stride (stride >> any real key)
@@ -60,9 +79,7 @@ def main() -> None:
         return u
 
     for t in ("region", "nation"):
-        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{out}/{t}.parquet"
-        )
+        write_single_file(spark.read.parquet(f"{SRC}/{t}.parquet"), out, t)
 
     for t, keys in KEY_OFFSETS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
@@ -74,7 +91,7 @@ def main() -> None:
                 out_df = out_df.withColumn(k, F.col(k) + F.lit(c * STRIDE))
             return out_df
 
-        copies(df, one).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        write_single_file(copies(df, one), out, t)
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
 
@@ -88,7 +105,7 @@ def main() -> None:
             "text", F.concat(F.col("text"), F.lit(f" rep{c}"))
         )
 
-    copies(docs, doc_copy).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    write_single_file(copies(docs, doc_copy), out, "documents")
 
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
 
@@ -105,7 +122,7 @@ def main() -> None:
             ),
         )
 
-    copies(emb, emb_copy).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    write_single_file(copies(emb, emb_copy), out, "embeddings")
 
     for t in (
         "region nation customer supplier part orders lineitem events "
