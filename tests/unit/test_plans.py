@@ -122,10 +122,13 @@ def test_set_ops_stay_jvm_side(spark, sf_dir, qs):
         assert_no_rowwise_python(qs[name](spark, sf_dir))
 
 
-def test_ivf_assignment_broadcasts_centroids(spark, sf_dir, qs):
-    # IVF cell assignment must broadcast the (tiny) centroid table —
-    # shuffling the corpus against 8 centroid rows would be absurd at
-    # 100 TB. BroadcastNestedLoopJoin over 8 rows is the intended shape.
+def test_ivf_assignment_is_map_only(spark, sf_dir, qs):
+    # IVF cell assignment must be a MAP-ONLY pass: one Arrow-batched
+    # argmax over the closure-carried centroid matrix — no join, no
+    # n·|cells| row fan-out, and crucially no Exchange (shuffling the
+    # corpus to assign cells would be absurd at 100 TB; the earlier
+    # broadcast-join + max_by shape paid an n·|cells| materialization
+    # that dominated sqrt(n)-sized quantizers).
     from demo_data_warehouse_spark.operators import similarity
 
     rows = [(i, [float(i), 1.0]) for i in range(50)]
@@ -134,8 +137,9 @@ def test_ivf_assignment_broadcasts_centroids(spark, sf_dir, qs):
     from demo_data_warehouse_spark.plans.checks import physical_plan
 
     plan = physical_plan(similarity.ivf_assign(df, "vec_id", "embedding", cents))
-    assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    for forbidden in ("Join", "CartesianProduct", "Exchange", "HashAggregate"):
+        assert forbidden not in plan, (forbidden, plan)
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
