@@ -106,19 +106,38 @@ def cosine_topk(
 def lsh_signatures(
     df: DataFrame, id_col: str, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
 ) -> DataFrame:
-    """(id, bucket: bigint) — sign-of-projection random hyperplane LSH."""
+    """(id, bucket: bigint) — sign-of-projection random hyperplane LSH.
+
+    All n_planes projections run in ONE Arrow batch pass (the
+    embed_cosine_pairs_lsh `_buckets` discipline): numpy vectorizes
+    ACROSS the batch while accumulating SEQUENTIALLY over the dimension
+    index, so every sign — including a boundary-exact 0.0 — is
+    bit-identical to the per-plane interpreted fold this replaced and
+    to the inlined-literal folds the SQL oracles replay. The fold costs
+    ~20µs per plane per row (n_planes× that per vector): negligible at
+    local scale, hours of CPU at 10⁹ rows."""
+    from pyspark.sql.functions import pandas_udf
+
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim))
-    bits = [
-        F.when(_dot(_as_double(F.col(vec_col)), F.array(*[F.lit(float(v)) for v in p])) > 0, 1)
-        .otherwise(0)
-        .cast("bigint")
-        for p in planes
-    ]
-    bucket = bits[0]
-    for i, b in enumerate(bits[1:], start=1):
-        bucket = bucket + (b * (1 << i))
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+    @pandas_udf("bigint")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        proj = np.zeros((len(X), planes.shape[0]))
+        for k in range(planes.shape[1]):
+            proj += X[:, k : k + 1] * planes[:, k]
+        bits = proj > 0
+        out = np.zeros(len(X), dtype=np.int64)
+        for i in range(planes.shape[0]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), _bucket(F.col(vec_col)).alias("bucket")
+    )
 
 
 def cosine_topk_lsh(
