@@ -192,3 +192,108 @@ def test_pca_fit_project_contracts(spark, sf_dir):
     # refit on a repartitioned frame: identical basis bit-for-bit
     comps2, _ = pca_fit_project(emb.repartition(7), "vec_id", "embedding", k=4)
     assert np.array_equal(comps, comps2)
+
+
+def test_ivf_assign_matches_maxby_join_law(spark):
+    # equivalence law for the map-only Arrow argmax assignment: on
+    # randomized vectors (including exact duplicates of a centroid and
+    # scaled copies that tie on cosine) it must agree cell-for-cell
+    # with the reference broadcast-join + max_by((sim, cell)) plan it
+    # replaced — same fold arithmetic, same higher-cell tie-break.
+    import numpy as np
+
+    from demo_data_warehouse_spark.operators import similarity
+    from demo_data_warehouse_spark.operators.similarity import (
+        cosine_sim_col,
+        ivf_assign,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, k_cells, n = 16, 9, 300
+    cents = [[float(x) for x in rng.standard_normal(dim)] for _ in range(k_cells)]
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+    # adversarial rows: exact centroid copies and positive scalings
+    # (cosine ties across NO two cells here, but exact hits stress the
+    # boundary sims==1.0 path); plus a duplicated centroid pair that
+    # DOES tie two cells on every query
+    cents.append(list(cents[0]))  # cells 0 and 9 are identical → ties
+    k_cells += 1
+    rows += [(n + j, list(cents[j % len(cents)])) for j in range(20)]
+    rows += [(n + 20 + j, [2.5 * x for x in cents[j % len(cents)]]) for j in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = {
+        r["id"]: r["cell"]
+        for r in ivf_assign(df, "vec_id", "embedding", cents).collect()
+    }
+
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
+    )
+    from pyspark.sql import functions as F
+
+    sim = cosine_sim_col(F.col("embedding"), F.col("cvec"))
+    ref = {
+        r["id"]: r["cell"]
+        for r in (
+            df.crossJoin(F.broadcast(cent_df))
+            .select(F.col("vec_id").alias("id"), "cell", sim.alias("sim"))
+            .groupBy("id")
+            .agg(F.max_by("cell", F.struct("sim", "cell")).alias("cell"))
+        ).collect()
+    }
+    assert got == ref
+    # the duplicated centroid must resolve to the HIGHER cell id
+    assert got[n] == k_cells - 1
+
+
+def test_lsh_signatures_matches_fold_law(spark):
+    # equivalence law for the Arrow-batched sign projections: bucket
+    # bit i must equal the interpreted fold's sign of dot(v, plane_i)
+    # for randomized vectors, including all-zero vectors (dot == 0.0 is
+    # NOT > 0 → bit 0 on both paths).
+    import numpy as np
+
+    from demo_data_warehouse_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        lsh_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    dim, n_planes, n = 12, 10, 200
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+    rows.append((n, [0.0] * dim))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = {
+        r["id"]: r["bucket"]
+        for r in lsh_signatures(
+            df, "vec_id", "embedding", dim=dim, n_planes=n_planes, seed=42
+        ).collect()
+    }
+
+    planes = np.random.RandomState(42).standard_normal((n_planes, dim))
+    bits = [
+        F.when(
+            _dot(
+                _as_double(F.col("embedding")),
+                F.array(*[F.lit(float(v)) for v in p]),
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        for p in planes
+    ]
+    bucket = bits[0]
+    for i, b in enumerate(bits[1:], start=1):
+        bucket = bucket + (b * (1 << i))
+    ref = {
+        r["id"]: r["bucket"]
+        for r in df.select(F.col("vec_id").alias("id"), bucket.alias("bucket")).collect()
+    }
+    assert got == ref
+    assert got[n] == 0  # zero vector: every projection 0.0 → no bits
