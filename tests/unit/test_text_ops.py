@@ -117,3 +117,61 @@ def test_bpe_merge_steps_hand_computed(spark):
     # step 3: after 'est' formed, (w,e) survives only in 'lower' (2);
     # (l,o)=(o,w)=7 tie -> (l,o) by left asc
     assert got[2] == (3, "l", "o", 7)
+
+
+def test_fingerprint_matches_scalar_fold_law(spark):
+    # equivalence law for the Arrow-batched fingerprint pass
+    # (operators/text.py::fingerprint): on randomized and adversarial
+    # strings, the batched Horner fold and min-shingle md5 must agree
+    # row-for-row with a direct per-row Python reference of the
+    # documented semantics — Horner base 31 mod 2^31-1 over codepoints
+    # (empty text folds one step to 0, matching Spark split('','') ==
+    # [''] / ascii('') == 0), split(' ') shingles including empty
+    # tokens, NULL text stays NULL.
+    import hashlib
+    import random
+
+    MOD = 2147483647
+
+    def ref_rolling(s):
+        if s is None:
+            return None
+        acc = 0
+        for ch in s if s else "\x00":
+            acc = (acc * 31 + (ord(ch) if s else 0)) % MOD
+        return acc
+
+    def ref_shingle(s):
+        if s is None:
+            return None
+        toks = s.split(" ")
+        n_sh = max(len(toks) - 2, 1)
+        return min(
+            hashlib.md5(" ".join(toks[j : j + 3]).encode("utf-8")).hexdigest()
+            for j in range(n_sh)
+        )
+
+    rng = random.Random(13)
+    alphabet = "ab xyz é世 0;"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))))
+        for i in range(200)
+    ]
+    rows += [
+        (200, None),
+        (201, ""),
+        (202, "a"),
+        (203, "a b"),
+        (204, "a b c"),
+        (205, "a  b   c"),  # empty tokens from space runs
+        (206, " leading and trailing "),
+        (207, "世界 été tokens"),  # non-ASCII codepoints
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r["id"]: (r["rolling_hash"], r["min_shingle_md5"])
+        for r in text.fingerprint(df, "id", "text").collect()
+    }
+    assert len(got) == len(rows)
+    for i, s in rows:
+        assert got[i] == (ref_rolling(s), ref_shingle(s)), (i, s)
