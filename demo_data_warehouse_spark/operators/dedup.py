@@ -398,6 +398,26 @@ def embed_cosine_pairs(
     )
 
 
+def adaptive_signature_width(
+    n: int, rows_per_band: int, ref_n: int, max_extra_bits: int
+) -> int:
+    """Corpus-adaptive LSH band width (see embed_cosine_pairs_lsh):
+
+        r(n) = rows_per_band + clamp(⌈log2(n / ref_n)⌉, 0, max_extra_bits)
+
+    Named so the unit laws can pin the Python computation against the
+    DuckDB replica (`_duck_adaptive_band_ctes`'s `nbits` CTE) over a
+    sweep of corpus sizes — both evaluate IEEE-double log2 of the same
+    integer ratio, exact at power-of-two multiples of ref_n; a ULP
+    flip elsewhere would need n within 2^-50 of a power, impossible
+    for bounded integers."""
+    import math
+
+    if n <= ref_n:
+        return rows_per_band
+    return rows_per_band + min(max_extra_bits, math.ceil(math.log2(n / ref_n)))
+
+
 def embed_cosine_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -409,23 +429,59 @@ def embed_cosine_pairs_lsh(
     seed: int = 42,
     round_dp: int = 4,
     max_bucket_size: int | None = None,
+    ref_n: int = 2000,
+    max_extra_bits: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded random-hyperplane LSH.
 
-    Each band is rows_per_band sign bits; ids sharing any band bucket
-    become candidates (equi-join on (band, bucket) — never a cross
-    product), then exact cosine verifies > threshold. Recall for a pair
-    at angle θ is 1-(1-(1-θ/π)^r)^b — with r=4, b=8 a true near-dup
-    (cos ≥ 0.9) is caught with p ≈ 0.998, while ~orthogonal pairs are
-    almost never candidates, keeping the verify join linear-ish.
+    Each band is r sign bits; ids sharing any band bucket become
+    candidates (equi-join on (band, bucket) — never a cross product),
+    then exact cosine verifies > threshold. Recall for a pair at angle
+    θ is 1-(1-(1-θ/π)^r)^b — with r=4, b=8 a true near-dup (cos ≥ 0.9)
+    is caught with p ≈ 0.998, while ~orthogonal pairs are almost never
+    candidates, keeping the verify join linear-ish.
+
+    **Adaptive signature width (the fixed-bucket-count scale defect,
+    measured round 5):** a fixed r gives 2^r buckets per band FOREVER,
+    so accidental bucket occupancy grows as n/2^r and accidental
+    candidates as bands·n²/2^r — quadratic. Measured on the 30× crawl
+    twin with the old fixed r=8: 36.7M candidates for 60k vectors
+    (1,000× the base count for 30× the data). The width therefore
+    scales with the corpus:
+
+        r(n) = rows_per_band + clamp(⌈log2(n / ref_n)⌉, 0, max_extra_bits)
+
+    which holds expected accidental occupancy ≈ constant — candidate
+    growth LINEAR in n — while each doubling of the corpus adds one
+    sign bit (the standard LSH S-curve steepening: candidacy
+    concentrates on closer pairs as the corpus grows; the exact verify
+    keeps precision exact regardless). ref_n is the corpus size the
+    base (bands, rows_per_band) were tuned at, so results at n ≤ ref_n
+    use exactly the base parameters. The clamp bounds the literal
+    plane table the SQL oracles replay (beyond n = ref_n·2^max_extra,
+    occupancy resumes linear growth — raise max_extra_bits in
+    production, it only lengthens the seeded plane stream).
+
+    Plane layout is r-INDEPENDENT so the oracles can replay any n:
+    band j always owns the seeded stream block
+    [j·r_max, (j+1)·r_max) with r_max = rows_per_band+max_extra_bits,
+    and uses its first r(n) planes.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     from .similarity import cosine_batch
 
+    r_max = rows_per_band + max_extra_bits
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((bands * rows_per_band, dim))
+    planes_full = rng.standard_normal((bands * r_max, dim))
+    n = df.count()
+    rpb = adaptive_signature_width(n, rows_per_band, ref_n, max_extra_bits)
+    # band j bits 0..rpb-1 ← stream rows j*r_max .. j*r_max+rpb-1
+    planes = np.vstack(
+        [planes_full[j * r_max : j * r_max + rpb] for j in range(bands)]
+    )
+    rows_per_band = rpb
 
     # All bands*rows sign projections in ONE Arrow batch pass: the
     # per-plane interpreted HOF fold costs ~20µs·planes per vector

@@ -213,24 +213,69 @@ def _duck_sign_bucket(planes, vexpr: str) -> str:
     return "(" + "\n           + ".join(terms) + ")"
 
 
+def _duck_adaptive_band_ctes(
+    bands: int,
+    rows_per_band: int,
+    dim: int,
+    ref_n: int = 2000,
+    max_extra_bits: int = 8,
+    seed: int = 42,
+) -> str:
+    """CTE chain replaying embed_cosine_pairs_lsh's ADAPTIVE banded
+    sign-LSH (operators/dedup.py — the fixed-bucket-count scale fix):
+    a literal plane table in the r-independent layout (band j owns
+    seeded-stream block [j·r_max, (j+1)·r_max)), the corpus-derived
+    signature width
+
+        r = rows_per_band + clamp(⌈log2(n/ref_n)⌉, 0, max_extra_bits)
+
+    computed from COUNT(*) exactly as the Python side does (both are
+    IEEE-double log2 of the same integer ratio; exact at power-of-two
+    multiples, and a ULP flip would need n within 2^-50 of a power —
+    impossible for bounded integers), and the per-band bucket as the
+    wgt-weighted sign sum over the first r planes of each block.
+    Assumes a CTE `e(id, v)` is already in scope; defines
+    `plane_tab`, `nbits`, `bands`."""
+    r_max = rows_per_band + max_extra_bits
+    planes = _sign_planes(bands * r_max, dim)
+    rows = []
+    for j in range(bands):
+        for i in range(r_max):
+            arr = "[" + ", ".join(
+                repr(float(x)) for x in planes[j * r_max + i]
+            ) + "]"
+            rows.append(f"({j}, {i}, {1 << i}, {arr})")
+    values = ",\n      ".join(rows)
+    return f"""plane_tab(band_id, bit_idx, wgt, coeffs) AS MATERIALIZED (
+      VALUES {values}
+    ),
+    nbits AS (
+      SELECT CASE WHEN COUNT(*) <= {ref_n} THEN {rows_per_band}
+                  ELSE {rows_per_band} + LEAST({max_extra_bits},
+                       CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / {ref_n})) AS INT))
+             END AS r
+      FROM e
+    ),
+    bands AS MATERIALIZED (
+      SELECT e.id, p.band_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.coeffs) > 0
+                           THEN p.wgt ELSE 0 END) AS BIGINT) AS bucket
+      FROM e, plane_tab p, nbits
+      WHERE p.bit_idx < nbits.r
+      GROUP BY e.id, p.band_id
+    )"""
+
+
 def _duck_embed_lsh_oracle(
     threshold: float = 0.35, dim: int = 64, bands: int = 8, rows_per_band: int = 4
 ) -> str:
     """DuckDB replay of embed_cosine_pairs_lsh: identical planes →
-    identical band buckets → identical candidate pairs → identical
-    4dp-rounded cosine verify."""
-    planes = _sign_planes(bands * rows_per_band, dim)
-    band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT id, {j} AS band_id, "
-        + _duck_sign_bucket(planes[j * rows_per_band : (j + 1) * rows_per_band], "v")
-        + " AS bucket FROM e"
-        for j in range(bands)
-    )
+    identical corpus-adaptive band buckets → identical candidate pairs
+    → identical 4dp-rounded cosine verify."""
     return f"""
     WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    bands AS (
-      {band_selects}
-    ), cand AS (
+    {_duck_adaptive_band_ctes(bands, rows_per_band, dim)},
+    cand AS (
       SELECT DISTINCT x.id AS id_a, y.id AS id_b
       FROM bands x JOIN bands y
         ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.id < y.id
@@ -2989,21 +3034,14 @@ def _duck_dbscan_oracle(
     rows_per_band: int = 8, min_pts: int = 3,
 ) -> str:
     """DuckDB replay of ml.dbscan_lsh: identical planes → identical
-    candidates → identical verified neighbor graph → exact core/border/
-    noise classification and min-label core components."""
-    planes = _sign_planes(bands * rows_per_band, dim)
-    band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT id, {j} AS band_id, "
-        + _duck_sign_bucket(planes[j * rows_per_band : (j + 1) * rows_per_band], "v")
-        + " AS bucket FROM e"
-        for j in range(bands)
-    )
+    corpus-adaptive candidates (see _duck_adaptive_band_ctes) →
+    identical verified neighbor graph → exact core/border/noise
+    classification and min-label core components."""
     return f"""
     WITH RECURSIVE
     e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    bands AS (
-      {band_selects}
-    ), cand AS (
+    {_duck_adaptive_band_ctes(bands, rows_per_band, dim)},
+    cand AS (
       SELECT DISTINCT x.id AS id_a, y.id AS id_b
       FROM bands x JOIN bands y
         ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.id < y.id

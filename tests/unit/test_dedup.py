@@ -248,3 +248,77 @@ def test_setsim_prefix_matches_brute_force(spark):
         if 5 * inter >= 3 * (len(docs[a]) + len(docs[b]) - inter):
             want.add((a, b))
     assert got == want and (1, 3) in got and (4, 5) not in got
+
+
+# ---------------------------------------------------------------------------
+# adaptive signature width (the fixed-bucket-count scale fix)
+
+
+def test_adaptive_width_formula_matches_duckdb_law(spark):
+    """The Python width r(n) and the DuckDB `nbits` CTE the oracles
+    replay (queries/training.py::_duck_adaptive_band_ctes) must agree
+    for EVERY corpus size — especially at the power-of-two boundaries
+    where ceil(log2(·)) steps, and at the clamp edge."""
+    import duckdb
+
+    from demo_data_warehouse_spark.queries.training import _duck_adaptive_band_ctes
+
+    rpb, ref_n, max_extra = 4, 2000, 8
+    ctes = _duck_adaptive_band_ctes(
+        bands=2, rows_per_band=rpb, dim=3, ref_n=ref_n, max_extra_bits=max_extra
+    )
+    con = duckdb.connect()
+    sweep = [1, 3, 1999, 2000, 2001, 3999, 4000, 4001, 4096, 8000, 8001,
+             60000, 511999, 512000, 512001, 5_000_000]
+    import random
+
+    sweep += random.Random(11).sample(range(1, 1_000_000), 20)
+    for n in sweep:
+        sql = (
+            f"WITH e AS (SELECT range AS id, [0.1, 0.2, 0.3]::DOUBLE[] AS v "
+            f"FROM range({n})),\n    {ctes}\n    SELECT r FROM nbits"
+        )
+        duck_r = con.execute(sql).fetchone()[0]
+        py_r = dedup.adaptive_signature_width(n, rpb, ref_n, max_extra)
+        assert duck_r == py_r, (n, duck_r, py_r)
+    # monotone, base-anchored, clamped
+    widths = [dedup.adaptive_signature_width(n, rpb, ref_n, max_extra)
+              for n in range(1, 4_000_000, 997)]
+    assert widths == sorted(widths)
+    assert dedup.adaptive_signature_width(ref_n, rpb, ref_n, max_extra) == rpb
+    assert (
+        dedup.adaptive_signature_width(10**12, rpb, ref_n, max_extra)
+        == rpb + max_extra
+    )
+
+
+def test_adaptive_width_prefix_layout_law(spark):
+    """Widening the signature only APPENDS sign bits (band j always
+    reads the same seeded stream block), so a band collision at width
+    r+k implies one at width r: verified pairs must be NESTED as the
+    forced width grows, and planted near-identical pairs must survive
+    every width."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    base = rng.standard_normal((60, DIM))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.standard_normal(DIM) * 0.01]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])  # n=120
+
+    def pairs(ref_n):
+        out = dedup.embed_cosine_pairs_lsh(
+            df, "vec_id", "embedding", threshold=0.9, dim=DIM,
+            bands=8, rows_per_band=4, ref_n=ref_n, max_extra_bits=8,
+        ).toPandas()
+        return {(r.id_a, r.id_b) for r in out.itertuples()}
+
+    p_base = pairs(120)   # extra = 0 → r = 4 (exactly the tuned base)
+    p_mid = pairs(30)     # extra = 2 → r = 6
+    p_wide = pairs(1)     # extra = ceil(log2 120) = 7 → r = 11
+    assert p_wide <= p_mid <= p_base
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    # r=11, b=8 still catches cos≈0.9999 pairs with p≈1 — demand all
+    assert planted <= p_wide
