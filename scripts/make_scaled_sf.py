@@ -18,8 +18,15 @@ data volume (the 100 TB question plans alone can't answer):
   bucket paths the same way.
 - region / nation: dimensions, kept as-is.
 
-Usage: python scripts/make_scaled_sf.py [factor] [out_dir]
-       (defaults: 10, /tmp/ddw_scaled_sf<factor>)
+Usage: python scripts/make_scaled_sf.py [factor] [out_dir] [files_per_table]
+       (defaults: 10, /tmp/ddw_scaled_sf<factor>, 1)
+
+files_per_table=1 reproduces the driver's exact single-file layout
+(streams glob the exact file name — required for the stream queries);
+files_per_table>1 writes each table as a DIRECTORY of that many part
+files, the realistic lake layout, to MEASURE how much of a single-file
+ratio is scan-parallelism ceiling rather than plan behavior (batch
+queries only — spark.read.parquet takes the directory transparently).
 """
 
 from __future__ import annotations
@@ -39,10 +46,19 @@ from demo_data_warehouse_spark.session import get_spark
 SRC = "/root/testdata/sf0.1"
 
 
+FILES_PER_TABLE = 1
+
+
 def write_single_file(df, out_dir: str, name: str) -> None:
     """Write `df` as ONE parquet FILE at {out_dir}/{name}.parquet —
     the driver testdata layout (streams glob the exact file name via
-    pathGlobFilter, so a directory-per-table twin breaks them)."""
+    pathGlobFilter, so a directory-per-table twin breaks them) — or,
+    with FILES_PER_TABLE > 1, as a directory of that many part files
+    (the realistic lake layout, for layout-vs-plan A/B measurement)."""
+    if FILES_PER_TABLE > 1:
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        df.repartition(FILES_PER_TABLE).write.mode("overwrite").parquet(dest)
+        return
     tmp = os.path.join(out_dir, f"_tmp_{name}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
@@ -67,8 +83,11 @@ STRIDE = 100_000_000
 
 
 def main() -> None:
+    global FILES_PER_TABLE
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/ddw_scaled_sf{factor}"
+    if len(sys.argv) > 3:
+        FILES_PER_TABLE = int(sys.argv[3])
     spark = get_spark("ddw-scale-gen")
 
     def copies(df, build_copy):
