@@ -57,6 +57,34 @@ def _run(qs, name, spark, sf_dir) -> None:
     qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
+def _calibrate(spark) -> dict:
+    """Fixed synthetic probes for HOST-DRIFT normalization (SURVEY 6.2:
+    the shared bench host drifts ±25-40% between hours, moving frozen
+    -code queries with it). Two probes, data-independent and frozen
+    forever: a single-thread numpy matmul (CPU/memory-bandwidth) and a
+    pure-codegen Spark range aggregation (JVM/scheduler). Cross-round
+    comparisons should divide query walls by these before concluding
+    regression; the membership-frozen tier-1 set remains the in-vivo
+    control group."""
+    import numpy as np
+
+    x = np.random.RandomState(0).standard_normal((512, 512))
+    best_np = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        y = x
+        for _ in range(20):
+            y = y @ x
+            y /= np.abs(y).max()
+        best_np = min(best_np, time.time() - t0)
+    best_sp = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(30_000_000).selectExpr("sum(id * 2) as s").collect()
+        best_sp = min(best_sp, time.time() - t0)
+    return {"numpy_s": round(best_np, 4), "spark_range_s": round(best_sp, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -97,6 +125,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "tier2_total": t2_total,
+                "calib": _calibrate(spark),
             }
         )
     )
