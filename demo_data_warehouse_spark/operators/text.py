@@ -236,8 +236,15 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Scale: explode + wordcount (map-side partial agg) + broadcast of
     the vocab table (vocab ≪ corpus); one shuffle by doc id.
 
-    Returns (id, n_tokens, logprob_micro, avg_logprob) with
-    avg_logprob = round(logprob_micro/1e6/n_tokens, 6).
+    Returns (id, n_tokens, logprob_micro, avg_lp_micro) with
+    avg_lp_micro = logprob_micro div n_tokens — integer micro-units per
+    token, truncation toward zero (Spark `div` == DuckDB `//` on
+    int64). The per-token average stays in integers because a final
+    ROUND(double, 6) is NOT engine-portable: at the 10×-twin corpus
+    size 19/50,000 documents landed on half-way ties where Spark
+    (BigDecimal HALF_UP on the exact binary value) and DuckDB (scaled
+    double) round apart — the same defect class text_tfidf hit, same
+    fix (measured round 5).
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
@@ -259,9 +266,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col(id_col),
             "n_tokens",
             "logprob_micro",
-            F.round(
-                F.col("logprob_micro") / F.lit(1000000.0) / F.col("n_tokens"), 6
-            ).alias("avg_logprob"),
+            F.expr("logprob_micro div n_tokens").alias("avg_lp_micro"),
         )
     )
 
@@ -274,12 +279,16 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One explode + two-level aggregation: (id, token) counts partial-
     aggregate map-side, then a per-id rollup whose input is at most the
-    distinct-token stream (≪ corpus). All counts are exact integers;
-    the two ratios are single IEEE divisions rounded to 6dp, so the
-    result is merge-order-independent and engine-portable.
+    distinct-token stream (≪ corpus). All counts are exact integers and
+    the two ratios stay in integer MICRO-units (10⁶·num div denom —
+    truncation toward zero, Spark `div` == DuckDB `//`): a final
+    ROUND(ratio-of-integers, 6) is NOT engine-portable — integer ratios
+    land on exact half-way 6dp ties (any n_tokens dividing 2·10⁶), where
+    Spark's BigDecimal HALF_UP and DuckDB's scaled-double rounding
+    diverge — the defect text_unigram_logprob's avg hit at the 10× twin.
 
-    Returns (id, n_tokens, n_distinct, top_token_count, rep_ratio,
-    top_token_frac).
+    Returns (id, n_tokens, n_distinct, top_token_count, rep_micro,
+    top_token_micro).
     """
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     per = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
@@ -292,12 +301,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "n_tokens",
         "n_distinct",
         "top_token_count",
-        F.round(
-            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
-        ).alias("rep_ratio"),
-        F.round(
-            F.col("top_token_count").cast("double") / F.col("n_tokens"), 6
-        ).alias("top_token_frac"),
+        F.expr(
+            "(1000000 * (n_tokens - n_distinct)) div n_tokens"
+        ).alias("rep_micro"),
+        F.expr(
+            "(1000000 * top_token_count) div n_tokens"
+        ).alias("top_token_micro"),
     )
 
 

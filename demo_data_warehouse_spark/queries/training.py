@@ -883,7 +883,10 @@ def text_entropy(spark, sf_dir):
       GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, logprob_micro,
-           ROUND(logprob_micro / 1000000.0 / n_tokens, 6) AS avg_logprob
+           -- integer micro-units per token: DuckDB // and Spark div both
+           -- truncate toward zero on int64; ROUND(double, 6) here is NOT
+           -- engine-portable (19/50k tie rows diverged at the 10x twin)
+           logprob_micro // n_tokens AS avg_lp_micro
     FROM g
     """,
 )
@@ -932,8 +935,10 @@ def pack_sequences(spark, sf_dir):
       FROM per GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_distinct, top_token_count,
-           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS rep_ratio,
-           ROUND(CAST(top_token_count AS DOUBLE) / n_tokens, 6) AS top_token_frac
+           -- integer micro-units: ROUND(int-ratio, 6) is NOT portable —
+           -- exact 6dp half-way ties occur for any n_tokens | 2e6
+           (1000000 * (n_tokens - n_distinct)) // n_tokens AS rep_micro,
+           (1000000 * top_token_count) // n_tokens AS top_token_micro
     FROM g
     """,
 )

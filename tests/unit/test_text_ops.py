@@ -24,9 +24,9 @@ def test_repetition_stats_extremes(spark):
     )
     got = {r.id: r for r in text.repetition_stats(df, "id", "text").collect()}
     assert got[1].n_tokens == 4 and got[1].n_distinct == 1
-    assert got[1].rep_ratio == 0.75 and got[1].top_token_frac == 1.0
-    assert got[2].rep_ratio == 0.0 and got[2].top_token_frac == 0.25
-    assert got[3].n_tokens == 1 and got[3].rep_ratio == 0.0
+    assert got[1].rep_micro == 750000 and got[1].top_token_micro == 1000000
+    assert got[2].rep_micro == 0 and got[2].top_token_micro == 250000
+    assert got[3].n_tokens == 1 and got[3].rep_micro == 0
 
 
 def test_decontaminate_drops_overlap_keeps_clean(spark):
