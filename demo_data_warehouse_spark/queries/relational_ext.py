@@ -3407,19 +3407,23 @@ def agg_sketch_rollup(spark, sf_dir):
     differ inside the error envelope — observed at sf0.1). Hash-gated
     here via the tolerance-twin pattern (the agg_approx_distinct
     discipline, was rows-only until r5): the query itself computes the
-    exact distinct, the ±2%% envelope verdict, and a merge-vs-whole
-    consistency verdict (merged estimate within 2%% of the single-pass
-    estimate); DuckDB (whose HLL differs) pins the exact counts and
-    both booleans."""
+    exact distinct, the tolerance verdict, and a merge-vs-whole
+    consistency verdict; DuckDB (whose HLL differs) pins the exact
+    counts and both booleans. The envelope is sized from the sketch's
+    OWN accuracy, not wishfully: lgK=14 ⇒ rsd ≈ 1.04/√2¹⁴ ≈ 0.81%, and
+    the 5%% bound is >6σ for estimate-vs-exact and >4σ for
+    merged-vs-whole — scale-stable, where the original ±2%% (≈2.5σ at
+    default lgK=12) FAILED 5/31 days at the 10×-twin cardinalities
+    (measured round 5)."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"),
+        F.hll_sketch_agg(F.col("user_id").cast("string"), 14).alias("sk"),
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("exact_users"),
     )
     tol = (
         F.abs(F.col("est") - F.col("exact_users"))
-        <= F.lit(0.02) * F.col("exact_users")
+        <= F.lit(0.05) * F.col("exact_users")
     ).alias("within_tolerance")
     per_day = daily.select(
         F.col("day").cast("string").alias("day"),
@@ -3431,7 +3435,7 @@ def agg_sketch_rollup(spark, sf_dir):
     )
     whole = ev.agg(
         F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col("user_id").cast("string"))
+            F.hll_sketch_agg(F.col("user_id").cast("string"), 14)
         ).alias("whole_est"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
@@ -3446,7 +3450,7 @@ def agg_sketch_rollup(spark, sf_dir):
         tol,
         (
             F.abs(F.col("est") - F.col("whole_est"))
-            <= F.lit(0.02) * F.col("whole_est")
+            <= F.lit(0.05) * F.col("whole_est")
         ).alias("merge_consistent"),
     )
     return per_day.unionByName(total)
@@ -3768,24 +3772,30 @@ def agg_theta_setops(spark, sf_dir):
     every audience/funnel report asks). One pass builds both sketches
     (filtered theta_sketch_agg); the set ops run on the two small
     sketch blobs. Exact-regime oracle (same contract as
-    agg_approx_topk): below the sketch's nominal-entries budget
-    (4096 ≫ the ~10³ users here) a theta sketch retains every hash, so
-    estimates and set ops are EXACT and a full COUNT-DISTINCT oracle
-    hash-gates the query; at 100 TB the same plan runs in estimation
-    mode with fixed memory — which is the point."""
+    agg_approx_topk): below the sketch's nominal-entries budget a
+    theta sketch retains every hash, so estimates and set ops are
+    EXACT and a full COUNT-DISTINCT oracle hash-gates the query. The
+    budget is set EXPLICITLY to lgK=20 (1M retained hashes, ~8 MB per
+    sketch) because the default 4096 broke the exact-regime contract
+    at the 10×-twin's 15,000 users — estimation mode answered 15,306
+    (well inside theta's error, but the oracle pins exact); lgK=20
+    holds the exact regime through the 100× twin's 150k users. The
+    union gadget takes the same lgK — ITS default would downsample
+    exact inputs. At 100 TB the same plan runs in estimation mode with
+    fixed memory — which is the point."""
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = ev.agg(
         F.theta_sketch_agg(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
+            F.when(F.col("event_type") == "click", F.col("user_id")), 20
         ).alias("sk_c"),
         F.theta_sketch_agg(
-            F.when(F.col("event_type") == "view", F.col("user_id"))
+            F.when(F.col("event_type") == "view", F.col("user_id")), 20
         ).alias("sk_v"),
     )
     return sk.select(
         F.theta_sketch_estimate("sk_c").alias("click_users"),
         F.theta_sketch_estimate("sk_v").alias("view_users"),
-        F.theta_sketch_estimate(F.theta_union("sk_c", "sk_v")).alias("click_or_view"),
+        F.theta_sketch_estimate(F.theta_union("sk_c", "sk_v", 20)).alias("click_or_view"),
         F.theta_sketch_estimate(F.theta_intersection("sk_c", "sk_v")).alias(
             "click_and_view"
         ),
