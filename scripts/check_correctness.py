@@ -128,9 +128,56 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def digest_compare(sdf_lazy, con, oracle: str) -> list[str]:
+    """Order-insensitive ENGINE-SIDE digest compare for outputs too big
+    to collect (e.g. dedup_simhash's 75M pairs at the 30× twin): each
+    engine canonicalizes its own rows (columns in sorted-name order,
+    NULL sentinel, \\x1f separator), hashes each row with the portable
+    md5-60 (the repo's cross-engine hash pattern), and SUMS the hashes
+    in exact decimal — commutative, so no ordering is materialized and
+    nothing leaves the engine but (count, digest). This is also how a
+    100 TB pipeline actually verifies parity: in-engine checksums,
+    never a driver collect. Restricted to int/string/bool/date columns
+    — float formatting is not portable across engines."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(sdf_lazy.columns)
+    kinds = dict(sdf_lazy.dtypes)
+    ok_types = ("int", "bigint", "smallint", "tinyint", "string", "boolean", "date")
+    bad = [c for c in cols if kinds[c] not in ok_types]
+    if bad:
+        return [f"digest mode needs int/string/bool/date columns; not portable: {bad}"]
+    s_parts = [F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    srow = F.concat_ws("\x1f", *s_parts)
+    h = F.conv(F.substring(F.md5(srow.cast("binary")), 1, 15), 16, 10).cast("long")
+    sres = sdf_lazy.select(
+        F.count("*").alias("n"),
+        F.sum(h.cast("decimal(38,0)")).alias("digest"),
+    ).collect()[0]
+    o_parts = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), 'NULL')" for c in cols
+    )
+    ores = con.execute(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST(concat('0x', substr(md5(concat_ws(chr(31), {o_parts})), 1, 15)) "
+        f"AS BIGINT)) AS DECIMAL(38,0)) AS digest "
+        f"FROM ({oracle})"
+    ).fetchone()
+    problems = []
+    if int(sres["n"]) != int(ores[0]):
+        problems.append(f"row count differs: spark={sres['n']} oracle={ores[0]}")
+    elif str(sres["digest"]) != str(ores[1]):
+        problems.append(
+            f"digest differs: spark={sres['digest']} oracle={ores[1]}"
+        )
+    return problems
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--digest"]
+    digest_mode = "--digest" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("ddw-check")
     con = duck_con(sf_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
@@ -139,6 +186,19 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if digest_mode and name in oracles:
+            try:
+                problems = digest_compare(fn(spark, sf_dir), con, oracles[name])
+            except Exception as e:
+                problems = [f"digest error: {type(e).__name__}: {str(e)[:300]}"]
+            if problems:
+                failures += 1
+                print(f"FAIL  {name}: ({time.time()-t0:.1f}s)")
+                for p in problems:
+                    print(f"      - {p}")
+            else:
+                print(f"ok    {name}: engine-side digest match  ({time.time()-t0:.1f}s)")
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:

@@ -105,3 +105,33 @@ def test_approx_median_within_tolerance(spark, sf_dir, duck):
     )
     for _, row in got.iterrows():
         assert row.p50_halfcents == exact[row.event_type], row
+
+
+def test_digest_compare_controls(spark, sf_dir, duck):
+    """Engine-side digest compare (scripts/check_correctness.py): green
+    on a true oracle, red on a row-count doctoring AND on a value
+    doctoring that preserves the count — so a digest 'ok' is evidence,
+    not vacuous."""
+    from pyspark.sql import functions as F
+
+    from scripts import check_correctness as cc
+
+    q = QUERIES["dedup_exact"]
+    oracle = ORACLES["dedup_exact"]
+    df = q(spark, sf_dir)
+    assert cc.digest_compare(df, duck, oracle) == []
+    count_doctored = cc.digest_compare(
+        df, duck,
+        f"SELECT * FROM ({oracle}) WHERE keeper_id <> "
+        f"(SELECT MIN(keeper_id) FROM ({oracle}))",
+    )
+    assert count_doctored and "row count differs" in count_doctored[0]
+    value_doctored = cc.digest_compare(
+        df, duck,
+        f"SELECT CASE WHEN keeper_id = (SELECT MIN(keeper_id) FROM ({oracle})) "
+        f"THEN keeper_id + 1 ELSE keeper_id END AS keeper_id, n_copies "
+        f"FROM ({oracle})",
+    )
+    assert value_doctored and "digest differs" in value_doctored[0]
+    floaty = q(spark, sf_dir).withColumn("f", F.lit(0.5))
+    assert "not portable" in cc.digest_compare(floaty, duck, oracle)[0]
