@@ -490,11 +490,7 @@ def embed_cosine_pairs_lsh(
     # index k in float64, so every projection's sign — including a
     # boundary-exact 0.0 — is bit-identical to the fold the SQL oracle
     # replays (same discipline as cosine_batch).
-    @pandas_udf("array<bigint>")
-    def _buckets(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype="object")
-        X = np.vstack(vs.to_numpy()).astype(np.float64)
+    def _band_buckets(X: "np.ndarray") -> list:
         proj = np.zeros((len(X), planes.shape[0]))
         for k in range(planes.shape[1]):
             proj += X[:, k : k + 1] * planes[:, k]
@@ -503,7 +499,24 @@ def embed_cosine_pairs_lsh(
         for j in range(bands):
             for i in range(rows_per_band):
                 out[:, j] += bits[:, j * rows_per_band + i].astype(np.int64) << i
-        return pd.Series(list(out))
+        return list(out)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mask = vs.notna().to_numpy()
+        if mask.all():
+            return pd.Series(_band_buckets(np.vstack(vs.to_numpy()).astype(np.float64)))
+        # null vector → null bucket array; posexplode then emits no rows
+        # for it, so poison rows simply never become candidates (instead
+        # of np.vstack killing the task)
+        full = np.full(len(vs), None, dtype=object)
+        if mask.any():
+            full[mask] = _band_buckets(
+                np.vstack(vs.to_numpy()[mask]).astype(np.float64)
+            )
+        return pd.Series(full, dtype=object)
 
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     exploded = e.select(

@@ -58,15 +58,28 @@ def cosine_batch(va_col, vb_col):
     result is bit-identical to the sequential fold (_dot) and to
     DuckDB's list_dot_product. This is the vectorized-Python exception
     the 2.10 UDF policy sanctions: BLAS-class arithmetic, batch-level,
-    never row-at-a-time Python."""
+    never row-at-a-time Python.
+
+    NULL-safe: a null vector on either side yields a null similarity —
+    true SQL NULL, not NaN, because Spark orders NaN ABOVE every number
+    so a NaN would survive `> threshold` filters — instead of np.vstack
+    crashing the whole task on the first poison row a 100 TB corpus
+    will certainly contain."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        A = np.vstack(va.to_numpy()).astype(np.float64)
-        B = np.vstack(vb.to_numpy()).astype(np.float64)
+        mask = va.notna().to_numpy() & vb.notna().to_numpy()
+        if mask.all():
+            A = np.vstack(va.to_numpy()).astype(np.float64)
+            B = np.vstack(vb.to_numpy()).astype(np.float64)
+        elif not mask.any():
+            return pd.Series([None] * len(va), dtype=object)
+        else:
+            A = np.vstack(va.to_numpy()[mask]).astype(np.float64)
+            B = np.vstack(vb.to_numpy()[mask]).astype(np.float64)
         ab = np.zeros(len(A))
         aa = np.zeros(len(A))
         bb = np.zeros(len(A))
@@ -75,7 +88,12 @@ def cosine_batch(va_col, vb_col):
             ab += x * y
             aa += x * x
             bb += y * y
-        return pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)))
+        sims = ab / (np.sqrt(aa) * np.sqrt(bb))
+        if mask.all():
+            return pd.Series(sims)
+        out = np.full(len(va), None, dtype=object)
+        out[mask] = sims
+        return pd.Series(out, dtype=object)
 
     return _cos(va_col, vb_col)
 
@@ -125,7 +143,10 @@ def lsh_signatures(
     def _bucket(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int64")
-        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        mask = vs.notna().to_numpy()
+        if not mask.any():  # null vector → null bucket (never a candidate)
+            return pd.Series([None] * len(vs), dtype=object)
+        X = np.vstack(vs.to_numpy()[mask]).astype(np.float64)
         proj = np.zeros((len(X), planes.shape[0]))
         for k in range(planes.shape[1]):
             proj += X[:, k : k + 1] * planes[:, k]
@@ -133,7 +154,11 @@ def lsh_signatures(
         out = np.zeros(len(X), dtype=np.int64)
         for i in range(planes.shape[0]):
             out |= bits[:, i].astype(np.int64) << i
-        return pd.Series(out)
+        if mask.all():
+            return pd.Series(out)
+        full = np.full(len(vs), None, dtype=object)
+        full[mask] = [int(v) for v in out]
+        return pd.Series(full, dtype=object)
 
     return df.select(
         F.col(id_col).alias("id"), _bucket(F.col(vec_col)).alias("bucket")
@@ -240,7 +265,10 @@ def ivf_assign(
     def _argmax_cell(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        mask = vs.notna().to_numpy()
+        if not mask.any():  # null vector → null cell (pruned by any probe)
+            return pd.Series([None] * len(vs), dtype=object)
+        X = np.vstack(vs.to_numpy()[mask]).astype(np.float64)
         ab = np.zeros((len(X), k_cells))
         aa = np.zeros(len(X))
         cc = np.zeros(k_cells)
@@ -252,7 +280,11 @@ def ivf_assign(
         sims = ab / (np.sqrt(aa)[:, None] * np.sqrt(cc)[None, :])
         # argmax on the REVERSED cell axis → highest cell id wins ties
         idx = (k_cells - 1) - np.argmax(sims[:, ::-1], axis=1)
-        return pd.Series(idx).astype("int32")
+        if mask.all():
+            return pd.Series(idx).astype("int32")
+        full = np.full(len(vs), None, dtype=object)
+        full[mask] = [int(v) for v in idx]
+        return pd.Series(full, dtype=object)
 
     return df.select(
         F.col(id_col).alias("id"), _argmax_cell(F.col(vec_col)).alias("cell")

@@ -322,3 +322,30 @@ def test_adaptive_width_prefix_layout_law(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(60)}
     # r=11, b=8 still catches cos≈0.9999 pairs with p≈1 — demand all
     assert planted <= p_wide
+
+
+def test_embed_lsh_null_vector_rows_are_inert(spark, vectors):
+    """A null embedding (poison row, inevitable at corpus scale) must
+    neither crash the Arrow batch (np.vstack) nor become a candidate:
+    null buckets explode to zero rows, null cosines are SQL NULL (not
+    NaN — Spark orders NaN above every number, so NaN would PASS a
+    `> threshold` filter). Pairs must equal the clean-corpus run."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    poisoned = vectors.unionByName(
+        spark.createDataFrame([(999, None), (998, None)], schema)
+    )
+    clean = dedup.embed_cosine_pairs_lsh(
+        vectors, "vec_id", "embedding", threshold=0.9, dim=DIM
+    ).toPandas()
+    dirty = dedup.embed_cosine_pairs_lsh(
+        poisoned, "vec_id", "embedding", threshold=0.9, dim=DIM
+    ).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+    # n grows 16 -> 18 but stays <= ref_n, so the signature width — and
+    # therefore the clean rows' buckets — are identical
+    assert key(dirty) == key(clean)

@@ -297,3 +297,38 @@ def test_lsh_signatures_matches_fold_law(spark):
     }
     assert got == ref
     assert got[n] == 0  # zero vector: every projection 0.0 → no bits
+
+
+def test_null_vectors_inert_in_lsh_ivf_and_cosine(spark, vecs):
+    """Null embeddings must be inert, not fatal, in every Arrow-batched
+    vector path: lsh_signatures emits a NULL bucket, ivf_assign a NULL
+    cell, cosine_batch a true SQL NULL similarity (never NaN, which
+    Spark orders above all numbers and would pass threshold filters)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    _, vdf = vecs
+    poisoned = vdf.unionByName(spark.createDataFrame([(999, None)], schema))
+
+    sigs = similarity.lsh_signatures(poisoned, "vec_id", "embedding", dim=16)
+    null_rows = sigs.where(F.col("id") == 999).collect()
+    assert len(null_rows) == 1 and null_rows[0]["bucket"] is None
+    assert sigs.where("id <> 999 AND bucket IS NULL").count() == 0
+
+    cents = similarity.ivf_train_centroids(vdf, "embedding", n_cells=8)
+    cells = similarity.ivf_assign(poisoned, "vec_id", "embedding", cents)
+    assert cells.where(F.col("id") == 999).collect()[0]["cell"] is None
+    assert cells.where("id <> 999 AND cell IS NULL").count() == 0
+
+    a = poisoned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = vdf.limit(1).select(F.col("embedding").alias("vb"))
+    sims = a.crossJoin(b).select(
+        "id_a", similarity.cosine_batch(F.col("va"), F.col("vb")).alias("s")
+    )
+    assert sims.where(F.col("id_a") == 999).collect()[0]["s"] is None
+    # the filter semantics that motivated NULL-not-NaN:
+    assert sims.where(F.col("s") > -2.0).where(F.col("id_a") == 999).count() == 0
