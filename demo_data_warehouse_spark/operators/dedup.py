@@ -505,12 +505,14 @@ def embed_cosine_pairs_lsh(
     def _buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="object")
-        mask = vs.notna().to_numpy()
+        from .similarity import _valid_mask
+
+        mask = _valid_mask(vs, dim)
         if mask.all():
             return pd.Series(_band_buckets(np.vstack(vs.to_numpy()).astype(np.float64)))
-        # null vector → null bucket array; posexplode then emits no rows
-        # for it, so poison rows simply never become candidates (instead
-        # of np.vstack killing the task)
+        # null/mis-sized vector → null bucket array; posexplode then
+        # emits no rows for it, so poison rows simply never become
+        # candidates (instead of np.vstack killing the task)
         full = np.full(len(vs), None, dtype=object)
         if mask.any():
             full[mask] = _band_buckets(

@@ -46,6 +46,21 @@ def dot_fixed(a, b, dim: int):
     return out
 
 
+
+def _valid_mask(vs: "pd.Series", dim: int) -> "np.ndarray":
+    """Row validity for Arrow vector batches: non-null AND the declared
+    dimension. A wrong-length vector (upstream schema drift — the other
+    poison class besides NULL) would make np.vstack raise on the whole
+    batch or silently build a ragged object array; masked out, it
+    becomes an inert NULL row instead."""
+    arr = vs.to_numpy()
+    mask = vs.notna().to_numpy()
+    for i in np.nonzero(mask)[0]:
+        if len(arr[i]) != dim:
+            mask[i] = False
+    return mask
+
+
 def cosine_batch(va_col, vb_col):
     """Cosine similarity as an Arrow-vectorized pandas UDF — the hot
     path for O(pairs)·O(dim) scoring where no JVM expression form is
@@ -72,6 +87,11 @@ def cosine_batch(va_col, vb_col):
         if len(va) == 0:
             return pd.Series([], dtype="float64")
         mask = va.notna().to_numpy() & vb.notna().to_numpy()
+        if mask.any():
+            a_arr, b_arr = va.to_numpy(), vb.to_numpy()
+            for i in np.nonzero(mask)[0]:
+                if len(a_arr[i]) != len(b_arr[i]):
+                    mask[i] = False
         if mask.all():
             A = np.vstack(va.to_numpy()).astype(np.float64)
             B = np.vstack(vb.to_numpy()).astype(np.float64)
@@ -143,8 +163,8 @@ def lsh_signatures(
     def _bucket(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int64")
-        mask = vs.notna().to_numpy()
-        if not mask.any():  # null vector → null bucket (never a candidate)
+        mask = _valid_mask(vs, dim)
+        if not mask.any():  # null/mis-sized vector → null bucket
             return pd.Series([None] * len(vs), dtype=object)
         X = np.vstack(vs.to_numpy()[mask]).astype(np.float64)
         proj = np.zeros((len(X), planes.shape[0]))
@@ -265,8 +285,8 @@ def ivf_assign(
     def _argmax_cell(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        mask = vs.notna().to_numpy()
-        if not mask.any():  # null vector → null cell (pruned by any probe)
+        mask = _valid_mask(vs, d)
+        if not mask.any():  # null/mis-sized vector → null cell
             return pd.Series([None] * len(vs), dtype=object)
         X = np.vstack(vs.to_numpy()[mask]).astype(np.float64)
         ab = np.zeros((len(X), k_cells))

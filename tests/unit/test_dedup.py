@@ -337,7 +337,9 @@ def test_embed_lsh_null_vector_rows_are_inert(spark, vectors):
         StructField("embedding", ArrayType(DoubleType())),
     ])
     poisoned = vectors.unionByName(
-        spark.createDataFrame([(999, None), (998, None)], schema)
+        spark.createDataFrame(
+            [(999, None), (998, None), (997, [1.0, 2.0])], schema
+        )  # 997 = wrong dimension (schema drift), equally inert
     )
     clean = dedup.embed_cosine_pairs_lsh(
         vectors, "vec_id", "embedding", threshold=0.9, dim=DIM
@@ -346,6 +348,6 @@ def test_embed_lsh_null_vector_rows_are_inert(spark, vectors):
         poisoned, "vec_id", "embedding", threshold=0.9, dim=DIM
     ).toPandas()
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
-    # n grows 16 -> 18 but stays <= ref_n, so the signature width — and
+    # n grows 16 -> 19 but stays <= ref_n, so the signature width — and
     # therefore the clean rows' buckets — are identical
     assert key(dirty) == key(clean)

@@ -312,23 +312,28 @@ def test_null_vectors_inert_in_lsh_ivf_and_cosine(spark, vecs):
         StructField("embedding", ArrayType(DoubleType())),
     ])
     _, vdf = vecs
-    poisoned = vdf.unionByName(spark.createDataFrame([(999, None)], schema))
+    poisoned = vdf.unionByName(
+        spark.createDataFrame([(999, None), (998, [1.0, 2.0])], schema)
+    )  # 998 = wrong dimension (schema drift), equally inert
 
     sigs = similarity.lsh_signatures(poisoned, "vec_id", "embedding", dim=16)
-    null_rows = sigs.where(F.col("id") == 999).collect()
-    assert len(null_rows) == 1 and null_rows[0]["bucket"] is None
-    assert sigs.where("id <> 999 AND bucket IS NULL").count() == 0
+    for pid in (999, 998):
+        row = sigs.where(F.col("id") == pid).collect()
+        assert len(row) == 1 and row[0]["bucket"] is None
+    assert sigs.where("id NOT IN (999, 998) AND bucket IS NULL").count() == 0
 
     cents = similarity.ivf_train_centroids(vdf, "embedding", n_cells=8)
     cells = similarity.ivf_assign(poisoned, "vec_id", "embedding", cents)
-    assert cells.where(F.col("id") == 999).collect()[0]["cell"] is None
-    assert cells.where("id <> 999 AND cell IS NULL").count() == 0
+    for pid in (999, 998):
+        assert cells.where(F.col("id") == pid).collect()[0]["cell"] is None
+    assert cells.where("id NOT IN (999, 998) AND cell IS NULL").count() == 0
 
     a = poisoned.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = vdf.limit(1).select(F.col("embedding").alias("vb"))
     sims = a.crossJoin(b).select(
         "id_a", similarity.cosine_batch(F.col("va"), F.col("vb")).alias("s")
     )
-    assert sims.where(F.col("id_a") == 999).collect()[0]["s"] is None
+    for pid in (999, 998):
+        assert sims.where(F.col("id_a") == pid).collect()[0]["s"] is None
     # the filter semantics that motivated NULL-not-NaN:
-    assert sims.where(F.col("s") > -2.0).where(F.col("id_a") == 999).count() == 0
+    assert sims.where(F.col("s") > -2.0).where(F.col("id_a").isin(999, 998)).count() == 0
