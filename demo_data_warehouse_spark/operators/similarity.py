@@ -79,7 +79,11 @@ def cosine_batch(va_col, vb_col):
     true SQL NULL, not NaN, because Spark orders NaN ABOVE every number
     so a NaN would survive `> threshold` filters — instead of np.vstack
     crashing the whole task on the first poison row a 100 TB corpus
-    will certainly contain."""
+    will certainly contain. NaN ELEMENTS and zero vectors, by contrast,
+    propagate as NaN similarities on BOTH engines (Spark and DuckDB
+    both order NaN above every number, so parity holds); screening them
+    out is upstream quality-filtering's job (corpus_clean), not the
+    scorer's."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
