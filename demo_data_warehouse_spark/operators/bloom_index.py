@@ -17,8 +17,9 @@ explode(k positions) + distinct), and probing is a tiny aggregation on
 the index — no driver-side bitset assembly, so building the index over
 a 100 TB table is an ordinary shuffle bounded by k·|distinct keys per
 file|, and the index itself can be partitioned by bit range if it
-grows. Hashing is the portable md5-60 family (operators/dedup.py) so
-tests can recompute positions anywhere.
+grows. Hashing is ONE portable md5 per value whose two 60-bit halves
+drive Kirsch–Mitzenmacher double hashing (pos_j = h1 + j·h2 mod m) —
+k positions for one digest, recomputable anywhere (positions_py).
 """
 
 from __future__ import annotations
@@ -29,28 +30,42 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import hash60_sql
-from .hidden_partition import _h60_py
-
 K_HASHES = 7
 M_BITS = 1 << 15  # floor; build sizes the array up from measured file rows
 BITS_PER_KEY = 10  # m/n ≈ 10 with k=7 → ~1% false-positive rate
 _META_NAME = "_bloom_meta.json"  # "_"-prefixed: invisible to parquet scans
 
 
-def _positions_expr(col: str, m_bits: int = M_BITS) -> str:
-    """k bloom positions of a column value: md5-60 over value#seed."""
-    pos = [
-        f"pmod({hash60_sql(f'concat(cast({col} as string), chr(35), {j})')}, {m_bits})"
-        for j in range(K_HASHES)
-    ]
+def _positions_from_halves(h1: str, h2: str, m_bits: int) -> str:
+    """k positions from two 60-bit hash halves via Kirsch–Mitzenmacher
+    double hashing: pos_j = (h1 + j·h2) mod m. h2 is forced odd so the
+    k positions stay distinct under a power-of-two modulus; the sum is
+    bounded by 7·2^60 < 2^63, so the arithmetic never overflows int64."""
+    pos = [f"pmod({h1} + {j} * {h2}, {m_bits})" for j in range(K_HASHES)]
     return f"array({', '.join(pos)})"
 
 
+def _positions_expr(col: str, m_bits: int = M_BITS) -> str:
+    """k bloom positions of a column value: ONE md5 per value (not k) —
+    the two 60-bit halves of the digest drive Kirsch–Mitzenmacher
+    double hashing. Inline form (md5 repeated textually) for tests and
+    one-off probes; codegen's common-subexpression elimination collapses
+    the repeats, and build_bloom_index materializes the halves once
+    explicitly anyway."""
+    h = f"md5(cast({col} as string))"
+    h1 = f"cast(conv(substr({h}, 1, 15), 16, 10) as bigint)"
+    h2 = f"(cast(conv(substr({h}, 16, 15), 16, 10) as bigint) | 1)"
+    return _positions_from_halves(h1, h2, m_bits)
+
+
 def positions_py(value, m_bits: int = M_BITS) -> list[int]:
-    return [
-        _h60_py(f"{value}#{j}") % m_bits for j in range(K_HASHES)
-    ]
+    """Pure-Python twin of _positions_expr (same digest, same halves)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    h1 = int(h[:15], 16)
+    h2 = int(h[15:30], 16) | 1
+    return [(h1 + j * h2) % m_bits for j in range(K_HASHES)]
 
 
 def _sized_m_bits(data_root: str) -> int:
@@ -98,7 +113,16 @@ def build_bloom_index(
     idx = (
         df.select(
             F.input_file_name().alias("file"),
-            F.explode(F.expr(_positions_expr(col, m_bits))).alias("bit"),
+            F.expr(f"md5(cast({col} as string))").alias("_h"),
+        )
+        .select(
+            "file",
+            F.expr("cast(conv(substr(_h, 1, 15), 16, 10) as bigint)").alias("_h1"),
+            F.expr("cast(conv(substr(_h, 16, 15), 16, 10) as bigint) | 1").alias("_h2"),
+        )
+        .select(
+            "file",
+            F.explode(F.expr(_positions_from_halves("_h1", "_h2", m_bits))).alias("bit"),
         )
         .distinct()
     )
