@@ -408,6 +408,16 @@ class JsonlStreamSinkWriter:
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, manifest)
+        # sweep crash debris (same rule as the batch writer): an epoch
+        # that crashed between the file renames and the manifest swap is
+        # replayed with FRESH task uuids, so its renamed-but-unpublished
+        # files stay on disk forever otherwise — invisible to readers
+        # (manifest-resolved), but unbounded garbage on a long stream
+        live = {e["file"] for e in state["files"]}
+        for f in os.listdir(self.path):
+            p = os.path.join(self.path, f)
+            if f not in live and f != "_manifest.json" and os.path.isfile(p):
+                os.remove(p)
         shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
 
     def abort(self, messages, batchId):

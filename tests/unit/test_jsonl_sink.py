@@ -54,6 +54,37 @@ def test_overwrite_sweeps_previous_generation(spark, sink):
     assert set(data_files) == live
 
 
+def test_stream_commit_sweeps_crash_debris(spark, sink):
+    """An epoch that crashes between its file renames and the manifest
+    swap leaves renamed-but-unpublished files; the replayed epoch stages
+    under fresh uuids, so without a sweep the debris lives forever.
+    Readers never see it (manifest-resolved), but the NEXT commit must
+    physically remove it — same rule as the batch writer."""
+    from demo_data_warehouse_spark.lark.pydatasource import (
+        JsonlStreamSinkWriter,
+        _JsonlCommit,
+    )
+
+    w = JsonlStreamSinkWriter(sink)
+    staging = os.path.join(sink, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, "task0.jsonl")
+    with open(staged, "w") as fh:
+        fh.write('{"id": 1, "name": "n1"}\n')
+    # crash debris: a file a previous attempt renamed into place before
+    # dying (plus a torn manifest temp from the same crash)
+    for debris in ("deadbeef.jsonl", "_manifest.json.tmp-dead"):
+        with open(os.path.join(sink, debris), "w") as fh:
+            fh.write('{"id": 99, "name": "ghost"}\n')
+    w.commit([_JsonlCommit(staged, 1)], batchId=0)
+    on_disk = {f for f in os.listdir(sink) if f != "_manifest.json"}
+    with open(os.path.join(sink, "_manifest.json")) as fh:
+        live = {e["file"] for e in json.load(fh)["files"]}
+    assert on_disk == live  # debris and torn temps physically gone
+    got = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
+    assert got == {(1, "n1")}
+
+
 def test_failed_write_is_invisible(spark, sink):
     _write(_df(spark, 0, 10), sink, "append")
     before = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}
