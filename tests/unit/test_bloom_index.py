@@ -36,6 +36,25 @@ def test_positions_python_twin_matches_engine(spark):
         assert list(got) == positions_py(value)
 
 
+def test_positions_twin_and_distinctness_property(spark):
+    """Hypothesis-style law over a wide value sample, one engine job:
+    (a) the Python twin reproduces the engine positions exactly, and
+    (b) double hashing with an odd step under a power-of-two modulus
+    never degenerates k positions into one (the h2=0 failure mode of
+    naive Kirsch-Mitzenmacher)."""
+    values = [*range(-50, 50), *(3**i for i in range(1, 30)), -(2**62), 2**62]
+    rows = (
+        spark.createDataFrame([(v,) for v in values], "v bigint")
+        .select("v", F.expr(_positions_expr("v")).alias("p"))
+        .collect()
+    )
+    assert len(rows) == len(values)
+    for r in rows:
+        want = positions_py(r.v)
+        assert list(r.p) == want, r.v
+        assert len(set(want)) > 1, r.v
+
+
 def test_no_false_negatives_and_filter_equivalence(spark):
     data, idx = _table(spark)
     base = spark.read.parquet(data)
