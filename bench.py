@@ -96,6 +96,12 @@ def main() -> None:
 
     qs = entry_mod.queries()
     spark = get_spark("ddw-bench")
+    # Calibrate BEFORE and AFTER the timed passes: the shared host's
+    # drift moves WITHIN a bench run (measured 2026-08-15: a steal storm
+    # hit mid-run, exploding tier-2 40x while the end-of-run calib had
+    # already recovered). Diverging pre/post probes mark the run
+    # contaminated; agreeing probes certify the walls.
+    calib_pre = _calibrate(spark)
     # Warm-up pass: run every timed query once so the measured passes
     # report engine steady state (plan compile, JIT, and OS page cache
     # are one-time costs, not per-query costs on a long-lived cluster).
@@ -125,6 +131,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "tier2_total": t2_total,
+                "calib_pre": calib_pre,
                 "calib": _calibrate(spark),
             }
         )
