@@ -14,11 +14,12 @@ happens for free and can never be forgotten. At 100 TB this is the
 difference between reading one day's directories and listing the
 world.
 
-Derived columns are written as strings with ISO/day formats so
-lexicographic order == semantic order (partition-type inference can't
-mis-type them), and bucket() uses the portable md5-60 hash so the
-rewrite can compute a literal's bucket in pure Python, identical to
-the engine's write-side expression.
+Derived columns are written as strings; scan-side comparisons are
+explicitly typed per transform (days as ISO string, bucket/truncate
+cast to bigint) so pruning is correct whether or not the session's
+partition-type inference is enabled. bucket() uses the portable md5-60
+hash so the rewrite can compute a literal's bucket in pure Python,
+identical to the engine's write-side expression.
 """
 
 from __future__ import annotations
@@ -107,11 +108,21 @@ class HiddenPartitionTable:
         """Partition predicate implied by (data-column op literal)
         under transform t, or None when the transform can't bound it.
         Always a WIDENING of the data predicate (day truncation keeps
-        the boundary day; the data filter re-tightens)."""
+        the boundary day; the data filter re-tightens).
+
+        Comparisons are EXPLICITLY typed so correctness never depends
+        on `spark.sql.sources.partitionColumnTypeInference`: with
+        inference off the partition column reads back as STRING, where
+        a numeric range like p >= '900' compares lexicographically and
+        '1000' < '900' silently drops rows (measured). days() compares
+        as string (ISO order == semantic order); bucket()/truncate()
+        cast the partition column to bigint — valid under either
+        inference setting."""
         p = F.col(self._pcol(t))
         kind = t["kind"]
         if kind == "days":
             day = str(value)[:10]
+            p = p.cast("string")
             if op in (">=", ">"):
                 return p >= day
             if op in ("<=", "<"):
@@ -120,16 +131,17 @@ class HiddenPartitionTable:
                 return p == day
         elif kind == "bucket":
             if op == "=":
-                return p == str(_h60_py(str(value)) % t["n"])
+                return p.cast("bigint") == (_h60_py(str(value)) % t["n"])
         elif kind == "truncate":
             w = t["w"]
             b = (int(value) // w) * w
+            p = p.cast("bigint")
             if op in (">=", ">"):
-                return p >= str(b)
+                return p >= b
             if op in ("<=", "<"):
-                return p <= str(b)
+                return p <= b
             if op == "=":
-                return p == str(b)
+                return p == b
         return None
 
     def scan(self, filters: Sequence[tuple[str, str, object]]) -> DataFrame:

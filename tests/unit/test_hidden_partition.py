@@ -116,6 +116,32 @@ def test_truncate_transform_negative_values(spark):
         assert got == want, filters
 
 
+def test_scan_correct_without_partition_type_inference(spark):
+    """A session may disable partitionColumnTypeInference, making the
+    partition column read back as STRING — where a numeric range like
+    p >= '900' compares lexicographically and '1000' < '900' silently
+    drops rows (measured before the typed-comparison fix). The rewrite
+    casts explicitly, so pruning must be correct under either setting."""
+    df = spark.createDataFrame(
+        [(i,) for i in (0, 50, 950, 999, 1000, 1050, -5)], "x bigint"
+    )
+    t = HiddenPartitionTable(
+        spark, scratch_dir("hp_no_inf"), [{"kind": "truncate", "col": "x", "w": 100}]
+    )
+    t.write(df)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    before = spark.conf.get(key)
+    try:
+        for conf in ("true", "false"):
+            spark.conf.set(key, conf)
+            got = sorted(r.x for r in t.scan([("x", ">=", 950)]).collect())
+            assert got == [950, 999, 1000, 1050], (conf, got)
+            neg = sorted(r.x for r in t.scan([("x", "<", 0)]).collect())
+            assert neg == [-5], (conf, neg)
+    finally:
+        spark.conf.set(key, before)
+
+
 def test_spec_reloads_from_metadata(spark, sf_dir):
     _, t = _events_table(spark, sf_dir)
     reopened = HiddenPartitionTable(spark, t.root)  # no spec passed
