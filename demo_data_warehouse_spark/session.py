@@ -34,6 +34,14 @@ _RUNTIME_CONFS = {
     "spark.sql.caseSensitive": "false",
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # partition-column type inference and ANSI mode are the defaults the
+    # whole registry is verified under; a driver-owned session flipping
+    # either changes comparison/overflow semantics mid-plan (the
+    # inference-off case made a string-typed partition range compare
+    # lexicographically — hidden_partition now also types its own
+    # comparisons, but other partitioned reads deserve the same floor)
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "true",
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
