@@ -83,6 +83,20 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# DDW_ADVERSARIAL=1 creates the session with every semantics-changing
+# conf flipped AWAY from the verified defaults — the strongest model of
+# a driver-owned session. Queries must still pass the full oracle gate,
+# because each wrapper's tune() re-pins the floor before planning.
+_ADVERSARIAL_CONFS = {
+    "spark.sql.session.timeZone": "Asia/Ho_Chi_Minh",
+    "spark.sql.timestampType": "TIMESTAMP_NTZ",
+    "spark.sql.caseSensitive": "true",
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+}
+
+
 def get_spark(app_name: str = "ddw-spark", master: str | None = None) -> SparkSession:
     """Create (or get) a tuned local session. Tests and bench use this."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
@@ -94,6 +108,10 @@ def get_spark(app_name: str = "ddw-spark", master: str | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("DDW_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("DDW_ADVERSARIAL"):
+        for k, v in _ADVERSARIAL_CONFS.items():
+            b = b.config(k, v)
+        return b.getOrCreate()  # deliberately NOT tuned: wrappers must rescue
     for k, v in _RUNTIME_CONFS.items():
         b = b.config(k, v)
     return tune(b.getOrCreate())
