@@ -71,43 +71,28 @@ def _driver_recorded() -> set[str]:
 
 
 # Driver window-convergence priority (VERDICT r3 item 2): the window is a
-# fixed 50-query prefix; 213/313 registry queries have never been recorded.
-# Order the unrecorded bucket by the mandate-weighted module priority —
-# training (LLM-pipeline) first — instead of module load order.
+# fixed 50-query prefix; after round 6, 129/315 registry queries have never
+# been recorded. Order the unrecorded bucket by module priority so the r7
+# window lands exactly where VERDICT r6 item 1 points it: warehouse (27
+# maintenance/merge/time-travel/WAP queries — the operators a warehouse
+# lives on), then tpch_ext (the 14 still-unrecorded TPC-H shapes — the best
+# external-validity block), then the 4 never-recorded stream sources/sinks,
+# then timeseries. 27+14+4+5 fills the 50 slots; relational_ext's 71
+# remaining rows are rounds 8-9.
 
-# Names that must land in THIS round's window regardless of module rank:
-# the 9 r4 driver-red queries (7 dtype + 2 array-column, now fixed) plus
-# the 2 latent array-output queries the judge flagged (VERDICT r4 items
-# 1–2) — their ledger rows must flip to hash_match:true in r5.
-_RECORD_FIRST = [
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "sample_domain_quota",
-    "filter_quality_linear",
-    "ann_pq_codes",
-    "ann_ivf_pq",
-    "text_zipf_fit",
-    "embed_normalize",
-    "embed_quantize",
-    "fn_array_topk",
-    "embed_random_projection",
-    # newly-oracled multimodal rows (VERDICT r4 items 5-6): their ledger
-    # entries must flip from err:no_oracle to hash rows in r5
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_real_decode_png",
-    # tolerance-twin oracle added in r5 (was rows-only): flip its ledger row
-    "agg_sketch_rollup",
-]
+# Names that must land at the very front of THIS round's window regardless
+# of module rank (e.g. queries whose latest driver record went red and need
+# re-recording before new coverage). Empty for r7: all 16 round-6 targets
+# landed green, and no query regressed.
+_RECORD_FIRST: list[str] = []
 
 _MODULE_PRIORITY = [
-    "training",
-    "streams",
     "warehouse",
-    "timeseries",
     "tpch_ext",
+    "streams",
+    "timeseries",
     "relational_ext",
+    "training",
     "analytics_ext",
     "core",
     "quality",

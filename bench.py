@@ -7,7 +7,11 @@ value = total wall seconds across the TIER-1 headline queries (each
 executed to completion via a noop-sink action, results not retained) —
 the round-1 anchor definition, unchanged for cross-round continuity.
 `queries` carries per-query timings for BOTH tiers; `tier2_total` is
-the tier-2 wall total reported alongside.
+the tier-2 wall total reported alongside. The run self-certifies:
+pre/post calibration probes bracketing the timed passes must agree
+within CALIB_DIVERGENCE_MAX or the passes re-run (bounded), and the
+JSON line carries `certified`, `calib_divergence`, and the per-attempt
+divergence history in `attempts`.
 """
 
 from __future__ import annotations
@@ -85,29 +89,39 @@ def _calibrate(spark) -> dict:
     return {"numpy_s": round(best_np, 4), "spark_range_s": round(best_sp, 4)}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# A clean run's pre/post probes agree within host jitter; a steal storm
+# moves them 2x+ (measured 2026-08-15, both the r6 driver and judge runs).
+# Above this ratio the walls are condemned and the passes re-run.
+CALIB_DIVERGENCE_MAX = 1.5
+MAX_ATTEMPTS = 3
+
+
+def _quiet_window_warnings(spark) -> None:
+    """Silence WindowExec's 'No Partition Defined' warning for the bench
+    session only: the census/dim-bounded global windows that trigger it
+    are sanctioned (SURVEY §6; plan audit NO FLAGS), and 30 repeats per
+    run bury real warnings in the artifact tail (VERDICT r6 nit 3)."""
     try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = None
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend differs — cosmetic only, never fail the run
 
-    import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
-    spark = get_spark("ddw-bench")
-    # Calibrate BEFORE and AFTER the timed passes: the shared host's
-    # drift moves WITHIN a bench run (measured 2026-08-15: a steal storm
-    # hit mid-run, exploding tier-2 40x while the end-of-run calib had
-    # already recovered). Diverging pre/post probes mark the run
-    # contaminated; agreeing probes certify the walls.
-    calib_pre = _calibrate(spark)
-    # Warm-up pass: run every timed query once so the measured passes
-    # report engine steady state (plan compile, JIT, and OS page cache
-    # are one-time costs, not per-query costs on a long-lived cluster).
-    for name in HEADLINE + HEADLINE_T2:
-        _run(qs, name, spark, sf_dir)
+def _calib_divergence(pre: dict, post: dict) -> float:
+    """Worst pre/post ratio across the two probes (direction-agnostic)."""
+    worst = 1.0
+    for k in ("numpy_s", "spark_range_s"):
+        a, b = pre.get(k), post.get(k)
+        if a and b:
+            worst = max(worst, a / b, b / a)
+    return round(worst, 3)
 
+
+def _timed_passes(qs, spark, sf_dir) -> dict[str, float]:
     # min of N timed passes: wall-clock on a shared box is noisy; the
     # minimum is the reproducible steady-state engine time.
     timings: dict[str, float] = {}
@@ -119,6 +133,46 @@ def main() -> None:
                 _run(qs, name, spark, sf_dir)
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    spark = get_spark("ddw-bench")
+    _quiet_window_warnings(spark)
+    # Warm-up pass BEFORE the first calibration: plan compile, JIT, and
+    # OS page cache are one-time costs, not per-query costs on a
+    # long-lived cluster — and the pre-probe must measure the same
+    # steady state the post-probe does, or cold-start alone reads as
+    # divergence and condemns clean runs (ADVICE r6).
+    for name in HEADLINE + HEADLINE_T2:
+        _run(qs, name, spark, sf_dir)
+
+    # Calibrate BEFORE and AFTER the timed passes: the shared host's
+    # drift moves WITHIN a bench run (measured 2026-08-15: a steal storm
+    # hit mid-run, exploding tier-2 40x while the end-of-run calib had
+    # already recovered). Diverging probes condemn the walls — both r6
+    # recordings (driver and judge) failed this criterion and recorded
+    # anyway, so the run now retries itself (VERDICT r6 item 2): bounded
+    # re-runs until a pass whose pre/post probes agree, and an explicit
+    # certified flag so the artifact is self-describing either way.
+    attempts = []
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        calib_pre = _calibrate(spark)
+        timings = _timed_passes(qs, spark, sf_dir)
+        calib_post = _calibrate(spark)
+        divergence = _calib_divergence(calib_pre, calib_post)
+        attempts.append(divergence)
+        if divergence <= CALIB_DIVERGENCE_MAX:
+            break
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     t2_total = round(sum(timings[n] for n in HEADLINE_T2), 3)
@@ -132,7 +186,10 @@ def main() -> None:
                 "sf": sf,
                 "tier2_total": t2_total,
                 "calib_pre": calib_pre,
-                "calib": _calibrate(spark),
+                "calib": calib_post,
+                "calib_divergence": divergence,
+                "certified": divergence <= CALIB_DIVERGENCE_MAX,
+                "attempts": attempts,
             }
         )
     )

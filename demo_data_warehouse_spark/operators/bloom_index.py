@@ -34,6 +34,15 @@ K_HASHES = 7
 M_BITS = 1 << 15  # floor; build sizes the array up from measured file rows
 BITS_PER_KEY = 10  # m/n ≈ 10 with k=7 → ~1% false-positive rate
 _META_NAME = "_bloom_meta.json"  # "_"-prefixed: invisible to parquet scans
+# Hash-scheme version tag, recorded in the sidecar at build time and
+# REQUIRED by every probe. The bit positions an index stores are a pure
+# function of the scheme (v1: one md5 per seed; v2: Kirsch–Mitzenmacher
+# double hashing over two 60-bit md5 halves) — probing a v1 index with
+# v2 positions yields bloom FALSE NEGATIVES: silently dropped rows, a
+# violation of the module's no-false-negatives contract. A missing or
+# mismatched tag therefore raises, forcing a rebuild instead of a wrong
+# answer (ADVICE r6).
+HASH_SCHEME = "md5-km-v2"
 
 
 def _positions_from_halves(h1: str, h2: str, m_bits: int) -> str:
@@ -94,11 +103,32 @@ def _sized_m_bits(data_root: str) -> int:
 
 
 def _read_m_bits(index_root: str) -> int:
+    """Bit-array size from the sidecar, validating the hash-scheme tag.
+
+    Refuses to probe an index whose sidecar is missing or carries a
+    different (or no) scheme tag: the stored bit positions would not
+    match the positions this probe computes, and a mismatched probe
+    fails in the silent direction — false negatives (dropped rows),
+    not extra IO. Loud rebuild beats quiet wrong answers.
+    """
     meta = os.path.join(index_root, _META_NAME)
-    if os.path.exists(meta):
-        with open(meta) as fh:
-            return int(json.load(fh)["m_bits"])
-    return M_BITS  # pre-metadata indexes used the fixed floor
+    if not os.path.exists(meta):
+        raise ValueError(
+            f"bloom index at {index_root!r} has no {_META_NAME} sidecar: "
+            "it predates the metadata format and its bit positions are "
+            "not recoverable — rebuild it with build_bloom_index()."
+        )
+    with open(meta) as fh:
+        info = json.load(fh)
+    scheme = info.get("hash")
+    if scheme != HASH_SCHEME:
+        raise ValueError(
+            f"bloom index at {index_root!r} was built with hash scheme "
+            f"{scheme!r} but this probe computes {HASH_SCHEME!r} positions; "
+            "probing across schemes yields false negatives — rebuild it "
+            "with build_bloom_index()."
+        )
+    return int(info["m_bits"])
 
 
 def build_bloom_index(
@@ -128,7 +158,7 @@ def build_bloom_index(
     )
     idx.write.mode("overwrite").parquet(index_root)
     with open(os.path.join(index_root, _META_NAME), "w") as fh:
-        json.dump({"m_bits": m_bits, "k": K_HASHES}, fh)
+        json.dump({"m_bits": m_bits, "k": K_HASHES, "hash": HASH_SCHEME}, fh)
 
 
 def bloom_candidate_files(

@@ -97,6 +97,14 @@ _ADVERSARIAL_CONFS = {
 }
 
 
+def adversarial_enabled() -> bool:
+    """Strict parse of DDW_ADVERSARIAL: only an explicit affirmative
+    opts into the adversarial session. "0"/"false"/"no"/"" must NOT
+    silently flip a bench or gate run into the untuned,
+    semantics-flipped session (ADVICE r6)."""
+    return os.environ.get("DDW_ADVERSARIAL", "").strip().lower() in ("1", "true", "yes")
+
+
 def get_spark(app_name: str = "ddw-spark", master: str | None = None) -> SparkSession:
     """Create (or get) a tuned local session. Tests and bench use this."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
@@ -108,7 +116,7 @@ def get_spark(app_name: str = "ddw-spark", master: str | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("DDW_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    if os.environ.get("DDW_ADVERSARIAL"):
+    if adversarial_enabled():
         for k, v in _ADVERSARIAL_CONFS.items():
             b = b.config(k, v)
         return b.getOrCreate()  # deliberately NOT tuned: wrappers must rescue

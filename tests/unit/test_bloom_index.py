@@ -74,6 +74,49 @@ def test_absent_value_prunes_everything(spark):
         assert bloom_candidate_files(spark, idx, k) == []
 
 
+def test_scheme_tag_guards_probe(spark, tmp_path):
+    """A probe against an index whose sidecar is missing, untagged, or
+    tagged with a different hash scheme must raise (forcing a rebuild),
+    never silently compute mismatched positions — a cross-scheme probe
+    fails as false negatives, violating the no-false-negatives law."""
+    import json
+    import os
+
+    import pytest
+
+    from demo_data_warehouse_spark.operators.bloom_index import (
+        _META_NAME,
+        HASH_SCHEME,
+    )
+
+    data, idx = _table(spark)
+    meta_path = os.path.join(idx, _META_NAME)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert meta["hash"] == HASH_SCHEME  # build stamps the scheme
+
+    # legacy index: sidecar exists but predates the scheme tag
+    with open(meta_path, "w") as fh:
+        json.dump({k: v for k, v in meta.items() if k != "hash"}, fh)
+    with pytest.raises(ValueError, match="rebuild"):
+        bloom_candidate_files(spark, idx, 17)
+
+    # foreign scheme: built by a different hash version
+    with open(meta_path, "w") as fh:
+        json.dump({**meta, "hash": "md5-per-seed-v1"}, fh)
+    with pytest.raises(ValueError, match="md5-per-seed-v1"):
+        bloom_candidate_files(spark, idx, 17)
+
+    # pre-metadata index: no sidecar at all
+    os.remove(meta_path)
+    with pytest.raises(ValueError, match="sidecar"):
+        bloom_candidate_files(spark, idx, 17)
+
+    # restore so sibling tests sharing the scratch dir stay valid
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+
 def test_multi_probe_equals_single_probes(spark):
     from demo_data_warehouse_spark.operators.bloom_index import (
         bloom_candidate_files_multi,
