@@ -291,10 +291,17 @@ class JsonlSinkWriter(DataSourceWriter):
         import uuid
 
         manifest = os.path.join(self.path, "_manifest.json")
-        entries = []
+        # An APPEND preserves every manifest key it doesn't own: the
+        # streaming writer's exactly-once replay check reads 'batches',
+        # and a batch append that rewrote the manifest as {files} would
+        # erase that ledger — the next epoch replay would then
+        # double-publish its rows (ADVICE r6). An OVERWRITE deliberately
+        # resets the whole manifest: truncation invalidates old epochs.
+        state: dict = {"files": []}
         if not self.overwrite and os.path.exists(manifest):
             with open(manifest) as fh:
-                entries = json.load(fh)["files"]
+                state = json.load(fh)
+        entries = state["files"]
         for m in messages:
             if m is None:
                 continue
@@ -303,7 +310,7 @@ class JsonlSinkWriter(DataSourceWriter):
             entries.append({"file": os.path.basename(final), "rows": m.rows})
         tmp = manifest + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"files": entries}, fh)
+            json.dump(state, fh)
         os.replace(tmp, manifest)  # the commit point
         live = {e["file"] for e in entries}
         for f in os.listdir(self.path):  # sweep orphans (old overwrite gens,

@@ -23,6 +23,33 @@ def _dot(a, b):  # sequential fold in doubles — deterministic
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+# Upper bound on quantizer seeds/samples a build may collect to the
+# driver: 65,536 vectors × (≤4 KB per 1k-dim float vector) ≈ 256 MB of
+# closure — the practical ceiling before broadcast construction and plan
+# literals (centroids are baked into expressions) dominate planning. The
+# sqrt(n)-cell IVF sizing crosses this around n ≈ 4·10⁹ vectors per
+# table, so 100 TB corpora fit comfortably; a 10¹²-row corpus must cap
+# the cell count or move centroids into a broadcast-joined table instead
+# of plan literals. Same upper-bound-on-adversarial-input philosophy as
+# analytics_ext.frontier_survivor_guard: small inputs pass untouched,
+# and the degenerate case raises loudly instead of silently OOMing the
+# driver (VERDICT r6 item 4).
+SEED_COLLECT_MAX = 65_536
+
+
+def seed_collect_guard(k: int, what: str, limit: int = SEED_COLLECT_MAX) -> int:
+    """Loud ceiling on a driver-side seed/centroid collect. Returns k
+    unchanged when within bounds; raises before any rows move."""
+    if k > limit:
+        raise RuntimeError(
+            f"{what}: {k} seed vectors exceed the driver-collect bound "
+            f"{limit}; cap the cell count (n_cells) or restructure the "
+            "quantizer to keep centroids in a broadcast-joined table "
+            "rather than plan literals"
+        )
+    return k
+
+
 def dot_fixed(a, b, dim: int):
     """Dot product with a STATICALLY KNOWN dimension, unrolled into a
     left-associated sum of per-element products — value-identical to
@@ -332,6 +359,7 @@ def ivf_train_centroids(
     """
     import numpy as np
 
+    seed_collect_guard(sample_rows, "ivf_train_centroids sample")
     sample = [
         [float(x) for x in r[0]]
         for r in df.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed))).limit(sample_rows).collect()
@@ -703,6 +731,7 @@ def kmeans_fixed(
             f" + {shift}L)"
         ).alias("x"),
     )
+    seed_collect_guard(k, "kmeans_fixed seeds")
     seeds = (
         q.orderBy(F.md5(F.col("id").cast("string")), "id").limit(k).collect()
     )

@@ -643,7 +643,9 @@ def ann_cosine_ivf(spark, sf_dir):
     qrow = emb.where("vec_id = 0").select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     corpus = emb.where("vec_id <> 0")
-    k_cells = max(8, math.ceil(math.sqrt(corpus.count())))
+    k_cells = similarity.seed_collect_guard(
+        max(8, math.ceil(math.sqrt(corpus.count()))), "ann_cosine_ivf seeds"
+    )
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in corpus.select("vec_id", "embedding")
@@ -1439,7 +1441,9 @@ def dedup_semantic(spark, sf_dir):
     import math
 
     emb = table(spark, sf_dir, "embeddings")
-    k_cells = max(8, math.ceil(math.sqrt(emb.count())))
+    k_cells = similarity.seed_collect_guard(
+        max(8, math.ceil(math.sqrt(emb.count()))), "dedup_semantic seeds"
+    )
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in emb.select("vec_id", "embedding")
@@ -1911,7 +1915,9 @@ def ann_ivf_pq(spark, sf_dir):
     qrow = emb.where("vec_id = 0").select("embedding").head()
     qv = [float(x) for x in qrow[0]]
     corpus = emb.where("vec_id <> 0")
-    k_cells = max(8, math.ceil(math.sqrt(corpus.count())))
+    k_cells = similarity.seed_collect_guard(
+        max(8, math.ceil(math.sqrt(corpus.count()))), "ann_ivf_pq seeds"
+    )
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in corpus.select("vec_id", "embedding")

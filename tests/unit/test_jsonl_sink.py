@@ -85,6 +85,39 @@ def test_stream_commit_sweeps_crash_debris(spark, sink):
     assert got == {(1, "n1")}
 
 
+def test_batch_append_preserves_stream_epoch_ledger(spark, sink):
+    """Exactly-once for the stream sink rides on the manifest's
+    'batches' list; a batch-mode APPEND into the same path must carry
+    that ledger forward, or an epoch replay after the append would
+    double-publish its rows (ADVICE r6). Overwrite resets the manifest
+    by design — truncation invalidates old epochs."""
+    from demo_data_warehouse_spark.lark.pydatasource import (
+        JsonlStreamSinkWriter,
+        _JsonlCommit,
+    )
+
+    def _stage(name, payload):
+        staging = os.path.join(sink, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, name)
+        with open(staged, "w") as fh:
+            fh.write(payload)
+        return staged
+
+    w = JsonlStreamSinkWriter(sink)
+    w.commit([_JsonlCommit(_stage("e0.jsonl", '{"id": 1, "name": "n1"}\n'), 1)], batchId=0)
+    _write(_df(spark, 10, 12), sink, "append")  # batch append, same path
+    with open(os.path.join(sink, "_manifest.json")) as fh:
+        assert json.load(fh)["batches"] == [0]  # ledger survived the append
+    # epoch-0 replay after the batch append: still a no-op
+    w.commit([_JsonlCommit(_stage("e0r.jsonl", '{"id": 1, "name": "n1"}\n'), 1)], batchId=0)
+    got = sorted(r.id for r in read_jsonl_sink(spark, sink, SCHEMA).collect())
+    assert got == [1, 10, 11]  # no double-publish
+    _write(_df(spark, 100, 101), sink, "overwrite")
+    with open(os.path.join(sink, "_manifest.json")) as fh:
+        assert "batches" not in json.load(fh)  # overwrite resets the ledger
+
+
 def test_failed_write_is_invisible(spark, sink):
     _write(_df(spark, 0, 10), sink, "append")
     before = {(r.id, r.name) for r in read_jsonl_sink(spark, sink, SCHEMA).collect()}

@@ -337,3 +337,29 @@ def test_null_vectors_inert_in_lsh_ivf_and_cosine(spark, vecs):
         assert sims.where(F.col("id_a") == pid).collect()[0]["s"] is None
     # the filter semantics that motivated NULL-not-NaN:
     assert sims.where(F.col("s") > -2.0).where(F.col("id_a").isin(999, 998)).count() == 0
+
+
+def test_seed_collect_guard_bounds_driver_collects(spark, vecs):
+    """The quantizer seed collect has an explicit ceiling: within the
+    bound the guard is a passthrough; above it, every seed-collecting
+    build path raises BEFORE moving rows (sqrt(n) IVF sizing crosses the
+    bound around 4e9 vectors — a 1e12-row corpus must cap cells or
+    broadcast-join centroids, not OOM the driver)."""
+    import pytest
+
+    assert similarity.seed_collect_guard(8, "t") == 8
+    assert similarity.seed_collect_guard(similarity.SEED_COLLECT_MAX, "t") == (
+        similarity.SEED_COLLECT_MAX
+    )
+    with pytest.raises(RuntimeError, match="driver-collect bound"):
+        similarity.seed_collect_guard(similarity.SEED_COLLECT_MAX + 1, "t")
+
+    _, vdf = vecs
+    with pytest.raises(RuntimeError, match="kmeans_fixed seeds"):
+        similarity.kmeans_fixed(
+            vdf, "vec_id", "embedding", dim=16, k=similarity.SEED_COLLECT_MAX + 1
+        )
+    with pytest.raises(RuntimeError, match="ivf_train_centroids sample"):
+        similarity.ivf_train_centroids(
+            vdf, "embedding", n_cells=8, sample_rows=similarity.SEED_COLLECT_MAX + 1
+        )
