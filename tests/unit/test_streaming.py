@@ -240,3 +240,33 @@ def test_stateful_operator_ignores_all_null_ts_batch(spark, tmp_path):
     n_events, last_ts = final
     assert n_events == 2  # null-ts event still counted
     assert last_ts == dt.datetime(2024, 1, 1, 10, 5)  # not INT64_MIN garbage
+
+
+def test_transform_with_state_environment_ceiling():
+    """SURVEY §7.3.8: Spark 4's `transformWithStateInPandas` (timers/TTL
+    keyed state) is present in the API, but its state-server protocol
+    needs the `google.protobuf` Python package, which this sandbox lacks
+    (no pip) — the query dies with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. Custom stateful
+    streaming therefore ships on `applyInPandasWithState`
+    (queries/streams.py::stream_stateful), which covers the same
+    keyed-state semantics minus timers.
+
+    This test IS the documented skip: while protobuf is absent the
+    ceiling is real and the skip states the cause; the moment the
+    environment gains protobuf it fails loudly instead, so the gap
+    cannot silently outlive its justification (VERDICT r6 item 8)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "google.protobuf absent: transformWithStateInPandas cannot "
+            "initialize its state server in this environment (SURVEY "
+            "§7.3.8); keyed stateful streaming is covered via "
+            "applyInPandasWithState instead"
+        )
+    pytest.fail(
+        "google.protobuf is now importable — the documented environment "
+        "ceiling on transformWithStateInPandas no longer holds. Add real "
+        "coverage (timers/TTL state) and retire this sentinel."
+    )
