@@ -165,7 +165,7 @@ def main() -> None:
     # re-runs until a pass whose pre/post probes agree, and an explicit
     # certified flag so the artifact is self-describing either way.
     attempts = []
-    for attempt in range(1, MAX_ATTEMPTS + 1):
+    for _ in range(MAX_ATTEMPTS):
         calib_pre = _calibrate(spark)
         timings = _timed_passes(qs, spark, sf_dir)
         calib_post = _calibrate(spark)

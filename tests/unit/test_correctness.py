@@ -33,10 +33,17 @@ def test_oracle_match(spark, sf_dir, duck, name):
     assert not problems, problems
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_runs(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_registry_fully_oracle_backed():
+    """Since round 6 every registry query carries a DuckDB oracle —
+    zero rows-only entries (the weaker check) remain. Pin that: a new
+    query registered without an oracle silently downgrades the driver's
+    gate for that name, so it must be a deliberate, visible decision."""
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    assert rows_only == [], (
+        f"queries registered without an oracle: {rows_only} — add an "
+        "oracle_sql entry (or document why the semantics are not "
+        "SQL-expressible and re-add the rows-only smoke test here)"
+    )
 
 
 def test_dtype_strictness_catches_int_float_mismatch():
