@@ -7,11 +7,15 @@ value = total wall seconds across the TIER-1 headline queries (each
 executed to completion via a noop-sink action, results not retained) —
 the round-1 anchor definition, unchanged for cross-round continuity.
 `queries` carries per-query timings for BOTH tiers; `tier2_total` is
-the tier-2 wall total reported alongside. The run self-certifies:
-pre/post calibration probes bracketing the timed passes must agree
-within CALIB_DIVERGENCE_MAX or the passes re-run (bounded), and the
-JSON line carries `certified`, `calib_divergence`, and the per-attempt
-divergence history in `attempts`.
+the tier-2 wall total reported alongside. The run self-certifies on
+TWO signals: pre/post calibration probes bracketing the timed passes
+must agree within CALIB_DIVERGENCE_MAX (external drift), and no query's
+max/min spread across its own passes may exceed PASS_SPREAD_MAX (a
+storm entirely inside the timed window, which the bracketing probes
+can't see). A failing attempt re-runs (bounded); the JSON line carries
+`certified`, `calib_divergence`, `pass_spread_max`, and the per-attempt
+history in `attempts`, and reports the least-contaminated attempt when
+none certifies.
 """
 
 from __future__ import annotations
@@ -94,6 +98,15 @@ def _calibrate(spark) -> dict:
 # Above this ratio the walls are condemned and the passes re-run.
 CALIB_DIVERGENCE_MAX = 1.5
 MAX_ATTEMPTS = 3
+# Second, INTERNAL contamination signal: a storm that starts after the
+# pre-probe and subsides before the post-probe leaves the bracketing
+# pair agreeing around inflated walls (the r6 storm half-recovered by
+# run end). Such a storm cannot inflate every repetition of a query
+# equally, so the max/min spread across a query's timed passes betrays
+# it; a calm run's spread is scheduler jitter (~1.1-1.5x, occasionally
+# ~2x on a sub-second query from one GC pause). A false positive only
+# costs a bounded retry.
+PASS_SPREAD_MAX = 3.0
 
 
 def _quiet_window_warnings(spark) -> None:
@@ -121,19 +134,23 @@ def _calib_divergence(pre: dict, post: dict) -> float:
     return round(worst, 3)
 
 
-def _timed_passes(qs, spark, sf_dir) -> dict[str, float]:
+def _timed_passes(qs, spark, sf_dir) -> tuple[dict[str, float], float]:
     # min of N timed passes: wall-clock on a shared box is noisy; the
-    # minimum is the reproducible steady-state engine time.
+    # minimum is the reproducible steady-state engine time. The max/min
+    # spread across a query's passes is kept as the intra-window storm
+    # detector (see PASS_SPREAD_MAX).
     timings: dict[str, float] = {}
+    spread_max = 1.0
     for tier, passes in ((HEADLINE, 3), (HEADLINE_T2, 2)):
         for name in tier:
-            best = float("inf")
+            walls = []
             for _ in range(passes):
                 t0 = time.time()
                 _run(qs, name, spark, sf_dir)
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-    return timings
+                walls.append(time.time() - t0)
+            timings[name] = round(min(walls), 3)
+            spread_max = max(spread_max, max(walls) / max(min(walls), 1e-9))
+    return timings, round(spread_max, 3)
 
 
 def main() -> None:
@@ -165,14 +182,27 @@ def main() -> None:
     # re-runs until a pass whose pre/post probes agree, and an explicit
     # certified flag so the artifact is self-describing either way.
     attempts = []
+    best = None  # least-contaminated attempt so far: (score, payload)
     for _ in range(MAX_ATTEMPTS):
         calib_pre = _calibrate(spark)
-        timings = _timed_passes(qs, spark, sf_dir)
+        timings, spread = _timed_passes(qs, spark, sf_dir)
         calib_post = _calibrate(spark)
         divergence = _calib_divergence(calib_pre, calib_post)
-        attempts.append(divergence)
-        if divergence <= CALIB_DIVERGENCE_MAX:
+        attempts.append({"calib_divergence": divergence, "pass_spread": spread})
+        certified = (
+            divergence <= CALIB_DIVERGENCE_MAX and spread <= PASS_SPREAD_MAX
+        )
+        # When no attempt certifies, report the LEAST-divergent one —
+        # the stormiest attempt happening to run last must not overwrite
+        # the best evidence the run produced.
+        score = (max(divergence / CALIB_DIVERGENCE_MAX, spread / PASS_SPREAD_MAX),)
+        payload = (timings, calib_pre, calib_post, divergence, spread)
+        if best is None or score < best[0]:
+            best = (score, payload)
+        if certified:
             break
+    timings, calib_pre, calib_post, divergence, spread = best[1]
+    certified = divergence <= CALIB_DIVERGENCE_MAX and spread <= PASS_SPREAD_MAX
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     t2_total = round(sum(timings[n] for n in HEADLINE_T2), 3)
@@ -188,7 +218,8 @@ def main() -> None:
                 "calib_pre": calib_pre,
                 "calib": calib_post,
                 "calib_divergence": divergence,
-                "certified": divergence <= CALIB_DIVERGENCE_MAX,
+                "pass_spread_max": spread,
+                "certified": certified,
                 "attempts": attempts,
             }
         )

@@ -157,8 +157,16 @@ def build_bloom_index(
         .distinct()
     )
     idx.write.mode("overwrite").parquet(index_root)
-    with open(os.path.join(index_root, _META_NAME), "w") as fh:
+    # tmp + os.replace: the sidecar is REQUIRED by every probe, so a
+    # crash mid-write must leave either the old sidecar or the new one,
+    # never a truncated file that turns the designed rebuild-me error
+    # into a JSONDecodeError (same commit discipline as the jsonl-sink
+    # manifests).
+    meta_path = os.path.join(index_root, _META_NAME)
+    tmp_path = meta_path + ".tmp"
+    with open(tmp_path, "w") as fh:
         json.dump({"m_bits": m_bits, "k": K_HASHES, "hash": HASH_SCHEME}, fh)
+    os.replace(tmp_path, meta_path)
 
 
 def bloom_candidate_files(

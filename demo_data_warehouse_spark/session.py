@@ -98,11 +98,23 @@ _ADVERSARIAL_CONFS = {
 
 
 def adversarial_enabled() -> bool:
-    """Strict parse of DDW_ADVERSARIAL: only an explicit affirmative
-    opts into the adversarial session. "0"/"false"/"no"/"" must NOT
+    """Strict parse of DDW_ADVERSARIAL. "0"/"false"/"no"/unset must NOT
     silently flip a bench or gate run into the untuned,
-    semantics-flipped session (ADVICE r6)."""
-    return os.environ.get("DDW_ADVERSARIAL", "").strip().lower() in ("1", "true", "yes")
+    semantics-flipped session (ADVICE r6) — and an UNRECOGNIZED value
+    must raise rather than quietly opt out: someone exporting
+    DDW_ADVERSARIAL=on believes they are recording adversarial
+    evidence, and a silently tuned session would make that artifact
+    false confidence in the wrong direction."""
+    raw = os.environ.get("DDW_ADVERSARIAL", "").strip().lower()
+    if raw in ("1", "true", "yes"):
+        return True
+    if raw in ("", "0", "false", "no"):
+        return False
+    raise ValueError(
+        f"DDW_ADVERSARIAL={raw!r} is not a recognized boolean; use "
+        "1/true/yes to enable the adversarial session or 0/false/no/unset "
+        "to disable it"
+    )
 
 
 def get_spark(app_name: str = "ddw-spark", master: str | None = None) -> SparkSession:

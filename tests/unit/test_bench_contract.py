@@ -74,7 +74,7 @@ def test_contaminated_run_retries_and_reports(monkeypatch, capsys):
 
     def fake_timed(qs, spark, sf_dir):
         passes["n"] += 1
-        return {name: 0.1 for name in bench.HEADLINE + bench.HEADLINE_T2}
+        return {name: 0.1 for name in bench.HEADLINE + bench.HEADLINE_T2}, 1.0
 
     monkeypatch.setattr(bench, "_calibrate", lambda spark: next(probes))
     monkeypatch.setattr(bench, "_timed_passes", fake_timed)
@@ -99,7 +99,7 @@ def test_contaminated_run_retries_and_reports(monkeypatch, capsys):
 
     out = json.loads(capsys.readouterr().out.strip())
     assert passes["n"] == 2  # contaminated attempt re-ran exactly once
-    assert out["attempts"] == [2.4, 1.0]
+    assert [a["calib_divergence"] for a in out["attempts"]] == [2.4, 1.0]
     assert out["certified"] is True
     assert out["calib_divergence"] == 1.0
     assert out["value"] == round(0.1 * len(bench.HEADLINE), 3)
@@ -121,7 +121,10 @@ def test_stormy_host_exhausts_attempts_and_self_reports(monkeypatch, capsys):
     monkeypatch.setattr(
         bench,
         "_timed_passes",
-        lambda qs, spark, sf_dir: {n: 0.1 for n in bench.HEADLINE + bench.HEADLINE_T2},
+        lambda qs, spark, sf_dir: (
+            {n: 0.1 for n in bench.HEADLINE + bench.HEADLINE_T2},
+            1.0,
+        ),
     )
     monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: None)
     monkeypatch.setattr(bench, "_run", lambda qs, name, spark, sf_dir: None)
@@ -138,4 +141,80 @@ def test_stormy_host_exhausts_attempts_and_self_reports(monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["certified"] is False
     assert len(out["attempts"]) == bench.MAX_ATTEMPTS
-    assert all(a == 5.0 for a in out["attempts"])
+    assert all(a["calib_divergence"] == 5.0 for a in out["attempts"])
+
+
+def _fake_bench_harness(monkeypatch, calibs, timed_results):
+    """Wire main() to canned probe/timing sequences; returns the parsed
+    JSON via a closure-run."""
+    import itertools
+    import sys
+
+    probes = iter(calibs)
+    timed = iter(timed_results)
+    monkeypatch.setattr(bench, "_calibrate", lambda spark: next(probes))
+    monkeypatch.setattr(bench, "_timed_passes", lambda qs, spark, sf_dir: next(timed))
+    monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: None)
+    monkeypatch.setattr(bench, "_run", lambda qs, name, spark, sf_dir: None)
+
+    class _FakeEntry:
+        @staticmethod
+        def queries():
+            return {}
+
+    monkeypatch.setitem(sys.modules, "__spark_entry__", _FakeEntry)
+    monkeypatch.setattr(bench, "get_spark", lambda name: object())
+
+
+def test_intra_window_storm_condemns_despite_agreeing_probes(monkeypatch, capsys):
+    """A storm that starts after the pre-probe and subsides before the
+    post-probe leaves the bracketing pair agreeing around inflated
+    walls (the r6 half-recovered mode). The per-query pass spread is
+    the signal that catches it: spread above PASS_SPREAD_MAX retries,
+    and certifies only when a later attempt is calm on BOTH signals."""
+    import json
+
+    calm = {"numpy_s": 0.04, "spark_range_s": 0.1}
+    all_q = bench.HEADLINE + bench.HEADLINE_T2
+    stormy_walls = {n: 0.4 for n in all_q}
+    calm_walls = {n: 0.1 for n in all_q}
+    _fake_bench_harness(
+        monkeypatch,
+        calibs=[calm] * 4,
+        timed_results=[(stormy_walls, 8.0), (calm_walls, 1.2)],
+    )
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert [a["pass_spread"] for a in out["attempts"]] == [8.0, 1.2]
+    assert out["certified"] is True
+    assert out["pass_spread_max"] == 1.2
+    assert out["queries"] == calm_walls  # stormy walls discarded
+
+
+def test_uncertified_run_reports_least_divergent_attempt(monkeypatch, capsys):
+    """When no attempt certifies, the artifact must carry the LEAST
+    contaminated attempt's walls and probes — the stormiest attempt
+    happening to run last must not overwrite the best evidence."""
+    import json
+
+    def probe(x):
+        return {"numpy_s": x, "spark_range_s": 0.1}
+
+    all_q = bench.HEADLINE + bench.HEADLINE_T2
+    walls = [
+        ({n: 0.16 for n in all_q}, 1.0),  # divergence 1.6 — best
+        ({n: 0.50 for n in all_q}, 1.0),  # divergence 5.0
+        ({n: 0.17 for n in all_q}, 1.0),  # divergence 1.7
+    ]
+    calibs = [
+        probe(0.04), probe(0.064),  # 1.6x
+        probe(0.04), probe(0.2),    # 5.0x
+        probe(0.04), probe(0.068),  # 1.7x
+    ]
+    _fake_bench_harness(monkeypatch, calibs=calibs, timed_results=walls)
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["certified"] is False
+    assert out["calib_divergence"] == 1.6
+    assert out["queries"]["agg_group"] == 0.16  # attempt-1 walls kept
+    assert [a["calib_divergence"] for a in out["attempts"]] == [1.6, 5.0, 1.7]
