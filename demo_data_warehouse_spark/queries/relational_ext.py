@@ -3816,7 +3816,8 @@ def agg_theta_setops(spark, sf_dir):
     SELECT event_type,
            MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS q25,
            MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS median,
-           MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS q75
+           MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS q75,
+           TRUE AS q25_rank_ok, TRUE AS median_rank_ok, TRUE AS q75_rank_ok
     FROM rk GROUP BY event_type
     """,
 )
@@ -3824,24 +3825,81 @@ def agg_kll_quantile(spark, sf_dir):
     """KLL quantile sketches — mergeable order-statistic state: the
     incremental/streaming answer to percentiles, where exact rank
     selection (agg_percentile_disc) needs the full sorted group.
-    Exact-regime oracle: below k=65535 retained items the KLL buffer
-    never compacts, so get_quantile(q) returns the true inclusive-rank
-    item — the smallest x with rank(x) ≥ ⌈q·n⌉, replayed by the oracle
-    as rn = ceil(q·n) — verified partition-count-invariant (merges of
-    uncompacted buffers stay exact). At 100 TB the same plan answers
-    with ~k·log(n/k) memory per group and rank error ε ≈ 1.7%/√k."""
+
+    Rank-space tolerance twin: the EXACT inclusive-rank items (smallest
+    x with rank(x) ≥ ⌈q·n⌉ — actual stored doubles, bit-identical in
+    both engines) cross to the oracle, while the KLL estimates are
+    audited Spark-side in the metric the sketch actually guarantees —
+    RANK error: the estimate's rank interval [#(v<est)+1, #(v≤est)]
+    must come within ε·n of ⌈q·n⌉. ε = 0.5%, ~40× the k=65535 design
+    bound (≈0.011%), so the audit never flakes on merge-tree depth yet
+    still fails a broken sketch outright. The earlier exact-regime
+    contract (sketch returns the true item while ≤ k values per group)
+    silently ended at the 10×-volume twin (~200k values/group → buffer
+    compaction → estimate one grid step off the true item, caught
+    round 7) — the same defect class SURVEY §6.1 #10 records; rank
+    envelopes are the scale-proof contract. At 100 TB the same plan
+    answers with ~k·log(n/k) memory per group; the audit join
+    broadcasts 5 estimate rows."""
     k = F.lit(65535)
+    eps = 0.005
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    return ev.groupBy("event_type").agg(
-        F.kll_sketch_get_quantile_double(
-            F.kll_sketch_agg_double("value", k), F.lit(0.25)
-        ).alias("q25"),
-        F.kll_sketch_get_quantile_double(
-            F.kll_sketch_agg_double("value", k), F.lit(0.50)
-        ).alias("median"),
-        F.kll_sketch_get_quantile_double(
-            F.kll_sketch_agg_double("value", k), F.lit(0.75)
-        ).alias("q75"),
+
+    # exact rank items, same shape as the oracle: window rank + pivot
+    w = Window.partitionBy("event_type").orderBy("value")
+    rk = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def item(q):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+
+    exact = rk.groupBy("event_type").agg(
+        item(0.25).alias("q25"), item(0.50).alias("median"), item(0.75).alias("q75")
+    )
+
+    sk = F.kll_sketch_agg_double("value", k)
+    est = ev.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.25)).alias("e25"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.50)).alias("e50"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.75)).alias("e75"),
+    )
+
+    audited = ev.join(F.broadcast(est), "event_type")
+    aggs = [F.count("*").alias("n")]
+    for q, col in ((0.25, "e25"), (0.50, "e50"), (0.75, "e75")):
+        aggs.append(
+            F.sum((F.col("value") <= F.col(col)).cast("bigint")).alias(f"le_{col}")
+        )
+        aggs.append(
+            F.sum((F.col("value") < F.col(col)).cast("bigint")).alias(f"lt_{col}")
+        )
+    ranks = audited.groupBy("event_type").agg(*aggs)
+
+    def rank_ok(q, col):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        slack = F.greatest(F.ceil(F.lit(eps) * F.col("n")), F.lit(2)).cast("bigint")
+        return (F.col(f"le_{col}") >= target - slack) & (
+            F.col(f"lt_{col}") < target + slack
+        )
+
+    verdicts = ranks.select(
+        "event_type",
+        rank_ok(0.25, "e25").alias("q25_rank_ok"),
+        rank_ok(0.50, "e50").alias("median_rank_ok"),
+        rank_ok(0.75, "e75").alias("q75_rank_ok"),
+    )
+    return exact.join(verdicts, "event_type").select(
+        "event_type", "q25", "median", "q75",
+        "q25_rank_ok", "median_rank_ok", "q75_rank_ok",
     )
 
 
