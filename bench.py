@@ -109,28 +109,67 @@ MAX_ATTEMPTS = 3
 PASS_SPREAD_MAX = 3.0
 
 
-def _quiet_window_warnings(spark) -> None:
+_WINDOW_LOGGER = "org.apache.spark.sql.execution.window"
+
+
+def _quiet_window_warnings(spark):
     """Silence WindowExec's 'No Partition Defined' warning for the bench
-    session only: the census/dim-bounded global windows that trigger it
+    passes only: the census/dim-bounded global windows that trigger it
     are sanctioned (SURVEY §6; plan audit NO FLAGS), and 30 repeats per
-    run bury real warnings in the artifact tail (VERDICT r6 nit 3)."""
+    run bury real warnings in the artifact tail (VERDICT r6 nit 3).
+
+    Returns a zero-arg restore callable: log4j levels are JVM-global,
+    so without a restore anything sharing the long-lived JVM after
+    main() also loses the warnings (ADVICE r7). The restore re-applies
+    the logger's pre-bench level (None = inherit from parent config)."""
     try:
         jvm = spark._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window",
-            jvm.org.apache.logging.log4j.Level.ERROR,
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        prior = ctx.getConfiguration().getLoggerConfig(_WINDOW_LOGGER)
+        # the prior explicit level only if a config for THIS logger name
+        # exists; otherwise the logger inherited, and restore = remove
+        # our override by resetting to the inherited effective level.
+        prior_level = (
+            prior.getLevel() if prior.getName() == _WINDOW_LOGGER else None
         )
+        inherited_level = prior.getLevel()
+        configurator.setLevel(
+            _WINDOW_LOGGER, jvm.org.apache.logging.log4j.Level.ERROR
+        )
+
+        def restore():
+            try:
+                configurator.setLevel(
+                    _WINDOW_LOGGER,
+                    prior_level if prior_level is not None else inherited_level,
+                )
+            except Exception:
+                pass
+
+        return restore
     except Exception:
-        pass  # logging backend differs — cosmetic only, never fail the run
+        return lambda: None  # logging backend differs — cosmetic only
 
 
 def _calib_divergence(pre: dict, post: dict) -> float:
-    """Worst pre/post ratio across the two probes (direction-agnostic)."""
+    """Worst pre/post ratio across the two probes (direction-agnostic).
+
+    A probe missing from either side, or one that rounds to ~0, is a
+    BROKEN probe, not a calm one — returning inf condemns the attempt
+    instead of silently weakening the certification (ADVICE r7: the old
+    `if a and b` guard excluded exactly the readings that should flag).
+    """
     worst = 1.0
+    eps = 1e-6
     for k in ("numpy_s", "spark_range_s"):
         a, b = pre.get(k), post.get(k)
-        if a and b:
-            worst = max(worst, a / b, b / a)
+        if a is None or b is None:
+            # large finite (not inf: json.dumps would emit non-standard
+            # `Infinity` into the artifact) — always fails certification
+            return 999.0
+        a, b = max(a, eps), max(b, eps)
+        worst = max(worst, a / b, b / a)
     return round(worst, 3)
 
 
@@ -164,7 +203,7 @@ def main() -> None:
 
     qs = entry_mod.queries()
     spark = get_spark("ddw-bench")
-    _quiet_window_warnings(spark)
+    restore_window_log = _quiet_window_warnings(spark)
     # Warm-up pass BEFORE the first calibration: plan compile, JIT, and
     # OS page cache are one-time costs, not per-query costs on a
     # long-lived cluster — and the pre-probe must measure the same
@@ -203,6 +242,7 @@ def main() -> None:
             break
     timings, calib_pre, calib_post, divergence, spread = best[1]
     certified = divergence <= CALIB_DIVERGENCE_MAX and spread <= PASS_SPREAD_MAX
+    restore_window_log()  # JVM-global level: un-suppress after the passes
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     t2_total = round(sum(timings[n] for n in HEADLINE_T2), 3)

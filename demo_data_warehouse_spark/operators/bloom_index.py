@@ -106,10 +106,17 @@ def _read_m_bits(index_root: str) -> int:
     """Bit-array size from the sidecar, validating the hash-scheme tag.
 
     Refuses to probe an index whose sidecar is missing or carries a
-    different (or no) scheme tag: the stored bit positions would not
+    GENUINELY different scheme tag: the stored bit positions would not
     match the positions this probe computes, and a mismatched probe
     fails in the silent direction — false negatives (dropped rows),
     not extra IO. Loud rebuild beats quiet wrong answers.
+
+    A sidecar that carries m_bits but no 'hash' key is implicitly v2:
+    every sidecar ever written with m_bits predates only the TAG, not
+    the hashing — the Kirsch–Mitzenmacher position code is unchanged
+    across that range, so its positions ARE this probe's positions and
+    forcing a rebuild would be pure waste (ADVICE r7). The hard error
+    is reserved for an explicit, different scheme value.
     """
     meta = os.path.join(index_root, _META_NAME)
     if not os.path.exists(meta):
@@ -120,7 +127,7 @@ def _read_m_bits(index_root: str) -> int:
         )
     with open(meta) as fh:
         info = json.load(fh)
-    scheme = info.get("hash")
+    scheme = info.get("hash", HASH_SCHEME if "m_bits" in info else None)
     if scheme != HASH_SCHEME:
         raise ValueError(
             f"bloom index at {index_root!r} was built with hash scheme "

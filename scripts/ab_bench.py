@@ -13,8 +13,10 @@ variant. This encodes the round-5 discipline as a script:
 Each rep spawns ONE subprocess per variant (fresh JVM: no cross-variant
 cache pollution), which runs every query once for warm-up then takes
 min-of-N timed noop-sink passes. Rep start order alternates OLD/NEW
-first so a monotone host drift cancels in the medians. Output: one JSON
-line per subprocess on stderr-free stdout, and a final median table.
+first; with an EVEN rep count (the default) both orderings occur
+equally often, so a monotone host drift cancels in the medians — odd
+counts leave a residual order bias. Output: one JSON line per
+subprocess on stderr-free stdout, and a final median table.
 """
 
 from __future__ import annotations
@@ -74,7 +76,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--old", required=True, help="worktree of the old commit")
     ap.add_argument("--queries", nargs="+", required=True)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=4,
+        help="interleaved reps; EVEN counts balance old-first/new-first "
+        "orderings so a monotone host drift cancels in the medians — an "
+        "odd count leaves a residual order bias (ADVICE r7)",
+    )
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

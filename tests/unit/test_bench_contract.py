@@ -44,8 +44,21 @@ def test_calib_divergence_direction_agnostic():
     # worst probe wins: one calm probe cannot certify a stormy run
     mixed = {"numpy_s": 0.04, "spark_range_s": 0.30}
     assert bench._calib_divergence(pre, mixed) == 3.0
-    # a missing probe never divides by zero or condemns
-    assert bench._calib_divergence({"numpy_s": 0.04}, {"spark_range_s": 0.1}) == 1.0
+    # a missing probe is a BROKEN probe: it condemns (ADVICE r7 — the
+    # old `if a and b` guard silently excluded it, quietly weakening
+    # certification), and the sentinel stays finite for strict JSON
+    missing = bench._calib_divergence({"numpy_s": 0.04}, {"spark_range_s": 0.1})
+    assert missing > bench.CALIB_DIVERGENCE_MAX
+    import math
+
+    assert math.isfinite(missing)
+    # a probe that rounds to 0.0 is clamped, not excluded: the huge
+    # ratio against the other side condemns rather than certifies
+    zeroed = bench._calib_divergence(
+        {"numpy_s": 0.0, "spark_range_s": 0.1},
+        {"numpy_s": 0.04, "spark_range_s": 0.1},
+    )
+    assert zeroed > bench.CALIB_DIVERGENCE_MAX and math.isfinite(zeroed)
 
 
 def test_r6_failure_modes_condemned():
@@ -78,7 +91,7 @@ def test_contaminated_run_retries_and_reports(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "_calibrate", lambda spark: next(probes))
     monkeypatch.setattr(bench, "_timed_passes", fake_timed)
-    monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: None)
+    monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: (lambda: None))
     monkeypatch.setattr(bench, "_run", lambda qs, name, spark, sf_dir: None)
 
     class _FakeEntry:
@@ -126,7 +139,7 @@ def test_stormy_host_exhausts_attempts_and_self_reports(monkeypatch, capsys):
             1.0,
         ),
     )
-    monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: None)
+    monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: (lambda: None))
     monkeypatch.setattr(bench, "_run", lambda qs, name, spark, sf_dir: None)
 
     class _FakeEntry:
@@ -154,7 +167,7 @@ def _fake_bench_harness(monkeypatch, calibs, timed_results):
     timed = iter(timed_results)
     monkeypatch.setattr(bench, "_calibrate", lambda spark: next(probes))
     monkeypatch.setattr(bench, "_timed_passes", lambda qs, spark, sf_dir: next(timed))
-    monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: None)
+    monkeypatch.setattr(bench, "_quiet_window_warnings", lambda spark: (lambda: None))
     monkeypatch.setattr(bench, "_run", lambda qs, name, spark, sf_dir: None)
 
     class _FakeEntry:
@@ -218,3 +231,23 @@ def test_uncertified_run_reports_least_divergent_attempt(monkeypatch, capsys):
     assert out["calib_divergence"] == 1.6
     assert out["queries"]["agg_group"] == 0.16  # attempt-1 walls kept
     assert [a["calib_divergence"] for a in out["attempts"]] == [1.6, 5.0, 1.7]
+
+
+def test_quiet_window_warnings_restores_jvm_level(spark):
+    """The WindowExec log suppression is JVM-global; the returned
+    restore callable must put the logger's effective level back so
+    code sharing the long-lived JVM after bench.main() keeps its
+    warnings (ADVICE r7)."""
+    jvm = spark._jvm
+    ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+
+    def effective_level():
+        return str(
+            ctx.getConfiguration().getLoggerConfig(bench._WINDOW_LOGGER).getLevel()
+        )
+
+    before = effective_level()
+    restore = bench._quiet_window_warnings(spark)
+    assert effective_level() == "ERROR"
+    restore()
+    assert effective_level() == before

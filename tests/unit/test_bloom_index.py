@@ -75,10 +75,16 @@ def test_absent_value_prunes_everything(spark):
 
 
 def test_scheme_tag_guards_probe(spark, tmp_path):
-    """A probe against an index whose sidecar is missing, untagged, or
-    tagged with a different hash scheme must raise (forcing a rebuild),
+    """A probe against an index whose sidecar is missing or tagged with
+    a genuinely DIFFERENT hash scheme must raise (forcing a rebuild),
     never silently compute mismatched positions — a cross-scheme probe
-    fails as false negatives, violating the no-false-negatives law."""
+    fails as false negatives, violating the no-false-negatives law.
+    An UNTAGGED sidecar that still carries m_bits is implicitly v2
+    (the position code is unchanged over the tag-less range; ADVICE
+    r7), so it probes identically to a tagged one — no forced rebuild.
+    All sidecar mutations restore under try/finally so a mid-test
+    assertion failure can't cascade into siblings sharing the scratch
+    index (ADVICE r7)."""
     import json
     import os
 
@@ -94,27 +100,30 @@ def test_scheme_tag_guards_probe(spark, tmp_path):
     with open(meta_path) as fh:
         meta = json.load(fh)
     assert meta["hash"] == HASH_SCHEME  # build stamps the scheme
+    tagged_files = bloom_candidate_files(spark, idx, 17)
 
-    # legacy index: sidecar exists but predates the scheme tag
-    with open(meta_path, "w") as fh:
-        json.dump({k: v for k, v in meta.items() if k != "hash"}, fh)
-    with pytest.raises(ValueError, match="rebuild"):
-        bloom_candidate_files(spark, idx, 17)
+    try:
+        # legacy index: sidecar predates the scheme tag but has m_bits —
+        # implicitly v2, probes identically (no spurious rebuild)
+        with open(meta_path, "w") as fh:
+            json.dump({k: v for k, v in meta.items() if k != "hash"}, fh)
+        assert bloom_candidate_files(spark, idx, 17) == tagged_files
 
-    # foreign scheme: built by a different hash version
-    with open(meta_path, "w") as fh:
-        json.dump({**meta, "hash": "md5-per-seed-v1"}, fh)
-    with pytest.raises(ValueError, match="md5-per-seed-v1"):
-        bloom_candidate_files(spark, idx, 17)
+        # foreign scheme: built by a different hash version
+        with open(meta_path, "w") as fh:
+            json.dump({**meta, "hash": "md5-per-seed-v1"}, fh)
+        with pytest.raises(ValueError, match="md5-per-seed-v1"):
+            bloom_candidate_files(spark, idx, 17)
 
-    # pre-metadata index: no sidecar at all
-    os.remove(meta_path)
-    with pytest.raises(ValueError, match="sidecar"):
-        bloom_candidate_files(spark, idx, 17)
-
-    # restore so sibling tests sharing the scratch dir stay valid
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh)
+        # pre-metadata index: no sidecar at all
+        os.remove(meta_path)
+        with pytest.raises(ValueError, match="sidecar"):
+            bloom_candidate_files(spark, idx, 17)
+    finally:
+        # unconditional restore so sibling tests sharing the scratch
+        # dir stay valid even if an assertion above fails
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
 
 
 def test_multi_probe_equals_single_probes(spark):
