@@ -632,9 +632,15 @@ def agg_approx_distinct(spark, sf_dir):
     comparison), so the driver hash-verifies both the exact values and
     that the HLL estimate landed inside its bound. The exact twin is the
     verification harness; production code would ship the approx column
-    alone."""
+    alone.
+
+    Envelope sized from the sketch's OWN accuracy (the defect-class-#10
+    lesson, SURVEY §6.1 margin table): rsd=0.01 makes the ±5% bound a
+    5σ event per group (3 groups/run ⇒ expected excursions ~2e-6) —
+    the original rsd=0.02 left it at 2.5σ, the exact wishful ratio
+    that failed agg_sketch_rollup 5/31 days at 10× (defect #9)."""
     exact = F.count_distinct("o_custkey")
-    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    approx = F.approx_count_distinct("o_custkey", rsd=0.01)
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")

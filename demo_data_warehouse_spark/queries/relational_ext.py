@@ -3781,8 +3781,13 @@ def agg_theta_setops(spark, sf_dir):
     (well inside theta's error, but the oracle pins exact); lgK=20
     holds the exact regime through the 100× twin's 150k users. The
     union gadget takes the same lgK — ITS default would downsample
-    exact inputs. At 100 TB the same plan runs in estimation mode with
-    fixed memory — which is the point."""
+    exact inputs. Margin at the 100× twin: 150k users vs the 2²⁰
+    boundary = 7.0× (SURVEY §6.1 margin table) — the tightest
+    volume-coupled exact regime in the registry; past ~1M distinct
+    users per side the oracle contract must hand off to a σ-derived
+    envelope (theta rse ≈ 1/√(k−1) ≈ 0.1% at lgK=20), exactly the
+    agg_sketch_rollup treatment. At 100 TB the same plan runs in
+    estimation mode with fixed memory — which is the point."""
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = ev.agg(
         F.theta_sketch_agg(
