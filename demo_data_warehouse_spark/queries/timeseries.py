@@ -659,10 +659,15 @@ def join_asof_tolerance(spark, sf_dir):
     ), f AS (
       SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1
     )
-    SELECT f.event_id, f.user_id, f.ts, v.dim_valid_from, v.dim_cents
-    FROM f LEFT JOIN ver v
+    SELECT f.event_id, f.user_id, f.ts,
+           CASE WHEN v.dim_valid_from <= f.ts
+                     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+                THEN v.dim_valid_from END AS dim_valid_from,
+           CASE WHEN v.dim_valid_from <= f.ts
+                     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+                THEN v.dim_cents END AS dim_cents
+    FROM f ASOF LEFT JOIN ver v
       ON f.user_id = v.user_id AND v.dim_valid_from <= f.ts
-         AND (v.valid_to IS NULL OR f.ts < v.valid_to)
     """,
 )
 def join_point_in_time(spark, sf_dir):
@@ -675,10 +680,18 @@ def join_point_in_time(spark, sf_dir):
     cents NULL) is distinct from "no version yet" (both NULL). Because
     versions chain contiguously, the interval match IS the newest-prior
     match — so the plan is operators/joins.py::asof_join (union + one
-    keyed window, single shuffle), never a range-join blowup; the
-    oracle proves the equivalence by joining on the explicit BETWEEN
-    intervals. Same-(user, ts) version collisions dedup to the highest
-    event_id — exactly the row whose interval is non-empty."""
+    keyed window, single shuffle), never a range-join blowup. The
+    oracle matches via DuckDB's own ASOF JOIN machinery (an independent
+    implementation — sorted merge, not a union+window) and then RE-
+    CHECKS the explicit interval contract in the projection (the CASE
+    nulls out any match whose [valid_from, valid_to) does not contain
+    ts — provably a no-op on contiguous chains, so a violation surfaces
+    as a hash mismatch). The oracle's previous plain interval LEFT JOIN
+    stated the same contract but drew a quadratic DuckDB plan at the
+    100× twin (30+ min vs 3 s; the two forms EXCEPT-ALL-verified
+    bit-identical both ways at sf0.01, round 8). Same-(user, ts)
+    version collisions dedup to the highest event_id — exactly the row
+    whose interval is non-empty."""
     from pyspark.sql import Window
 
     from ..operators.joins import asof_join
