@@ -71,18 +71,19 @@ def _driver_recorded() -> set[str]:
 
 
 # Driver window-convergence priority (VERDICT r3 item 2): the window is a
-# fixed 50-query prefix; after round 6, 129/315 registry queries have never
-# been recorded. Order the unrecorded bucket by module priority so the r7
-# window lands exactly where VERDICT r6 item 1 points it: warehouse (27
-# maintenance/merge/time-travel/WAP queries — the operators a warehouse
-# lives on), then tpch_ext (the 14 still-unrecorded TPC-H shapes — the best
-# external-validity block), then the 4 never-recorded stream sources/sinks,
-# then timeseries. 27+14+4+5 fills the 50 slots; relational_ext's 71
-# remaining rows are rounds 8-9.
+# fixed 50-query prefix; after round 7, 79/315 registry queries have never
+# been recorded (relational_ext 71 + timeseries 8) — VERDICT r7 item 1.
+# The module ranking makes the r8 window the 8 timeseries rows (including
+# join_point_in_time, whose oracle was rewritten as an ASOF JOIN this
+# round — recording it now puts a driver check on the new oracle one round
+# earlier) followed by relational_ext's first 42; the remaining 29
+# relational_ext rows are round 9's window, completing 315/315
+# driver-recorded coverage. The full r8 window was pre-verified at sf0.01
+# and at 100x volume (GATE100X_WIN_r08.txt) before the driver ran it.
 
 # Names that must land at the very front of THIS round's window regardless
 # of module rank (e.g. queries whose latest driver record went red and need
-# re-recording before new coverage). Empty for r7: all 16 round-6 targets
+# re-recording before new coverage). Empty for r8: all 50 round-7 targets
 # landed green, and no query regressed.
 _RECORD_FIRST: list[str] = []
 
