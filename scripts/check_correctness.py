@@ -137,26 +137,49 @@ def digest_compare(sdf_lazy, con, oracle: str) -> list[str]:
     in exact decimal — commutative, so no ordering is materialized and
     nothing leaves the engine but (count, digest). This is also how a
     100 TB pipeline actually verifies parity: in-engine checksums,
-    never a driver collect. Restricted to int/string/bool/date columns
-    — float formatting is not portable across engines."""
+    never a driver collect. Restricted to int/string/bool/date/timestamp
+    columns — float formatting is not portable across engines, but
+    timestamps ARE portable once canonicalized to epoch microseconds
+    (Spark `unix_micros` and DuckDB `epoch_us` both read the stored
+    UTC instant as an exact BIGINT, independent of session timezone
+    and text formatting). TIMESTAMP_NTZ stays refused: its wall-clock
+    reinterpretation under a shifted session TZ is exactly the
+    ambiguity the full collect-compare path exists to canonicalize."""
     from pyspark.sql import functions as F
 
     cols = sorted(sdf_lazy.columns)
     kinds = dict(sdf_lazy.dtypes)
     ok_types = ("int", "bigint", "smallint", "tinyint", "string", "boolean", "date")
-    bad = [c for c in cols if kinds[c] not in ok_types]
+    bad = [c for c in cols if kinds[c] not in ok_types + ("timestamp",)]
     if bad:
-        return [f"digest mode needs int/string/bool/date columns; not portable: {bad}"]
-    s_parts = [F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+        return [
+            "digest mode needs int/string/bool/date/timestamp columns; "
+            f"not portable: {bad}"
+        ]
+
+    def s_col(c):
+        base = (
+            F.unix_micros(F.col(c)) if kinds[c] == "timestamp" else F.col(c)
+        )
+        return F.coalesce(base.cast("string"), F.lit("NULL"))
+
+    s_parts = [s_col(c) for c in cols]
     srow = F.concat_ws("\x1f", *s_parts)
     h = F.conv(F.substring(F.md5(srow.cast("binary")), 1, 15), 16, 10).cast("long")
     sres = sdf_lazy.select(
         F.count("*").alias("n"),
         F.sum(h.cast("decimal(38,0)")).alias("digest"),
     ).collect()[0]
-    o_parts = ", ".join(
-        f"COALESCE(CAST({c} AS VARCHAR), 'NULL')" for c in cols
-    )
+
+    def o_col(c):
+        expr = (
+            f"epoch_us(CAST({c} AS TIMESTAMP))"
+            if kinds[c] == "timestamp"
+            else c
+        )
+        return f"COALESCE(CAST({expr} AS VARCHAR), 'NULL')"
+
+    o_parts = ", ".join(o_col(c) for c in cols)
     ores = con.execute(
         f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
         f"CAST(SUM(CAST(concat('0x', substr(md5(concat_ws(chr(31), {o_parts})), 1, 15)) "

@@ -142,3 +142,31 @@ def test_digest_compare_controls(spark, sf_dir, duck):
     assert value_doctored and "digest differs" in value_doctored[0]
     floaty = q(spark, sf_dir).withColumn("f", F.lit(0.5))
     assert "not portable" in cc.digest_compare(floaty, duck, oracle)[0]
+
+
+def test_digest_compare_timestamp_controls(spark, sf_dir, duck):
+    """Round-8 extension: timestamp columns digest portably via epoch
+    microseconds (Spark unix_micros vs DuckDB epoch_us — both read the
+    stored UTC instant, independent of session TZ and text formatting).
+    Green on the true oracle; red on a 1-second shift that preserves
+    the row count; TIMESTAMP_NTZ stays refused (its wall-clock meaning
+    under a shifted session TZ is what full collect-compare exists to
+    canonicalize)."""
+    from pyspark.sql import functions as F
+
+    from scripts import check_correctness as cc
+
+    q = QUERIES["scan_orc_roundtrip"]
+    oracle = ORACLES["scan_orc_roundtrip"]
+    df = q(spark, sf_dir)
+    assert dict(df.dtypes)["l_shipdate"] == "timestamp"  # the case under test
+    assert cc.digest_compare(df, duck, oracle) == []
+    shifted = cc.digest_compare(
+        df, duck,
+        "SELECT l_orderkey, l_linenumber, l_returnflag, price_cents, "
+        "l_shipdate + INTERVAL 1 SECOND AS l_shipdate "
+        f"FROM ({oracle})",
+    )
+    assert shifted and "digest differs" in shifted[0]
+    ntz = df.withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+    assert "not portable" in cc.digest_compare(ntz, duck, oracle)[0]
