@@ -27,6 +27,13 @@ from demo_data_warehouse_spark.session import get_spark  # noqa: E402
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Pin the oracle session to UTC so a TIMESTAMPTZ-producing oracle (or
+    # tz-typed parquet) reads instants identically on any host: digest
+    # mode's epoch_us(CAST(c AS TIMESTAMP)) localizes TIMESTAMPTZ through
+    # the session zone (probed: 7h shift under Asia/Ho_Chi_Minh without
+    # the pin), and fetchdf() tz-aware frames canonicalize through the
+    # same zone. Spark-side reads are already UTC-pinned by tune().
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
@@ -149,11 +156,14 @@ def digest_compare(sdf_lazy, con, oracle: str) -> list[str]:
 
     cols = sorted(sdf_lazy.columns)
     kinds = dict(sdf_lazy.dtypes)
-    ok_types = ("int", "bigint", "smallint", "tinyint", "string", "boolean", "date")
-    bad = [c for c in cols if kinds[c] not in ok_types + ("timestamp",)]
+    ok_types = (
+        "int", "bigint", "smallint", "tinyint", "string", "boolean", "date",
+        "timestamp",
+    )
+    bad = [c for c in cols if kinds[c] not in ok_types]
     if bad:
         return [
-            "digest mode needs int/string/bool/date/timestamp columns; "
+            f"digest mode needs {'/'.join(ok_types)} columns; "
             f"not portable: {bad}"
         ]
 

@@ -11,7 +11,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from demo_data_warehouse_spark.catalog import TABLES
-from scripts.check_correctness import compare
+from scripts.check_correctness import compare, duck_con
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
@@ -19,10 +19,9 @@ ORACLES = entry_mod.oracle_sql()
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
+    # the gate's own UTC-pinned connection factory — one source of truth
+    # for oracle-session setup (TimeZone pin + table views)
+    return duck_con(sf_dir)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -170,3 +169,33 @@ def test_digest_compare_timestamp_controls(spark, sf_dir, duck):
     assert shifted and "digest differs" in shifted[0]
     ntz = df.withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
     assert "not portable" in cc.digest_compare(ntz, duck, oracle)[0]
+
+
+def test_digest_timestamptz_oracle_needs_utc_pin(spark, sf_dir, duck):
+    """Round-9 hardening (ADVICE r8): digest mode's oracle side reads
+    timestamps via epoch_us(CAST(c AS TIMESTAMP)); on a TIMESTAMPTZ
+    column that CAST localizes through DuckDB's session zone, so
+    duck_con() pins TimeZone='UTC'. Positive control: a TIMESTAMPTZ-
+    producing oracle (AT TIME ZONE 'UTC' fixes the instant independent
+    of session zone) digest-matches on the pinned connection. Negative
+    control: the same oracle on an UNpinned Asia/Ho_Chi_Minh session
+    digest-FAILs — proving the pin is load-bearing, not ritual."""
+    from scripts import check_correctness as cc
+
+    q = QUERIES["scan_orc_roundtrip"]
+    oracle = ORACLES["scan_orc_roundtrip"]
+    df = q(spark, sf_dir)
+    tz_oracle = (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, price_cents, "
+        "l_shipdate AT TIME ZONE 'UTC' AS l_shipdate "
+        f"FROM ({oracle})"
+    )
+    assert cc.digest_compare(df, duck, tz_oracle) == []
+    shifted = duckdb.connect()
+    shifted.execute("SET TimeZone='Asia/Ho_Chi_Minh'")
+    for t in TABLES:
+        shifted.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    problems = cc.digest_compare(df, shifted, tz_oracle)
+    assert problems and "digest differs" in problems[0], problems
