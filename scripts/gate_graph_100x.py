@@ -27,6 +27,10 @@ digest_compare) — nothing leaves either engine but (count, digest).
 
 Usage: python scripts/gate_graph_100x.py [sf_dir] [pagerank|triangles ...]
        (default sf_dir /tmp/ddw_scaled_sf100, both gates)
+
+At the 100× twin run ONE gate per process, or set DDW_DRIVER_MEMORY>=48g:
+both engine jobs sequentially in the default 8 GB driver heap OOM on the
+second (measured r9 — GATE100X_GRAPH_r09.txt run 1).
 """
 
 from __future__ import annotations
