@@ -28,9 +28,12 @@ digest_compare) — nothing leaves either engine but (count, digest).
 Usage: python scripts/gate_graph_100x.py [sf_dir] [pagerank|triangles ...]
        (default sf_dir /tmp/ddw_scaled_sf100, both gates)
 
-At the 100× twin run ONE gate per process, or set DDW_DRIVER_MEMORY>=48g:
-both engine jobs sequentially in the default 8 GB driver heap OOM on the
-second (measured r9 — GATE100X_GRAPH_r09.txt run 1).
+When more than one gate is requested, each runs in its OWN subprocess:
+two 100× engine jobs sequentially in one shared JVM OOM the default 8 GB
+driver heap on the second (measured r9 — GATE100X_GRAPH_r09.txt run 1),
+and a fresh process per gate is the only isolation that needs no tuning.
+The engine heap itself defaults to DDW_DRIVER_MEMORY=48g here (override
+via the env var) — sized for the 100× twin on this 128 GB box.
 """
 
 from __future__ import annotations
@@ -167,6 +170,22 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and not args[0].isalpha() else "/tmp/ddw_scaled_sf100"
     which = set(a for a in args if a.isalpha()) or {"pagerank", "triangles"}
+
+    if len(which) > 1:
+        # one subprocess per gate: a fresh JVM heap per engine job (see
+        # module docstring — the shared-heap form OOMs at 100×)
+        import subprocess
+
+        rc = 0
+        for g in sorted(which):
+            rc |= subprocess.call(
+                [sys.executable, os.path.abspath(__file__), sf_dir, g]
+            )
+        print("FAILURES above" if rc else "ALL GREEN (all gates, per-process)",
+              flush=True)
+        return 1 if rc else 0
+
+    os.environ.setdefault("DDW_DRIVER_MEMORY", "48g")
     spark = get_spark("ddw-graph-100x")
     qs = entry_mod.queries()
     failures = 0
