@@ -166,10 +166,32 @@ def run_steps(con: duckdb.DuckDBPyConnection, steps: list[str]) -> None:
         print(f"    [{time.time() - t0:7.1f}s] {head}", flush=True)
 
 
+GATES = ("pagerank", "triangles")
+
+
+def _gate_plan(con: duckdb.DuckDBPyConnection, gate: str):
+    """(query_name, steps, final_select) for one gate — the only
+    per-gate differences in the replay loop."""
+    if gate == "pagerank":
+        return "graph_pagerank", pagerank_steps(), pagerank_final()
+    n = con.execute(
+        "SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem"
+    ).fetchone()[0]
+    return "graph_triangles", triangles_steps(int(n)), TRIANGLES_FINAL
+
+
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and not args[0].isalpha() else "/tmp/ddw_scaled_sf100"
-    which = set(a for a in args if a.isalpha()) or {"pagerank", "triangles"}
+    which = [a for a in args if a in GATES]
+    rest = [a for a in args if a not in GATES]
+    if len(rest) > 1:
+        # an unknown gate name must be a hard error, never a silent
+        # skip — a typo'd invocation printing ALL GREEN with zero gates
+        # run would be a false-green verification artifact
+        print(f"unknown gate name(s): {rest[1:]} (gates: {GATES})")
+        return 2
+    sf_dir = rest[0] if rest else "/tmp/ddw_scaled_sf100"
+    which = which or list(GATES)
 
     if len(which) > 1:
         # one subprocess per gate: a fresh JVM heap per engine job (see
@@ -177,7 +199,7 @@ def main() -> int:
         import subprocess
 
         rc = 0
-        for g in sorted(which):
+        for g in which:
             rc |= subprocess.call(
                 [sys.executable, os.path.abspath(__file__), sf_dir, g]
             )
@@ -190,28 +212,14 @@ def main() -> int:
     qs = entry_mod.queries()
     failures = 0
 
-    if "pagerank" in which:
-        print("graph_pagerank @ " + sf_dir, flush=True)
+    for gate in which:
         t0 = time.time()
-        sdf = qs["graph_pagerank"](spark, sf_dir)
-        con = replay_con(sf_dir, "pagerank")
-        run_steps(con, pagerank_steps())
-        problems = digest_compare(sdf, con, pagerank_final())
-        con.close()
-        status = "FAIL " + "; ".join(problems) if problems else "ok    digest match"
-        failures += bool(problems)
-        print(f"  {status}  ({time.time() - t0:.1f}s total)", flush=True)
-
-    if "triangles" in which:
-        print("graph_triangles @ " + sf_dir, flush=True)
-        t0 = time.time()
-        sdf = qs["graph_triangles"](spark, sf_dir)
-        con = replay_con(sf_dir, "triangles")
-        n = con.execute(
-            "SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem"
-        ).fetchone()[0]
-        run_steps(con, triangles_steps(int(n)))
-        problems = digest_compare(sdf, con, TRIANGLES_FINAL)
+        con = replay_con(sf_dir, gate)
+        name, steps, final = _gate_plan(con, gate)
+        print(f"{name} @ {sf_dir}", flush=True)
+        sdf = qs[name](spark, sf_dir)
+        run_steps(con, steps)
+        problems = digest_compare(sdf, con, final)
         con.close()
         status = "FAIL " + "; ".join(problems) if problems else "ok    digest match"
         failures += bool(problems)

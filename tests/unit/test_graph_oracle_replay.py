@@ -11,11 +11,10 @@ full-set equality, not just row counts)."""
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-from demo_data_warehouse_spark.catalog import TABLES
+from scripts.check_correctness import duck_con
 from scripts.gate_graph_100x import (
     TRIANGLES_FINAL,
     pagerank_final,
@@ -30,11 +29,9 @@ ORACLES = entry_mod.oracle_sql()
 
 @pytest.fixture(scope="module")
 def oneshot(sf_dir):
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
+    # the gate's own connection factory — one source of truth for
+    # oracle-session setup (TimeZone pin + table views)
+    return duck_con(sf_dir)
 
 
 def _sorted(df):
@@ -62,13 +59,7 @@ def cap_sf_dir():
 
 @pytest.fixture(scope="module")
 def oneshot_cap(cap_sf_dir):
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{cap_sf_dir}/{t}.parquet'"
-        )
-    return con
+    return duck_con(cap_sf_dir)
 
 
 def test_triangles_replay_matches_oneshot(cap_sf_dir, tmp_path, oneshot_cap):
@@ -110,7 +101,7 @@ def test_triangles_cap_tiebreak_is_load_bearing(oneshot_cap):
         "SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem"
     ).fetchone()[0]
     k = 20 * int(n)
-    boundary = oneshot_cap.execute(
+    lo_rk, hi_rk = oneshot_cap.execute(
         f"""WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         ec AS (
           SELECT o1.l_suppkey a, o2.l_suppkey b, COUNT(*) AS n_shared
@@ -121,7 +112,14 @@ def test_triangles_cap_tiebreak_is_load_bearing(oneshot_cap):
           SELECT n_shared,
                  row_number() OVER (ORDER BY n_shared DESC, a, b) AS rk
           FROM ec)
-        SELECT COUNT(*) FROM ranked
+        SELECT MIN(rk), MAX(rk) FROM ranked
         WHERE n_shared = (SELECT n_shared FROM ranked WHERE rk = {k})"""
-    ).fetchone()[0]
-    assert boundary > 1, "no ties at the cap boundary — tiebreak untested"
+    ).fetchone()
+    # the boundary tie group must STRADDLE the cap (some tied rows kept,
+    # some cut) — ties that all land inside the cap would leave the
+    # tiebreak unexercised even though ties exist (at sf0.01 today the
+    # group spans rk 1783–2186 around k=2000)
+    assert lo_rk <= k < hi_rk, (
+        f"tie group rk [{lo_rk}, {hi_rk}] does not straddle k={k} — "
+        "tiebreak untested; re-audit the replay's LIMIT rewrite"
+    )
