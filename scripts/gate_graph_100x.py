@@ -144,8 +144,13 @@ def replay_con(
     between materialized stages — final compare is order-insensitive)."""
     os.makedirs(scratch, exist_ok=True)
     db = os.path.join(scratch, f"{tag}.duckdb")
-    if os.path.exists(db):
-        os.remove(db)
+    # a crashed prior run can leave a stale db, its WAL sibling, and a
+    # spill dir — a stale WAL next to a fresh db file makes connect()
+    # fail or replay stale state, so clear all three
+    for stale in (db, db + ".wal"):
+        if os.path.exists(stale):
+            os.remove(stale)
+    shutil.rmtree(os.path.join(scratch, f"tmp_{tag}"), ignore_errors=True)
     con = duckdb.connect(db)
     con.execute("SET TimeZone='UTC'")
     con.execute(f"SET temp_directory='{scratch}/tmp_{tag}'")
@@ -191,6 +196,12 @@ def main() -> int:
         print(f"unknown gate name(s): {rest[1:]} (gates: {GATES})")
         return 2
     sf_dir = rest[0] if rest else "/tmp/ddw_scaled_sf100"
+    if not os.path.isdir(sf_dir):
+        # catches the single-misspelled-gate form too (`… pagernk` would
+        # otherwise be silently treated as sf_dir and run both gates
+        # against a nonexistent path)
+        print(f"sf_dir is not a directory: {sf_dir!r} (gates: {GATES})")
+        return 2
     which = which or list(GATES)
 
     if len(which) > 1:

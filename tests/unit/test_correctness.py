@@ -192,10 +192,13 @@ def test_digest_timestamptz_oracle_needs_utc_pin(spark, sf_dir, duck):
     )
     assert cc.digest_compare(df, duck, tz_oracle) == []
     shifted = duckdb.connect()
-    shifted.execute("SET TimeZone='Asia/Ho_Chi_Minh'")
-    for t in TABLES:
-        shifted.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    problems = cc.digest_compare(df, shifted, tz_oracle)
-    assert problems and "digest differs" in problems[0], problems
+    try:
+        shifted.execute("SET TimeZone='Asia/Ho_Chi_Minh'")
+        for t in TABLES:
+            shifted.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        problems = cc.digest_compare(df, shifted, tz_oracle)
+        assert problems and "digest differs" in problems[0], problems
+    finally:
+        shifted.close()

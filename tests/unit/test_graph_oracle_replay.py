@@ -11,12 +11,15 @@ full-set equality, not just row counts)."""
 
 from __future__ import annotations
 
+import sys
+
 import pytest
 
 import __spark_entry__ as entry_mod
 from scripts.check_correctness import duck_con
 from scripts.gate_graph_100x import (
     TRIANGLES_FINAL,
+    main as gate_main,
     pagerank_final,
     pagerank_steps,
     replay_con,
@@ -123,3 +126,41 @@ def test_triangles_cap_tiebreak_is_load_bearing(oneshot_cap):
         f"tie group rk [{lo_rk}, {hi_rk}] does not straddle k={k} — "
         "tiebreak untested; re-audit the replay's LIMIT rewrite"
     )
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["pagernk"],                    # misspelled gate with no sf_dir:
+        ["/nonexistent/sf", "pagerank"],  # must never silently run both
+        ["/nonexistent/sf"],            # gates against a bad path
+    ],
+)
+def test_gate_rejects_nondirectory_sf_dir(monkeypatch, capsys, argv):
+    """ADVICE r9: a single misspelled gate name used to be treated as
+    sf_dir and both gates ran against a nonexistent path. The gate must
+    hard-error (rc 2) on any sf_dir that is not a directory, BEFORE any
+    engine or oracle work starts."""
+    monkeypatch.setattr(sys, "argv", ["gate_graph_100x.py", *argv])
+    assert gate_main() == 2
+    assert "not a directory" in capsys.readouterr().out
+
+
+def test_replay_con_clears_stale_wal(tmp_path, sf_dir):
+    """ADVICE r9: a crashed prior run leaves {tag}.duckdb + .wal + spill
+    dir; a stale WAL next to a fresh db can fail connect() or replay
+    stale state. replay_con must clear all three and come up usable."""
+    (tmp_path / "t.duckdb").write_bytes(b"garbage not a duckdb file")
+    (tmp_path / "t.duckdb.wal").write_bytes(b"garbage wal")
+    (tmp_path / "tmp_t").mkdir()
+    (tmp_path / "tmp_t" / "spill").write_bytes(b"x")
+    con = replay_con(sf_dir, "t", scratch=str(tmp_path))
+    try:
+        assert con.execute("SELECT COUNT(*) FROM region").fetchone()[0] > 0
+        # connect() may write a fresh WAL of its own; the planted garbage
+        # must be gone from both WAL and spill dir
+        wal = tmp_path / "t.duckdb.wal"
+        assert not wal.exists() or wal.read_bytes() != b"garbage wal"
+        assert not (tmp_path / "tmp_t" / "spill").exists()
+    finally:
+        con.close()
