@@ -18,7 +18,31 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 from pyspark.sql.utils import AnalysisException
+
+from demo_data_warehouse_spark.session import _ADVERSARIAL_CONFS
+
+# every hostile conf must have a control below — a conf added to
+# _ADVERSARIAL_CONFS without one fails test_every_hostile_conf_has_a_control
+CONTROLLED = {
+    "spark.sql.session.timeZone": "test_hostile_timezone_changes_formatting",
+    "spark.sql.ansi.enabled": "test_hostile_ansi_off_wraps_overflow_silently",
+    "spark.sql.caseSensitive": "test_hostile_case_sensitivity_breaks_resolution",
+    "spark.sql.timestampType": "test_hostile_ntz_default_changes_cast_type",
+    "spark.sql.sources.partitionColumnTypeInference.enabled":
+        "test_hostile_inference_off_makes_partition_compare_lexicographic",
+    "spark.sql.parquet.inferTimestampNTZ.enabled":
+        "test_hostile_ntz_inference_changes_read_type",
+}
+
+
+def test_every_hostile_conf_has_a_control():
+    missing = sorted(set(_ADVERSARIAL_CONFS) - set(CONTROLLED))
+    assert missing == [], (
+        f"adversarial confs without a negative control: {missing} — add one "
+        "here or the gate's coverage claim goes stale"
+    )
 
 
 def _fmt_epoch(spark):
@@ -63,3 +87,80 @@ def test_hostile_case_sensitivity_breaks_resolution(spark):
             spark.sql(q).collect()
     finally:
         spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+def _cast_type(spark):
+    return spark.range(1).select(
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("t")
+    ).schema["t"].dataType
+
+
+def test_hostile_ntz_default_changes_cast_type(spark):
+    assert isinstance(_cast_type(spark), TimestampType)  # floor: LTZ
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        # the bare cast alias now resolves to NTZ — the type whose
+        # wall-clock reinterpretation broke chrono builtins in r02
+        assert isinstance(_cast_type(spark), TimestampNTZType)
+    finally:
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
+
+
+def test_hostile_inference_off_makes_partition_compare_lexicographic(
+    spark, tmp_path
+):
+    # k=9 vs k=1000 against the boundary '500': numerically only 1000
+    # exceeds it; lexicographically only '9' does ('1' < '5' < '9')
+    out = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(9, "a"), (1000, "b")], "k int, v string"
+    ).write.partitionBy("k").parquet(out)
+    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+    def big_k():
+        return [
+            r["v"]
+            for r in spark.read.parquet(out)
+            .where(F.col("k") > F.lit("500"))
+            .collect()
+        ]
+
+    assert big_k() == ["b"]  # floor: k inferred int, literal coerced
+    spark.conf.set(conf, "false")
+    try:
+        # k stays string and the same predicate selects the OTHER row —
+        # the silent row-drop class measured and fixed in round 6
+        assert big_k() == ["a"]
+    finally:
+        spark.conf.set(conf, "true")
+
+
+def test_hostile_ntz_inference_changes_read_type(spark, tmp_path):
+    # a parquet whose timestamps carry isAdjustedToUTC=false, written by
+    # pyarrow (the current testdata shape): a Spark-written file would
+    # embed Spark's own schema metadata in the footer, which overrides
+    # the inference conf and would make this control vacuous
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "ntz.parquet")
+    pq.write_table(
+        pa.table(
+            {"ts": pa.array([datetime.datetime(2020, 1, 1)],
+                            type=pa.timestamp("us"))}
+        ),
+        out,
+    )
+    conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
+    def read_type():
+        return spark.read.parquet(out).schema["ts"].dataType
+
+    assert isinstance(read_type(), TimestampType)  # floor: read as LTZ
+    spark.conf.set(conf, "true")
+    try:
+        assert isinstance(read_type(), TimestampNTZType)
+    finally:
+        spark.conf.set(conf, "false")

@@ -13,7 +13,6 @@ clean query.
 from __future__ import annotations
 
 import sys
-import types
 
 import pytest
 from pyspark.sql import functions as F
