@@ -16,12 +16,35 @@ planted-defect sweep controls.)
 
 from __future__ import annotations
 
+import contextlib
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType, TimestampType
 from pyspark.sql.utils import AnalysisException
 
-from demo_data_warehouse_spark.session import _ADVERSARIAL_CONFS
+from demo_data_warehouse_spark.session import _ADVERSARIAL_CONFS, _RUNTIME_CONFS
+
+
+@contextlib.contextmanager
+def _flipped(spark, key):
+    """Flip one conf to its _ADVERSARIAL_CONFS value, restoring the
+    CAPTURED prior value (not a hardcoded literal) on exit — if
+    _RUNTIME_CONFS ever drifts, a literal restore would leave the shared
+    session-scoped Spark session in a non-floor state for every later
+    test in the run (ADVICE r10). The floor assert makes such drift fail
+    loudly here instead of silently re-baselining the control."""
+    old = spark.conf.get(key)
+    assert old == _RUNTIME_CONFS[key], (
+        f"session not at verified floor before flipping {key}: "
+        f"found {old!r}, _RUNTIME_CONFS says {_RUNTIME_CONFS[key]!r} — "
+        "either a prior test leaked conf state or the floor drifted"
+    )
+    spark.conf.set(key, _ADVERSARIAL_CONFS[key])
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 # every hostile conf must have a control below — a conf added to
 # _ADVERSARIAL_CONFS without one fails test_every_hostile_conf_has_a_control
@@ -59,34 +82,25 @@ def _fmt_epoch(spark):
 
 def test_hostile_timezone_changes_formatting(spark):
     assert _fmt_epoch(spark) == "2020-01-01 00:00"  # verified floor: UTC
-    spark.conf.set("spark.sql.session.timeZone", "Asia/Ho_Chi_Minh")
-    try:
+    with _flipped(spark, "spark.sql.session.timeZone"):
         assert _fmt_epoch(spark) == "2020-01-01 07:00"  # the +7h shift
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def test_hostile_ansi_off_wraps_overflow_silently(spark):
     overflow = F.lit(2147483647).cast("int") + F.lit(1).cast("int")
     with pytest.raises(Exception, match="(?i)overflow"):
         spark.range(1).select(overflow.alias("v")).first()  # ANSI floor: raise
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    try:
+    with _flipped(spark, "spark.sql.ansi.enabled"):
         got = spark.range(1).select(overflow.alias("v")).first()["v"]
         assert got == -2147483648  # silent two's-complement wrap
-    finally:
-        spark.conf.set("spark.sql.ansi.enabled", "true")
 
 
 def test_hostile_case_sensitivity_breaks_resolution(spark):
     q = "SELECT O_ORDERKEY FROM (SELECT 1 AS o_orderkey)"
     assert spark.sql(q).first()["O_ORDERKEY"] == 1  # floor: insensitive
-    spark.conf.set("spark.sql.caseSensitive", "true")
-    try:
+    with _flipped(spark, "spark.sql.caseSensitive"):
         with pytest.raises(AnalysisException):
             spark.sql(q).collect()
-    finally:
-        spark.conf.set("spark.sql.caseSensitive", "false")
 
 
 def _cast_type(spark):
@@ -97,13 +111,10 @@ def _cast_type(spark):
 
 def test_hostile_ntz_default_changes_cast_type(spark):
     assert isinstance(_cast_type(spark), TimestampType)  # floor: LTZ
-    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
-    try:
+    with _flipped(spark, "spark.sql.timestampType"):
         # the bare cast alias now resolves to NTZ — the type whose
         # wall-clock reinterpretation broke chrono builtins in r02
         assert isinstance(_cast_type(spark), TimestampNTZType)
-    finally:
-        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
 
 
 def test_hostile_inference_off_makes_partition_compare_lexicographic(
@@ -126,13 +137,10 @@ def test_hostile_inference_off_makes_partition_compare_lexicographic(
         ]
 
     assert big_k() == ["b"]  # floor: k inferred int, literal coerced
-    spark.conf.set(conf, "false")
-    try:
+    with _flipped(spark, conf):
         # k stays string and the same predicate selects the OTHER row —
         # the silent row-drop class measured and fixed in round 6
         assert big_k() == ["a"]
-    finally:
-        spark.conf.set(conf, "true")
 
 
 def test_hostile_ntz_inference_changes_read_type(spark, tmp_path):
@@ -159,8 +167,5 @@ def test_hostile_ntz_inference_changes_read_type(spark, tmp_path):
         return spark.read.parquet(out).schema["ts"].dataType
 
     assert isinstance(read_type(), TimestampType)  # floor: read as LTZ
-    spark.conf.set(conf, "true")
-    try:
+    with _flipped(spark, conf):
         assert isinstance(read_type(), TimestampNTZType)
-    finally:
-        spark.conf.set(conf, "false")

@@ -3,9 +3,12 @@
 SURVEY.md's standing claims are artifact pointers; a renamed, deleted, or
 not-yet-landed artifact cited as evidence is doc drift that reads as a
 broken provenance chain. Every round-stamped artifact filename mentioned
-anywhere in SURVEY.md must exist at the repo root — except the two round-5
-names SURVEY cites specifically to DOCUMENT that the round-5 driver pass
-was skipped and produced none.
+anywhere in SURVEY.md must exist at the repo root — INCLUDING the
+compound citation forms SURVEY uses to compress a family of rounds
+(`GATE_ADV_r06/r07/r08/r10.txt`, `BENCH_r01…r09.json`), which the
+original standalone-filename regex silently skipped (ADVICE r10).
+The two round-5 names SURVEY cites specifically to DOCUMENT that the
+round-5 driver pass was skipped are allowlisted as absent.
 """
 
 from __future__ import annotations
@@ -17,20 +20,74 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 DOCUMENTED_ABSENT = {"BENCH_r05.json", "CORRECTNESS_r05.json"}
 
-_PATTERN = re.compile(
-    r"(?:GATE[A-Z0-9_]*_r\d+\.txt"
-    r"|CORRECTNESS_r\d+\.json"
-    r"|BENCH_r\d+\.json"
-    r"|SCALE[A-Z0-9_]*_r\d+\.jsonl"
-    r"|SKEW_r\d+\.jsonl"
-    r"|ANN_RECALL_r\d+\.jsonl)"
-)
+# artifact families and the extension each is stamped with
+_STEM = r"(GATE[A-Z0-9_]*|CORRECTNESS|BENCH|SCALE[A-Z0-9_]*|SKEW|ANN_RECALL)"
+# longest-first: 'json' before 'jsonl' would truncate '.jsonl' citations
+# into phantom '.json' names
+_EXT = r"(txt|jsonl|json)"
+
+# standalone:  NAME_r08.ext
+_SIMPLE = re.compile(_STEM + r"_r(\d+)\." + _EXT)
+# slash list:  NAME_r06/r07/r10.ext  (any number of /rNN tails)
+_SLASH = re.compile(_STEM + r"_r(\d+)((?:/r\d+)+)\." + _EXT)
+# ellipsis range:  NAME_r01…r09.ext  (inclusive, zero-padded like the anchor)
+_RANGE = re.compile(_STEM + r"_r(\d+)…r(\d+)\." + _EXT)
+
+
+def _extract(text: str) -> set[str]:
+    """Expand every citation form in `text` to full artifact filenames."""
+    cited: set[str] = set()
+    for stem, lo, hi, ext in _RANGE.findall(text):
+        width = len(lo)
+        for n in range(int(lo), int(hi) + 1):
+            cited.add(f"{stem}_r{str(n).zfill(width)}.{ext}")
+    for stem, first, tail, ext in _SLASH.findall(text):
+        for n in [first, *re.findall(r"r(\d+)", tail)]:
+            cited.add(f"{stem}_r{n}.{ext}")
+    # strip compounds before the standalone pass so e.g. the 'r09.json'
+    # tail of a range can't be half-matched; what remains is standalone
+    remainder = _RANGE.sub(" ", _SLASH.sub(" ", text))
+    for stem, n, ext in _SIMPLE.findall(remainder):
+        cited.add(f"{stem}_r{n}.{ext}")
+    return cited
+
+
+def test_extractor_expands_compound_citations():
+    """Negative/positive control for the extractor itself: the compound
+    forms must expand to exact filenames (so a nonexistent round cited
+    inside a compound IS caught by the existence check), and plain prose
+    must yield nothing."""
+    got = _extract(
+        "see GATE_ADV_r06/r07/r10.txt and BENCH_r01…r03.json plus "
+        "CORRECTNESS_r09.json and SKEW_r05.jsonl; "
+        "also a fake GATE10X_r98/r99.txt"
+    )
+    assert got == {
+        "GATE_ADV_r06.txt",
+        "GATE_ADV_r07.txt",
+        "GATE_ADV_r10.txt",
+        "BENCH_r01.json",
+        "BENCH_r02.json",
+        "BENCH_r03.json",
+        "CORRECTNESS_r09.json",
+        # '.jsonl' must survive intact — a 'json|jsonl' alternation order
+        # bug would emit a phantom 'SKEW_r05.json'
+        "SKEW_r05.jsonl",
+        "GATE10X_r98.txt",
+        "GATE10X_r99.txt",
+    }
+    assert _extract("no artifacts here, just prose about round 9") == set()
 
 
 def test_survey_cited_artifacts_exist():
     with open(os.path.join(REPO, "SURVEY.md")) as f:
-        cited = set(_PATTERN.findall(f.read()))
+        cited = _extract(f.read())
     assert cited, "pattern matched nothing — regex drifted from SURVEY's naming"
+    # the compound forms are the reason this extractor exists; if SURVEY
+    # drops them entirely this guard should be revisited, not pass silently
+    assert any(
+        name.startswith(("GATE_ADV_", "BENCH_")) for name in cited
+    ), "expected the compound-cited families to expand to concrete names"
     missing = sorted(
         name
         for name in cited - DOCUMENTED_ABSENT
