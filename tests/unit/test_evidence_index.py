@@ -20,18 +20,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 DOCUMENTED_ABSENT = {"BENCH_r05.json", "CORRECTNESS_r05.json"}
 
-# artifact families and the extension each is stamped with
-_STEM = r"(GATE[A-Z0-9_]*|CORRECTNESS|BENCH|SCALE[A-Z0-9_]*|SKEW|ANN_RECALL)"
+# artifact families and the extension each is stamped with; BENCH takes
+# an optional [A-Z0-9_]* tail for the builder-local raw artifacts
+# (BENCH_LOCAL_r12.json, ADVICE r11 item 2)
+_STEM = r"(GATE[A-Z0-9_]*|CORRECTNESS|BENCH[A-Z0-9_]*|SCALE[A-Z0-9_]*|SKEW|ANN_RECALL)"
 # longest-first: 'json' before 'jsonl' would truncate '.jsonl' citations
 # into phantom '.json' names
 _EXT = r"(txt|jsonl|json)"
+# boundary anchors (ADVICE r11 item 3): without the leading lookbehind,
+# prose like 'PREBENCH_r05.json' extracts a phantom 'BENCH_r05.json';
+# without the trailing \b, 'BENCH_r05.jsonish' half-matches its prefix.
+_LB = r"(?<![A-Za-z0-9_])"
+_RB = r"\b"
 
 # standalone:  NAME_r08.ext
-_SIMPLE = re.compile(_STEM + r"_r(\d+)\." + _EXT)
+_SIMPLE = re.compile(_LB + _STEM + r"_r(\d+)\." + _EXT + _RB)
 # slash list:  NAME_r06/r07/r10.ext  (any number of /rNN tails)
-_SLASH = re.compile(_STEM + r"_r(\d+)((?:/r\d+)+)\." + _EXT)
+_SLASH = re.compile(_LB + _STEM + r"_r(\d+)((?:/r\d+)+)\." + _EXT + _RB)
 # ellipsis range:  NAME_r01…r09.ext  (inclusive, zero-padded like the anchor)
-_RANGE = re.compile(_STEM + r"_r(\d+)…r(\d+)\." + _EXT)
+_RANGE = re.compile(_LB + _STEM + r"_r(\d+)…r(\d+)\." + _EXT + _RB)
 
 
 def _extract(text: str) -> set[str]:
@@ -60,7 +67,7 @@ def test_extractor_expands_compound_citations():
     got = _extract(
         "see GATE_ADV_r06/r07/r10.txt and BENCH_r01…r03.json plus "
         "CORRECTNESS_r09.json and SKEW_r05.jsonl; "
-        "also a fake GATE10X_r98/r99.txt"
+        "also a fake GATE10X_r98/r99.txt and BENCH_LOCAL_r12.json"
     )
     assert got == {
         "GATE_ADV_r06.txt",
@@ -75,8 +82,17 @@ def test_extractor_expands_compound_citations():
         "SKEW_r05.jsonl",
         "GATE10X_r98.txt",
         "GATE10X_r99.txt",
+        # builder-local raw bench artifacts (ADVICE r11 item 2) are
+        # citations too — the BENCH stem's optional tail must cover them
+        "BENCH_LOCAL_r12.json",
     }
     assert _extract("no artifacts here, just prose about round 9") == set()
+    # boundary anchoring (ADVICE r11 item 3): an embedded prefix or a
+    # suffixed extension is a near-miss, NOT a citation — extracting a
+    # phantom name here would demand a file that rightly doesn't exist
+    assert _extract("the PREBENCH_r05.json prototype") == set()
+    assert _extract("a BENCH_r05.jsonish mockup") == set()
+    assert _extract("lowercase preBENCH_r05.json too") == set()
 
 
 def test_survey_cited_artifacts_exist():
