@@ -431,8 +431,18 @@ def embed_cosine_pairs_lsh(
     max_bucket_size: int | None = None,
     ref_n: int = 2000,
     max_extra_bits: int = 8,
+    cache_vectors: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded random-hyperplane LSH.
+
+    cache_vectors lazily caches the (id, vector, band-buckets) base —
+    reused by FOUR consumers (both sides of the bucket self-join, both
+    vector attachments of the exact verify), which otherwise each
+    re-run the scan + Arrow sign-projection pass (measured r12: the
+    sf0.1 pair pipeline spent ~3 s on 2,000 vectors, almost all
+    repeated stage/Python setup). Caller-controlled like
+    minhash_lsh_pairs' cache_signatures: at 100 TB an implicit full
+    vector materialization must be an explicit opt-in.
 
     Each band is r sign bits; ids sharing any band bucket become
     candidates (equi-join on (band, bucket) — never a cross product),
@@ -520,9 +530,16 @@ def embed_cosine_pairs_lsh(
             )
         return pd.Series(full, dtype=object)
 
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # ONE base carrying the vector AND its band buckets: the sign
+    # projection (an Arrow pass) runs once here instead of once per
+    # consumer, and cache_vectors makes the base's scan shareable too.
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("__bkts", _buckets(F.col("v")))
+    if cache_vectors:
+        e = e.cache()
     exploded = e.select(
-        "id", F.posexplode(_buckets(F.col("v"))).alias("band_id", "bucket")
+        "id", F.posexplode("__bkts").alias("band_id", "bucket")
     )
     if max_bucket_size is not None:
         exploded = _cap_hot_buckets(
@@ -535,14 +552,18 @@ def embed_cosine_pairs_lsh(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     # exact verification is O(candidates)·O(dim) — Arrow-vectorized,
-    # fold-order-identical to the oracle (see cosine_batch)
-    sim = F.round(cosine_batch(F.col("va"), F.col("vb")), round_dp)
+    # fold-order-identical to the oracle (see cosine_batch). The two
+    # vector attachments are ALIASES of the same projection, so their
+    # exchanges canonicalize identically and Spark builds the vector
+    # relation ONCE (ReusedExchange — guide §2.4: share one exchange),
+    # where the old named-column twin projections built it twice.
+    ev = e.drop("__bkts")
+    ea, eb = ev.alias("ea"), ev.alias("eb")
+    sim = F.round(cosine_batch(F.col("ea.v"), F.col("eb.v")), round_dp)
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(ea, F.col("id_a") == F.col("ea.id"))
+        .join(eb, F.col("id_b") == F.col("eb.id"))
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") > threshold)
     )

@@ -59,7 +59,22 @@ def connected_components(
     """
     id_col = nodes.columns[0]
     e = edges.select(F.col("src"), F.col("dst")).where(F.col("src") != F.col("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # materialize the symmetrized edge list ONCE: every propagation
+    # round joins `sym`, and without this checkpoint each round re-runs
+    # the caller's full edge-derivation plan (for the LSH dedup callers
+    # that is the whole candidate-pair generation, re-executed per
+    # round — the r12 before-profile shows corpus_curate_mix re-running
+    # its minhash band join every round). Guide §3.3: materialize an
+    # intermediate that many iterations reuse. EAGER on purpose: sym
+    # (and labels below) have several consumers inside the round-1 job,
+    # and a lazy checkpoint lets concurrent stages each recompute the
+    # expensive upstream before blocks land (measured r12: lazy here
+    # produced nondeterministic 2-3x walls on ml_dbscan).
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         nodes.select(F.col(id_col).alias("id"))
         .distinct()
@@ -83,7 +98,12 @@ def connected_components(
                 F.min("comp").alias("comp"),
                 F.min(F.when(F.col("is_old"), F.col("comp"))).alias("prev"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: the convergence count() right below is the
+            # materializing action and merged's ONLY consumer until it
+            # completes — one job per round instead of a materialize
+            # job followed by a count job (guide §1.2). Next round's
+            # two readers then hit the already-persisted blocks.
+            .localCheckpoint(eager=False)
         )
         changed = merged.where(F.col("comp") != F.col("prev")).count()
         ckpt.unpersist()
@@ -279,7 +299,11 @@ def bfs_distances(
     ).unionByName(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
     # materialize the edge list once: every relaxation round joins it,
     # and an expensive upstream (LSH candidate generation) would
-    # otherwise re-run per round
+    # otherwise re-run per round. Eager, like every checkpoint whose
+    # blocks have multiple consumers in the next job (sym appears in
+    # every relaxation level, and each level reads dist twice): lazy
+    # checkpointing lets concurrent stages recompute the upstream in
+    # duplicate before blocks land (r12 measurement on the CC variant).
     sym = sym.localCheckpoint(eager=True)
     dist = (
         vertices.select(F.col(vertices.columns[0]).alias("id"))
@@ -328,12 +352,15 @@ def connected_components_star(
     id_col = nodes.columns[0]
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     # orient as (u, v) unordered pairs, deduped
+    # eager=False: the signature() collect right below is the
+    # materializing action — one job instead of two (and likewise one
+    # job per alternation in the loop, guide §1.2).
     cur = (
         e.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def signature(frame):
@@ -375,7 +402,7 @@ def connected_components_star(
 
     sig = signature(cur)
     for _ in range(max_iter):
-        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=False)
         nsig = signature(nxt)
         cur.unpersist()
         cur = nxt

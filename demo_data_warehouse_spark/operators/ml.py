@@ -249,8 +249,13 @@ def dbscan_lsh(
 
     pairs = dedup_ops.embed_cosine_pairs_lsh(
         df, id_col, vec_col, threshold=threshold, dim=dim,
-        bands=bands, rows_per_band=rows_per_band,
+        bands=bands, rows_per_band=rows_per_band, cache_vectors=True,
     )
+    # eager on purpose: sym's blocks feed THREE consumers (degree
+    # census, core-edge join, border join) that can run concurrently in
+    # the first downstream job — a lazy checkpoint lets each recompute
+    # the LSH pair generation before blocks land (measured r12:
+    # nondeterministic 2-3x walls with eager=False).
     sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     ).localCheckpoint(eager=True)

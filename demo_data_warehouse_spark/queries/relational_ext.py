@@ -4485,22 +4485,27 @@ def scan_bloom_index(spark, sf_dir):
     # ONE batched probe for all three lookups (bloom_candidate_files_multi):
     # the index scan amortizes over the IN-list exactly as it would over a
     # multi-key lookup batch at 100 TB — 1 probe job instead of 3
-    cand = bloom_candidate_files_multi(spark, idx, [17, 971, 3003])
+    keys = [17, 971, 3003]
+    cand = bloom_candidate_files_multi(spark, idx, keys)
     n_total = sum(
         len([f for f in fs if f.endswith(".parquet")]) for _, _, fs in os.walk(data)
     )
-    parts = []
     for eid, files in cand.items():
         assert len(files) < n_total, (eid, len(files), n_total)  # pruning is real
-        if files:
-            rows = spark.read.parquet(*files).where(F.col("event_id") == eid)
-        else:
-            rows = spark.read.parquet(data).where(F.lit(False))
-        parts.append(rows.select("event_id", "user_id", "event_type", "cents"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # ONE data scan over the UNION of candidate files with the IN-list
+    # predicate (was: one scan per key + unionAll — N file listings and
+    # N read jobs for N keys). Row-identical by the index's
+    # no-false-negatives contract: every file containing rows for key k
+    # is necessarily a candidate for k, so the exact IN filter recovers
+    # precisely the per-key reads' rows; false-positive files cost IO
+    # only, exactly as before (guide §1.2: fewer passes; the batched
+    # shape is how a 100 TB multi-key lookup amortizes the scan).
+    all_files = sorted({f for files in cand.values() for f in files})
+    if all_files:
+        rows = spark.read.parquet(*all_files).where(F.col("event_id").isin(keys))
+    else:
+        rows = spark.read.parquet(data).where(F.lit(False))
+    return rows.select("event_id", "user_id", "event_type", "cents")
 
 
 def derive_salt_factor(max_key_rows: int, target: int = 2000, cap: int = 32) -> int:

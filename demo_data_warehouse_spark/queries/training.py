@@ -299,7 +299,8 @@ def dedup_embed_lsh(spark, sf_dir):
     asserted in tests/unit/test_dedup.py)."""
     emb = table(spark, sf_dir, "embeddings")
     return dedup.embed_cosine_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.35, dim=64, bands=8, rows_per_band=4
+        emb, "vec_id", "embedding", threshold=0.35, dim=64, bands=8, rows_per_band=4,
+        cache_vectors=True,
     )
 
 
@@ -3232,6 +3233,13 @@ def corpus_curate_mix(spark, sf_dir):
         .where(F.col("brn") == 1)
         .select("doc_id", "lang", "n_tokens")
     )
+    # lazily cached like `keep` above: the r12 plan capture shows the
+    # keep⋈comps keep-best subtree recomputed THREE times in the final
+    # plan (census, targets, and the ranked selection each re-derive
+    # it); caching collapses that to one compute + two in-memory reads
+    # (guide §5 — reuse beats recompute when the subtree carries a
+    # window + join).
+    best = best.cache()
     mixed = sampling.temperature_sample(
         best, "doc_id", "lang", budget=150, inv_temperature_pow=0.5
     )
@@ -3309,7 +3317,20 @@ def text_inverted_index(spark, sf_dir):
         )
     )
     idx = scratch_dir("inv_idx")
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(idx)
+    # hash-distribute by the partition column before the partitioned
+    # write (guide §6, Iceberg write.distribution-mode=hash analog):
+    # without it every shuffle-partition task opens a file in every
+    # bucket directory it touches — tasks×buckets small files once the
+    # agg output spans real partitions (locally AQE coalesces the tiny
+    # sf0.1 agg to one task, so both shapes emit one file per occupied
+    # bucket — measured r12: 24 either way; at the 10× twin the
+    # unrepartitioned write fans out to tasks×buckets). With the
+    # rebalance each bucket's postings land in one task → one file per
+    # bucket at ANY volume. Partition count stays the scale-adaptive
+    # spark.sql.shuffle.partitions / AQE choice (no local constant).
+    postings.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(idx)
 
     terms = ["vector", "merge", "stream"]
     buckets = sorted(

@@ -1,0 +1,116 @@
+"""Round-12 optimization contracts.
+
+Each test pins an optimization's *mechanism* (not just its result):
+  1. connected_components materializes the caller's edge plan O(1)
+     times, not once per propagation round (the r12 sym checkpoint).
+  2. embed_cosine_pairs_lsh returns identical pairs with and without
+     cache_vectors (the r12 single-base restructure is cache-neutral).
+  3. text_inverted_index's postings write emits exactly one file per
+     occupied bucket (the r12 hash-distributed partitioned write).
+Results themselves stay pinned by the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_data_warehouse_spark.operators import dedup, graph
+
+
+def test_cc_edge_plan_not_reexecuted_per_round(spark):
+    """A 12-node chain forces ~12 propagation rounds; the edge plan
+    (instrumented with a counting UDF) must be evaluated a bounded
+    number of times (symmetrization = 2 passes, plus at most one more
+    for a broadcast build) — NOT 2 passes x rounds, which is what the
+    pre-r12 operator did (it joined the raw edge plan every round)."""
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("bigint")
+    def counted(x):
+        calls.add(1)
+        return x
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+    edges = base.select(
+        counted(F.col("a")).alias("src"), F.col("b").alias("dst")
+    )
+    out = graph.connected_components(nodes, edges)
+    assert {r["comp"] for r in out.collect()} == {0}
+    # chain of 12 converges in >= 11 rounds; per-round re-execution
+    # would put the counter at >= 11 * 2 * 11 = 242. The checkpointed
+    # operator evaluates the plan a small constant number of times.
+    assert calls.value <= 4 * (n - 1), calls.value
+
+
+def test_embed_lsh_cache_vectors_is_result_neutral(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    # plant near-dups: 3 clones of vector 0
+    for j in (60, 61, 62):
+        rows.append((j, [v + rng.gauss(0, 0.01) for v in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def run(**kw):
+        got = dedup.embed_cosine_pairs_lsh(
+            df, "vec_id", "embedding", threshold=0.5, dim=8,
+            bands=4, rows_per_band=4, **kw
+        ).collect()
+        return sorted((r["id_a"], r["id_b"], r["cos_sim"]) for r in got)
+
+    plain = run()
+    cached = run(cache_vectors=True)
+    assert plain == cached
+    assert any(a == 0 and b in (60, 61, 62) for a, b, _ in plain)
+
+
+def test_inverted_index_write_one_file_per_bucket(spark, monkeypatch):
+    """The hash-distributed postings write (guide §6) must land each
+    bucket's postings in exactly ONE parquet file regardless of how
+    many shuffle partitions the aggregation ran with."""
+    # the query imports scratch_dir from streaming.pipeline at call
+    # time, so that module is the one to patch
+    import demo_data_warehouse_spark.streaming.pipeline as pipeline
+
+    made = []
+    orig = pipeline.scratch_dir
+
+    def spy(prefix):
+        d = orig(prefix)
+        made.append(d)
+        return d
+
+    monkeypatch.setattr(pipeline, "scratch_dir", spy)
+    # defeat AQE's small-data coalescing so the aggregation genuinely
+    # spans several partitions — the regression this test guards
+    # against (task x bucket file fan-out) only shows then
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["text_inverted_index"](
+            spark, "/root/testdata/sf0.001"
+        )
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+    assert made, "query did not allocate a scratch dir"
+    idx = made[0]
+    buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert buckets
+    for b in buckets:
+        files = [
+            f for f in os.listdir(os.path.join(idx, b)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (b, files)
