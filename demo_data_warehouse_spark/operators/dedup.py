@@ -371,30 +371,130 @@ def embed_cosine_pairs(
     corpora above the bound rather than silently planning a 10¹⁰-pair
     join; pass max_rows=None only when the quadratic cost is intended.
     """
-    from .similarity import cosine_batch
+    import numpy as np
+    import pandas as pd
 
-    if max_rows is not None:
-        n = df.count()
-        if n > max_rows:
-            raise ValueError(
-                f"embed_cosine_pairs is an O(n²) baseline: corpus has {n} rows"
-                f" > max_rows={max_rows}; use embed_cosine_pairs_lsh for scale"
-                " or pass max_rows=None to force"
+    n = df.count()
+    if max_rows is not None and n > max_rows:
+        raise ValueError(
+            f"embed_cosine_pairs is an O(n²) baseline: corpus has {n} rows"
+            f" > max_rows={max_rows}; use embed_cosine_pairs_lsh for scale"
+            " or pass max_rows=None to force"
+        )
+    # Block-grouped scoring (r12, guide §2.3 "shuffle keys and metadata
+    # instead of payloads" / §4.1 column budget). The former shape —
+    # nested-loop join materializing every (id_a < id_b) PAIR ROW, each
+    # carrying BOTH full vectors across the Arrow boundary into
+    # cosine_batch — shipped O(n²·dim) doubles to Python (≈400 GB at
+    # 20k×64d). Here ids are hashed into B ≈ n/512 blocks, each vector
+    # is replicated to its B+1 block-pair groups (O(n·B·dim) bytes —
+    # orders of magnitude less), and one applyInPandas per (p ≤ q)
+    # block pair generates AND scores its pairs in numpy. Arithmetic is
+    # bit-identical to cosine_batch: ab/aa/bb accumulate SEQUENTIALLY
+    # over the dimension index in float64 (outer-product steps perform
+    # the same one-multiply-one-add per pair per index), sims =
+    # ab / (sqrt(aa)·sqrt(bb)) in the same op order, and pairs are only
+    # scored within equal-length cohorts (cosine_batch's mask rule:
+    # mismatched or null vectors yield no surviving pair). The final
+    # round-then-filter stays Spark-side so the HALF_UP boundary rule
+    # matches the SQL oracle; NaN sims (zero vectors) still propagate
+    # and survive `> threshold` exactly as before.
+    block = 512
+    nb = max(1, -(-n // block))  # ceil
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("g", F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int"))
+    left = base.select(
+        "id", "v",
+        F.col("g").alias("p"),
+        F.explode(F.sequence(F.col("g"), F.lit(nb - 1))).alias("q"),
+        F.lit(True).alias("is_l"),
+    )
+    right = base.where(F.col("g") > 0).select(
+        "id", "v",
+        F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("p"),
+        F.col("g").alias("q"),
+        F.lit(False).alias("is_l"),
+    )
+
+    # in-UDF pre-filter margin: the authoritative round-then-threshold
+    # stays Spark-side; a raw sim ≤ threshold − margin cannot round
+    # (HALF_UP, round_dp ≥ 4 ⇒ |round(x)−x| ≤ 5·10⁻⁵) above threshold,
+    # so dropping it early only avoids shipping pairs the Spark filter
+    # would discard anyway. NaN sims are KEPT (they survive
+    # `> threshold` in Spark — NaN orders above every number).
+    margin = 10.0 ** (-(round_dp - 1))
+
+    def _score(key, pdf):
+        p, q = key
+        lm = pdf["is_l"].to_numpy()
+        L = pdf[lm]
+        R = L if p == q else pdf[~lm]
+        lv = L["v"].to_numpy()
+        rv = R["v"].to_numpy()
+        lid = L["id"].to_numpy()
+        rid = R["id"].to_numpy()
+        llen = np.array([-1 if x is None else len(x) for x in lv], dtype=np.int64)
+        rlen = llen if p == q else np.array(
+            [-1 if x is None else len(x) for x in rv], dtype=np.int64
+        )
+        out_a, out_b, out_s = [], [], []
+        for d in np.unique(llen):
+            if d < 0:
+                continue
+            li = np.nonzero(llen == d)[0]
+            ri = li if p == q else np.nonzero(rlen == d)[0]
+            if len(li) == 0 or len(ri) == 0:
+                continue
+            A = np.vstack(lv[li]).astype(np.float64)
+            B = A if p == q else np.vstack(rv[ri]).astype(np.float64)
+            ab = np.zeros((len(A), len(B)))
+            aa = np.zeros(len(A))
+            bb = aa if p == q else np.zeros(len(B))
+            for t in range(A.shape[1]):
+                x, y = A[:, t], B[:, t]
+                ab += x[:, None] * y[None, :]
+                aa += x * x
+                if p != q:
+                    bb += y * y
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = ab / (np.sqrt(aa)[:, None] * np.sqrt(bb)[None, :])
+            if p == q:
+                ai, bi = np.triu_indices(len(A), k=1)
+            else:
+                ai = np.repeat(np.arange(len(A)), len(B))
+                bi = np.tile(np.arange(len(B)), len(A))
+            s = sims[ai, bi]
+            keep = np.isnan(s) | (s > threshold - margin)
+            ai, bi, s = ai[keep], bi[keep], s[keep]
+            xa, yb = lid[li[ai]], rid[ri[bi]]
+            neq = xa != yb
+            xa, yb, s = xa[neq], yb[neq], s[neq]
+            swap = yb < xa
+            out_a.append(np.where(swap, yb, xa))
+            out_b.append(np.where(swap, xa, yb))
+            out_s.append(s)
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=object),
+                 "id_b": pd.Series([], dtype=object),
+                 "_s": pd.Series([], dtype="float64")}
             )
-    # candidate generation stays a JVM join; the O(pairs·dim) scoring is
-    # Arrow-vectorized (cosine_batch) — no JVM expression form survives
-    # 64 dims on a pair-quadratic path (interpreted HOF fold ≈ 20µs/pair;
-    # unrolled codegen trips the JIT huge-method limit; both measured
-    # ~100s at 2M pairs vs ~8s vectorized). The final round-then-filter
-    # is Spark-side so the HALF_UP boundary rule matches the SQL oracle.
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = F.round(cosine_batch(F.col("va"), F.col("vb")), round_dp)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") > threshold)
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a),
+             "id_b": np.concatenate(out_b),
+             "_s": np.concatenate(out_s)}
+        )
+
+    scored = (
+        left.unionByName(right)
+        .groupBy("p", "q")
+        .applyInPandas(_score, f"id_a {id_type}, id_b {id_type}, _s double")
+    )
+    sim = F.round(F.col("_s"), round_dp)
+    return scored.select("id_a", "id_b", sim.alias("cos_sim")).where(
+        F.col("cos_sim") > threshold
     )
 
 

@@ -181,14 +181,17 @@ def pagerank_fixed(
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(deg, "src")
     if materialize_edges:
-        # lineage truncation for deep iteration counts: round k's plan
-        # embeds k copies of the edge derivation, and past a handful of
-        # rounds planning cost grows quadratically. At n_iter ≤ ~4
-        # Spark's ReusedExchange already dedups the physical work, so
-        # the checkpoint only pays off (and is worth its serialization
-        # cost) for deep runs — caller-controlled, like the dedup
-        # family's cache flag. On a real cluster prefer checkpoint().
-        e = e.localCheckpoint(eager=False)
+        # materialize the degree-annotated edge list ONCE: round k's
+        # plan embeds k copies of the edge+degree derivation, and —
+        # measured r12 — ReusedExchange does NOT dedup them (the union
+        # branches and per-round subtrees canonicalize differently;
+        # graph_pagerank's plan showed 106 Exchanges, 0 ReusedExchange),
+        # so every round re-ran the full derivation. Eager, per the
+        # multi-consumer checkpoint rule (every round's join reads e in
+        # the same final job): 23.2 s → 5.6 s at sf0.1 with the
+        # caller's pairs checkpoint. On a real cluster prefer
+        # checkpoint().
+        e = e.localCheckpoint(eager=True)
     base = scale - scale * damp_num // damp_den
     pr = nodes.select(
         F.col(id_col).alias("id"), F.lit(scale).cast("bigint").alias("pr")

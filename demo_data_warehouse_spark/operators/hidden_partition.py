@@ -98,9 +98,19 @@ class HiddenPartitionTable:
         out = df
         for t in self.spec:
             out = out.withColumn(self._pcol(t), self._derive(t))
-        out.write.mode(mode).partitionBy(*[self._pcol(t) for t in self.spec]).parquet(
-            self.data
-        )
+        pcols = [self._pcol(t) for t in self.spec]
+        # hash-distribute by the derived partition columns before the
+        # partitioned write (r12, guide §6 — Iceberg
+        # write.distribution-mode=hash, which IS the spec'd default for
+        # partitioned Iceberg tables): without it every input task
+        # opens a file in every (days × bucket) directory it touches —
+        # tasks×partitions small files at volume. With it each
+        # partition's rows land in one task → one file per partition;
+        # the task count stays the scale-adaptive shuffle-partition /
+        # AQE choice, no local constant.
+        out.repartition(*[F.col(c) for c in pcols]).write.mode(mode).partitionBy(
+            *pcols
+        ).parquet(self.data)
 
     # -- read -------------------------------------------------------------
 

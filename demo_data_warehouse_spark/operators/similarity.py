@@ -551,6 +551,50 @@ def semantic_dup_flags(
     )
 
 
+def exact_gram(q_df, d: int, vec_col: str = "q"):
+    """Upper-triangle int64 Gram of a quantized-vector column as an
+    aggregated (i, j, gram) DataFrame (1-based indices, j ≥ i).
+
+    r12 (guide §4.2): replaces the d²-pair explode (flatten(transform)
+    struct explode → element_at products → groupBy) that multiplied the
+    row count ×d(d+1)/2 before the partial agg — at d=64 that is 2,080
+    generated rows and two element_at evaluations per input row. Here
+    each task folds its whole partition into ONE d×d numpy integer
+    matmul (Gram partials), emits d(d+1)/2 partial rows per task, and a
+    narrow (i, j) agg combines them. Exactness: numpy int64 matmul is
+    exact integer arithmetic (wraps in two's complement exactly like
+    the JVM long products it replaces), and integer addition is
+    order-independent — the aggregated sums are bit-identical to the
+    exploded form on any partitioning.
+    """
+    from pyspark.sql.functions import col
+
+    def parts(it):
+        G = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.int64)
+            g = X.T @ X
+            G = g if G is None else G + g
+        if G is not None:
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype(np.int32),
+                    "j": (ju + 1).astype(np.int32),
+                    "prod": G[iu, ju],
+                }
+            )
+
+    return (
+        q_df.select(col(vec_col))
+        .mapInPandas(parts, "i int, j int, prod bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("prod").alias("gram"))
+    )
+
+
 def pca_fit_project(
     df,
     id_col: str,
@@ -588,23 +632,9 @@ def pca_fit_project(
         ).alias("q"),
     )
     n = q.count()
-    pair_idx = F.expr(
-        f"flatten(transform(sequence(1, {d}),"
-        " i -> transform(sequence(i, {d}), j -> struct(i AS i, j AS j))))".replace(
-            "{d}", str(d)
-        )
-    )
-    g = (
-        q.select(F.explode(pair_idx).alias("p"), "q")
-        .select(
-            "p.i",
-            "p.j",
-            (F.expr("element_at(q, p.i)") * F.expr("element_at(q, p.j)")).alias("prod"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("prod").alias("gram"))
-        .collect()
-    )
+    # per-task numpy Gram partials (exact_gram) instead of the d²-pair
+    # explode — bit-identical int64 sums, ×d(d+1)/2 fewer pre-agg rows
+    g = exact_gram(q, d).collect()
     s = (
         q.select(F.posexplode("q").alias("pos", "v"))
         .groupBy("pos")
@@ -627,32 +657,42 @@ def pca_fit_project(
         if row[j] < 0:
             row *= -1
     mu = sv / (n * quant)
-    proj_cols = [
-        F.expr(
-            "aggregate(zip_with(centered, array({w}), (x, wi) -> x * wi),"
-            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)".format(
-                w=",".join(f"CAST({wi!r} AS DOUBLE)" for wi in row.tolist())
+    # Arrow-vectorized projection (r12, guide §4.2): the former k+1
+    # interpreted aggregate(zip_with(...)) folds per row (k projections
+    # + cnorm2, each a d-step lambda chain with the basis inlined as d
+    # literals) are replaced by ONE pandas UDF that replays the exact
+    # same arithmetic: centering is the same two IEEE ops per element
+    # (int→double exact, /quant, −μ — μ the identical float64 values
+    # the old code inlined via repr literals), and both the projection
+    # and cnorm2 accumulate SEQUENTIALLY over the dimension index in
+    # float64 (acc += c_t·w_t in t order — the cosine_batch
+    # discipline), so every output double is bit-identical to the
+    # sequential folds and to the oracle's list_dot_product.
+    from pyspark.sql.functions import pandas_udf
+
+    W = comps.astype(np.float64)  # k × d
+    mu_row = mu.astype(np.float64)
+
+    @pandas_udf("proj array<double>, cnorm2 double")
+    def _project(qs: pd.Series) -> pd.DataFrame:
+        if len(qs) == 0:
+            return pd.DataFrame(
+                {"proj": pd.Series([], dtype=object),
+                 "cnorm2": pd.Series([], dtype="float64")}
             )
-        ).alias(f"p{ki}")
-        for ki, row in enumerate(comps)
-    ]
-    centered = q.select(
-        "id",
-        F.expr(
-            "zip_with(q, array({m}), (qi, mi) -> CAST(qi AS DOUBLE) / {quant} - mi)".format(
-                m=",".join(f"CAST({mi!r} AS DOUBLE)" for mi in mu.tolist()),
-                quant=quant,
-            )
-        ).alias("centered"),
-    )
-    cnorm2 = F.expr(
-        "aggregate(zip_with(centered, centered, (a, b) -> a * b),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    ).alias("cnorm2")
-    projected = centered.select("id", *proj_cols, cnorm2).select(
-        "id",
-        F.array(*[F.col(f"p{ki}") for ki in range(k)]).alias("proj"),
-        "cnorm2",
+        X = np.vstack(qs.to_numpy()).astype(np.float64) / quant - mu_row[None, :]
+        acc = np.zeros((len(X), W.shape[0]))
+        cn = np.zeros(len(X))
+        for t in range(X.shape[1]):
+            ct = X[:, t]
+            acc += ct[:, None] * W[None, :, t]
+            cn += ct * ct
+        return pd.DataFrame(
+            {"proj": [row.tolist() for row in acc], "cnorm2": cn}
+        )
+
+    projected = q.select("id", _project(F.col("q")).alias("_p")).select(
+        "id", F.col("_p.proj").alias("proj"), F.col("_p.cnorm2").alias("cnorm2")
     )
     return comps, projected
 
@@ -738,47 +778,69 @@ def kmeans_fixed(
     cents = [list(r["x"]) for r in seeds]  # cid j = list index
 
     def assign(frame, centroids):
-        d2s = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("x"),
-                    F.array(*[F.lit(int(c)) for c in cj]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
+        # Arrow-vectorized argmin (r12, guide §4.2): the former JVM form
+        # — k aggregate(zip_with(x, 64-literal array)) trees under an
+        # array_min of structs — was a ~k·d-node interpreted-HOF
+        # expression (higher-order lambdas don't reach codegen), built
+        # and optimized afresh per assign call: measured 41.6 s at
+        # sf0.1/k=8/d=64 with 2,000 rows, i.e. pure plan+interpreter
+        # overhead, and ~20 µs·k per ROW at any scale. One pandas UDF
+        # against the broadcast centroid matrix replaces it. Exactness:
+        # coordinates and centroids are int64; numpy int64 subtract/
+        # multiply/sum wrap in two's complement exactly like the JVM
+        # long arithmetic they replace, so d² is bit-identical (in the
+        # sanctioned regime |x| ≲ 2·10⁷ nothing wraps at all);
+        # np.argmin returns the FIRST minimum — the same smallest-cid
+        # tie-break as the lexicographic (d², cid) struct min.
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centroids, dtype=np.int64)  # (k, dim)
+
+        @pandas_udf("cluster bigint, d2 bigint")
+        def _assign(xs: pd.Series) -> pd.DataFrame:
+            if len(xs) == 0:
+                return pd.DataFrame(
+                    {"cluster": pd.Series([], dtype="int64"),
+                     "d2": pd.Series([], dtype="int64")}
+                )
+            X = np.vstack(xs.to_numpy()).astype(np.int64)  # (n, dim)
+            diff = X[:, None, :] - C[None, :, :]
+            D = (diff * diff).sum(axis=2, dtype=np.int64)  # (n, k) exact
+            cl = D.argmin(axis=1)
+            d2 = D[np.arange(len(X)), cl]
+            return pd.DataFrame(
+                {"cluster": cl.astype(np.int64), "d2": d2.astype(np.int64)}
             )
-            for cj in centroids
-        ]
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(d2.alias("d2"), F.lit(j).cast("bigint").alias("cluster"))
-                    for j, d2 in enumerate(d2s)
-                ]
-            )
-        )
-        return frame.select(
-            "id", "x", best.getField("cluster").alias("cluster"), best.getField("d2").alias("d2")
+
+        res = frame.select("id", "x", _assign(F.col("x")).alias("_a"))
+        return res.select(
+            "id", "x", F.col("_a.cluster").alias("cluster"), F.col("_a.d2").alias("d2")
         )
 
     for _ in range(iters):
         assigned = assign(q, cents)
+        # narrow (cluster, pos) partial agg instead of a dim-wide
+        # sum(element_at) row (r12): the 65-accumulator codegen unit
+        # cost ~6.5 s to compile PER ITERATION (fresh expression ids →
+        # fresh class) vs 1 s for the exploded two-phase agg, and the
+        # shuffle still moves only k·d partial states per partition.
+        # Sums are the same exact int64 per (cluster, component), so
+        # centroid updates are bit-identical.
         stats = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count("*").alias("cnt"),
-                *[
-                    F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
+            assigned.select("cluster", F.posexplode("x").alias("_pos", "_v"))
+            .groupBy("cluster", "_pos")
+            .agg(F.sum("_v").alias("s"), F.count("*").alias("cnt"))
             .collect()
         )
-        new_cents = list(cents)  # empty clusters keep their centroid
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
         for r in stats:
-            j = int(r["cluster"])
-            new_cents[j] = [int(r[f"s{i}"]) // int(r["cnt"]) for i in range(dim)]
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["_pos"])] = (
+                int(r["s"]),
+                int(r["cnt"]),
+            )
+        new_cents = list(cents)  # empty clusters keep their centroid
+        for j, comps in by_cluster.items():
+            new_cents[j] = [comps[i][0] // comps[i][1] for i in range(dim)]
         cents = new_cents
 
     return assign(q, cents).select("id", "cluster", "d2")

@@ -2492,20 +2492,10 @@ def embed_covariance(spark, sf_dir):
         F.expr("transform(embedding, v -> CAST(round(v * 10000) AS BIGINT))").alias("q")
     )
     n = emb.count()
-    pair_idx = F.expr(
-        "flatten(transform(sequence(1, 64),"
-        " i -> transform(sequence(i, 64), j -> struct(i AS i, j AS j))))"
-    )
-    g = (
-        emb.select(F.explode(pair_idx).alias("p"), "q")
-        .select(
-            F.col("p.i").alias("i"),
-            F.col("p.j").alias("j"),
-            (F.expr("element_at(q, p.i)") * F.expr("element_at(q, p.j)")).alias("prod"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("prod").alias("gram"))
-    )
+    # per-task numpy Gram partials (operators/similarity.py::exact_gram,
+    # r12) instead of the 2,080-pair struct explode: bit-identical int64
+    # sums, and the pre-agg row count drops ×d(d+1)/2 (guide §4.2)
+    g = similarity.exact_gram(emb, 64)
     s = (
         emb.select(F.posexplode("q").alias("pos", "v"))
         .groupBy("pos")

@@ -74,6 +74,60 @@ def test_embed_lsh_cache_vectors_is_result_neutral(spark):
     assert any(a == 0 and b in (60, 61, 62) for a, b, _ in plain)
 
 
+def test_embed_cosine_pairs_multiblock_matches_numpy(spark):
+    """The r12 block-grouped all-pairs path must return exactly the
+    brute-force pair set when the corpus spans SEVERAL hash blocks
+    (n=1200 > block=512 → nb=3): cross-block groups, the same-block
+    triangle, and the id orientation are all exercised."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n, dim = 1200, 8
+    vecs = rng.standard_normal((n, dim))
+    # plant exact near-dups across the id range so hits cross blocks
+    for i in range(0, n, 97):
+        j = (i + n // 2) % n
+        vecs[j] = vecs[i] + rng.standard_normal(dim) * 1e-3
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = dedup.embed_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.9, max_rows=None
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert all(a < b for a, b in got)
+    exp = set()
+    for a, b in itertools.combinations(range(n), 2):
+        va, vb = vecs[a], vecs[b]
+        sim = float(va @ vb) / (
+            float(np.linalg.norm(va)) * float(np.linalg.norm(vb))
+        )
+        if round(sim, 4) > 0.9:
+            exp.add((a, b))
+    assert got == exp
+    assert len(got) >= n // 97  # the planted pairs were found
+
+
+def test_exact_gram_matches_direct_and_is_partition_invariant(spark):
+    import numpy as np
+
+    from demo_data_warehouse_spark.operators.similarity import exact_gram
+
+    rng = np.random.RandomState(5)
+    n, d = 300, 6
+    X = rng.randint(-50_000, 50_000, size=(n, d)).astype(np.int64)
+    df = spark.createDataFrame(
+        [([int(v) for v in X[i]],) for i in range(n)], "q array<bigint>"
+    )
+    expect = X.T @ X
+    for frame in (df, df.repartition(7)):
+        got = {(r["i"], r["j"]): r["gram"] for r in exact_gram(frame, d).collect()}
+        assert len(got) == d * (d + 1) // 2
+        for (i, j), v in got.items():
+            assert v == int(expect[i - 1, j - 1]), (i, j)
+
+
 def test_inverted_index_write_one_file_per_bucket(spark, monkeypatch):
     """The hash-distributed postings write (guide §6) must land each
     bucket's postings in exactly ONE parquet file regardless of how
