@@ -69,6 +69,12 @@ def logreg_gd_fixed(
         ).alias("x"),
         label_col.cast("bigint").alias("y"),
     )
+    # One materialization of the narrow quantized frame: the loop issues
+    # iters+2 separate actions (count, one gradient collect per
+    # iteration, final accuracy), and without a plan cut each would
+    # re-run the source scan + quantization. Lazy: the count() below is
+    # the sole next consumer and materializes the blocks itself.
+    q = q.localCheckpoint(eager=False)
     n = q.count()
     w = [0] * dim
     b = 0

@@ -771,6 +771,13 @@ def kmeans_fixed(
             f" + {shift}L)"
         ).alias("x"),
     )
+    # One materialization of the quantized frame: the fit issues
+    # iters+2 separate actions (seed collect, one stats collect per
+    # iteration, the caller's final-assignment action) and without a
+    # plan cut each re-runs the source scan + quantization. Lazy: the
+    # seed collect below is the sole next consumer and materializes
+    # the blocks itself (its global orderBy touches every partition).
+    q = q.localCheckpoint(eager=False)
     seed_collect_guard(k, "kmeans_fixed seeds")
     seeds = (
         q.orderBy(F.md5(F.col("id").cast("string")), "id").limit(k).collect()

@@ -466,6 +466,12 @@ def bpe_merge_steps(docs, text_col: str, n_merges: int = 3):
         F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("s"),
         "freq",
     )
+    # Materialize the census once: each step's argmax collect is a new
+    # action, and without a plan cut every step re-runs the corpus
+    # explode + census shuffle from the source (n_merges full corpus
+    # passes instead of one). Lazy on purpose: the step-1 argmax is the
+    # sole next consumer and materializes the blocks itself.
+    seqs = seqs.localCheckpoint(eager=False)
     merges = []
     for step in range(1, n_merges + 1):
         pairs = seqs.where(F.size("s") >= 2).select(
@@ -482,6 +488,8 @@ def bpe_merge_steps(docs, text_col: str, n_merges: int = 3):
         if not best:
             break
         merges.append((step, best[0].a, best[0].b, best[0].cnt))
+        if step == n_merges:
+            break  # the last merge's application has no consumer
         bdf = spark.createDataFrame([(best[0].a, best[0].b)], "ba string, bb string")
         seqs = seqs.crossJoin(F.broadcast(bdf)).select(
             F.expr(
@@ -495,6 +503,10 @@ def bpe_merge_steps(docs, text_col: str, n_merges: int = 3):
             ).alias("s"),
             "freq",
         )
+        # Per-step plan cut (same lazy single-consumer rule): without it
+        # step k's argmax re-executes a k-deep fold chain over the
+        # persisted census instead of one fold over step k-1's blocks.
+        seqs = seqs.localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "step bigint, left_sym string, right_sym string, pair_count bigint"
     )

@@ -724,6 +724,17 @@ def subquery_excess_stock(spark, sf_dir):
     shipped = (
         table(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        # Prune the fact BEFORE the aggregate exchange: shipped only
+        # matters joined to qualifying parts, so a broadcast semi-join
+        # on the (dimension-sized, filtered) qualifying keys drops
+        # non-qualifying lineitem rows ahead of the groupBy shuffle —
+        # result-identical (exact semi-join, the later ps⋈qual join
+        # re-applies the same restriction).
+        .join(
+            F.broadcast(qual.select(F.col("ps_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("qty_cents"))
     )

@@ -168,3 +168,102 @@ def test_inverted_index_write_one_file_per_bucket(spark, monkeypatch):
             f for f in os.listdir(os.path.join(idx, b)) if f.endswith(".parquet")
         ]
         assert len(files) == 1, (b, files)
+
+
+def test_bpe_corpus_scanned_once_across_merge_steps(spark):
+    """bpe_merge_steps' per-step argmax is a separate action; without
+    the census checkpoint every step re-ran the corpus explode + word
+    census from the source (n_merges full corpus passes). The counting
+    UDF on the text column must therefore fire ~once per doc, not
+    n_merges times per doc."""
+    from demo_data_warehouse_spark.operators.text import bpe_merge_steps
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def counted(s):
+        calls.add(1)
+        return s
+
+    n_docs = 40
+    rows = [(i, "low lower lowest new newer") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", counted(F.col("text")).alias("text")
+    )
+    out = bpe_merge_steps(docs, "text", n_merges=3).collect()
+    assert len(out) == 3
+    # pre-r12: 3 steps x n_docs = 120+ evaluations; with the census
+    # materialized once the corpus is read a small constant number of
+    # times (1, plus optimizer-duplication slack).
+    assert calls.value <= 2 * n_docs, calls.value
+
+
+def test_logreg_source_scanned_once_across_iterations(spark):
+    """logreg_gd_fixed issues iters+2 actions (count, per-iteration
+    gradient collects, final accuracy); the quantized frame checkpoint
+    must make them read persisted blocks instead of re-running the
+    source scan per action."""
+    from demo_data_warehouse_spark.operators.ml import logreg_gd_fixed
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("bigint")
+    def counted(x):
+        calls.add(1)
+        return x
+
+    n = 50
+    rows = [(i, [float((i * 7 + j) % 5 - 2) / 4.0 for j in range(4)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").select(
+        "embedding", counted(F.col("vec_id")).alias("vec_id")
+    )
+    out = logreg_gd_fixed(
+        df, "vec_id", "embedding", F.col("vec_id") % 2, dim=4, iters=2
+    ).collect()
+    assert len(out) == 4 + 2  # weights + bias + accuracy rows
+    # pre-r12: 4 actions x n rows >= 150 evaluations (count may prune);
+    # the checkpointed frame is computed once.
+    assert calls.value <= 2 * n, calls.value
+
+
+def test_excess_stock_prefilters_fact_before_aggregate(spark):
+    """subquery_excess_stock must prune lineitem with a broadcast
+    semi-join on the qualifying part keys BEFORE the shipped aggregate's
+    exchange (guide 3.2) — pre-r12 the full post-1995 fact flowed into
+    the groupBy shuffle."""
+    import __spark_entry__ as entry_mod
+
+    from demo_data_warehouse_spark.plans.checks import physical_plan
+
+    df = entry_mod.queries()["subquery_excess_stock"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_source_scanned_once_across_iterations(spark):
+    """kmeans_fixed issues iters+2 actions (seed collect, per-iteration
+    stats collects, the caller's final-assignment action); the quantized
+    frame checkpoint must make them read persisted blocks instead of
+    re-running the source scan per action."""
+    from demo_data_warehouse_spark.operators.similarity import kmeans_fixed
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("bigint")
+    def counted(x):
+        calls.add(1)
+        return x
+
+    n = 50
+    rows = [(i, [float((i * 3 + j) % 7 - 3) for j in range(4)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").select(
+        "embedding", counted(F.col("vec_id")).alias("vec_id")
+    )
+    out = kmeans_fixed(df, "vec_id", "embedding", dim=4, k=3, iters=3).collect()
+    assert len(out) == n
+    # pre-r12: 5 actions x n rows >= 250 evaluations; the checkpointed
+    # frame is computed once.
+    assert calls.value <= 2 * n, calls.value
