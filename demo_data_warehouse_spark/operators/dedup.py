@@ -635,7 +635,14 @@ def embed_cosine_pairs_lsh(
     # consumer, and cache_vectors makes the base's scan shareable too.
     e = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("__bkts", _buckets(F.col("v")))
+        # asNondeterministic (guide §4.4, same class as cosine_batch):
+        # the exploded branch filters on the projected bucket array
+        # (isnotnull/size>0 guards), and on the UNCACHED path — the
+        # documented 100 TB default, where materialization is the
+        # caller's choice — the pushed guard makes the optimizer
+        # evaluate the full sign-projection UDF twice per consumer.
+        # The cached callers are unaffected (the cache computes once).
+    ).withColumn("__bkts", _buckets.asNondeterministic()(F.col("v")))
     if cache_vectors:
         e = e.cache()
     exploded = e.select(

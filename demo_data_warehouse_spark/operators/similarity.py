@@ -146,7 +146,15 @@ def cosine_batch(va_col, vb_col):
         out[mask] = sims
         return pd.Series(out, dtype=object)
 
-    return _cos(va_col, vb_col)
+    # asNondeterministic: the function is pure (bit-identical per pair),
+    # but consumers filter on the projected similarity (cos_sim >
+    # threshold), and the optimizer duplicates a deterministic Python
+    # UDF around a pushed filter — two stacked ArrowEvalPython nodes
+    # evaluating the SAME _cos(va, vb), every candidate pair scored
+    # TWICE (guide §4.4; measured r12 on dedup_embed_lsh's executed
+    # plan, and ml_dbscan pays it at runtime behind its checkpoint).
+    # The marking forbids duplication/reordering; values are unchanged.
+    return _cos.asNondeterministic()(va_col, vb_col)
 
 
 def _as_double(col):
@@ -337,8 +345,17 @@ def ivf_assign(
         full[mask] = [int(v) for v in idx]
         return pd.Series(full, dtype=object)
 
+    # asNondeterministic, same reason as cosine_batch (guide §4.4): the
+    # assignment is pure, but downstream equi-joins on `cell` push an
+    # isnotnull(cell) — and probe paths push cell.isin(...) — below this
+    # projection, and the optimizer then re-evaluates the whole-corpus
+    # centroid scoring UDF once below the filter and once above it
+    # (measured r12: dedup_semantic's executed plan carried two stacked
+    # ArrowEvalPython[_argmax_cell] pairs). Dropping the pushdown costs
+    # shuffling the few poison-null rows; it no longer doubles the scan.
     return df.select(
-        F.col(id_col).alias("id"), _argmax_cell(F.col(vec_col)).alias("cell")
+        F.col(id_col).alias("id"),
+        _argmax_cell.asNondeterministic()(F.col(vec_col)).alias("cell"),
     )
 
 
@@ -528,7 +545,16 @@ def semantic_dup_flags(
     higher id of each qualifying pair, so keeping `is_dup = false`
     retains exactly the lowest id per duplicate chain within a cell.
     """
-    assign = ivf_assign(df, id_col, vec_col, centroids)
+    # lazily cached (the curate_mix `keep`/`best` discipline — inside
+    # the timed computation, nothing persists across runs): assign has
+    # THREE consumers (the left and right sides of the cell self-join
+    # and the final flag join), and without the cache each re-runs the
+    # whole-corpus centroid-scoring UDF — 3 corpus passes at 100 TB for
+    # a frame that is two narrow columns (id, cell). The vector
+    # attachment (`vecs`) stays uncached on purpose: materializing the
+    # corpus vectors implicitly is the caller's choice, never the
+    # operator's (the finding-6 rule).
+    assign = ivf_assign(df, id_col, vec_col, centroids).cache()
     vecs = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
     tagged = assign.join(vecs, "id")
     left = tagged.select(F.col("id").alias("id_a"), "cell", F.col("v").alias("va"))

@@ -267,3 +267,77 @@ def test_kmeans_source_scanned_once_across_iterations(spark):
     # pre-r12: 5 actions x n rows >= 250 evaluations; the checkpointed
     # frame is computed once.
     assert calls.value <= 2 * n, calls.value
+
+
+def _py_eval_nodes(df, udf_name: str) -> list[tuple[bool, str]]:
+    """(is_cached_render, line) for every Arrow/BatchEvalPython node of
+    `udf_name` in the executed plan. A node rendered beneath an
+    InMemoryTableScan is the cache's build plan — executed once at
+    first materialization, not per consumer."""
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "EvalPython" in line and udf_name in line:
+            above = "\n".join(lines[max(0, i - 10):i])
+            out.append(("InMemoryTableScan" in above, line))
+    return out
+
+
+def test_cosine_verify_not_duplicated_by_threshold_filter(spark):
+    """Guide §4.4: the cos_sim > threshold filter sits on a column
+    computed by the pandas cosine UDF, and an unmarked (deterministic)
+    UDF gets duplicated around the pushed filter — two stacked
+    ArrowEvalPython nodes scoring every candidate pair twice (the
+    pre-fix executed plan). asNondeterministic pins ONE evaluation.
+    Uncached path on purpose: nothing may hide behind a cache."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = dedup.embed_cosine_pairs_lsh(
+        df, "vec_id", "embedding", threshold=0.5, dim=8, bands=4, rows_per_band=4
+    )
+    nodes = _py_eval_nodes(pairs, "_cos(")
+    live = [line for cached, line in nodes if not cached]
+    assert len(live) == 1, nodes
+
+
+def test_ivf_assign_not_duplicated_by_cell_filter(spark):
+    """Same §4.4 contract for the IVF coarse quantizer: a probe-style
+    cell filter pushed below the assignment projection must not
+    re-evaluate the whole-corpus centroid-scoring UDF."""
+    import random
+
+    from demo_data_warehouse_spark.operators import similarity
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0, 0, 0, 0, 0], [0, 1.0, 0, 0, 0, 0], [0, 0, 1.0, 0, 0, 0]]
+    probed = similarity.ivf_assign(df, "vec_id", "embedding", cents).where(
+        F.col("cell").isin(0, 1)
+    )
+    nodes = _py_eval_nodes(probed, "_argmax_cell(")
+    live = [line for cached, line in nodes if not cached]
+    assert len(live) == 1, nodes
+
+
+def test_semantic_assign_scored_once_across_consumers(spark):
+    """semantic_dup_flags' assign frame feeds three consumers (both
+    sides of the cell self-join and the final flag join); the r12 lazy
+    cache must leave ZERO live _argmax_cell evaluations in the final
+    plan — the corpus is centroid-scored exactly once, at cache build."""
+    import random
+
+    from demo_data_warehouse_spark.operators import similarity
+
+    rng = random.Random(4)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0, 0, 0, 0, 0], [0, 1.0, 0, 0, 0, 0]]
+    flags = similarity.semantic_dup_flags(df, "vec_id", "embedding", cents, 0.9)
+    nodes = _py_eval_nodes(flags, "_argmax_cell(")
+    assert nodes, "expected the assignment UDF in the plan"
+    live = [line for cached, line in nodes if not cached]
+    assert not live, nodes
