@@ -715,6 +715,7 @@ def setsim_join_prefix(
     token_col: str,
     tau_num: int,
     tau_den: int,
+    cache_tokens: bool = False,
 ) -> DataFrame:
     """Exact all-pairs set-similarity join with PREFIX FILTERING (the
     ppjoin/AllPairs family, Bayardo et al. WWW'07): every document pair
@@ -768,10 +769,24 @@ def setsim_join_prefix(
 
     `tokens`: (id, token) pairs, pre-deduplicated per document (set
     semantics). Returns (id_a, id_b, inter, union_sz) with id_a < id_b.
+
+    cache_tokens lazily caches the (id, token) frame — it has FOUR
+    consumers (doc sizes, vocabulary frequency, the ranked prefix
+    derivation, and the verify-side doc arrays), which otherwise each
+    re-run the caller's tokenization plan (for the shingle callers
+    that is a corpus explode + array_distinct per consumer — 4 full
+    corpus passes at 100 TB). Caller-controlled like
+    minhash_lsh_pairs' cache_signatures / embed_cosine_pairs_lsh's
+    cache_vectors: an implicit corpus-wide materialization must be the
+    caller's explicit choice, never the operator's. The cache lives
+    for the session (Spark unpersists on GC via the ContextCleaner);
+    harnesses running many queries clear between queries.
     """
     from pyspark.sql import Window
 
     tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("token"))
+    if cache_tokens:
+        tok = tok.cache()
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
     # global total order: rarest first, token string as the tiebreak
